@@ -1,0 +1,133 @@
+"""Configuration surface, env-var compatible with the reference.
+
+The reference is configured entirely through environment variables
+(reference README.md:49-79) plus two INI/schema files. We mirror the
+same variable names and defaults so an operator of the reference can
+drive this engine with an unchanged environment.
+
+Reference default constants: s3logs/src/utils.rs:47-77,
+s3logs/src/conf.rs:7-105.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+# Default prefix-partition format family (reference README.md:61):
+# output keys look like  {prefix}/year=%Y/month=%m/day=%d/hour=%H/file.parquet
+DEFAULT_PREFIX_FMT = "year=%Y/month=%m/day=%d/hour=%H"
+
+# Streaming sink partitions by event date (s3logd-stream/src/output.rs:37).
+DEFAULT_STREAM_PREFIX_FMT = "dt=%Y%m%d"
+
+ALLBUCKETS = "ALLBUCKETS"  # merged-bucket sentinel (s3logs/src/utils.rs:61)
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.strip().lower() in ("1", "true", "yes", "on")
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v is not None else default
+
+
+def _env_str(name: str, default: str) -> str:
+    return os.environ.get(name, default)
+
+
+@dataclass
+class EngineConfig:
+    """Knobs shared by batch and streaming jobs.
+
+    Names/defaults follow the reference env table (README.md:49-79):
+
+    - ``stagging_second``   — S3LOGS_STAGGING_PARTITION_SECOND (900)
+    - ``aggregate_second``  — S3LOGS_TRANSFORM_AGGREGATE_SECOND (900, must be
+      an integer multiple >= stagging_second; s3logs/src/utils.rs:800-812)
+    - ``merge_orig_buckets``— S3LOGS_STAGGING_MERGE_ORIG_BUCKETS (true)
+    - ``deduplication``     — S3LOGS_TRANSFORM_LOG_DEDUPLICATION (true)
+    - ``tz_offset_seconds`` — S3LOGS_STAGGING_PARTITION_TZIF ("UTC+0");
+      POSIX-TZ style where UTC+8 means 8 hours EAST (the reference parses
+      the tzif std offset, s3logs/src/utils.rs:477-494). We store the
+      resolved eastward offset in seconds.
+    - ``compression`` / ``max_row_group_size`` — parquet writer properties
+      (s3logs/src/conf.rs:7-105; shipped config GZIP,
+      s3logs/config/parquet_writer_properties.ini:1-5)
+    - ``bulk_lines``        — S3LOGS_TRANSFORM_PARQUET_WRTIER_BULK_LINES
+      (200_000; sic the reference's spelling, README.md:62) — in Spark this
+      maps to ``maxRecordsPerFile`` guidance, not a hand-rolled writer loop.
+    - ``threshold_lines``   — streaming rotation (10_000_000,
+      s3logd-stream/src/output.rs:39)
+    """
+
+    stagging_second: int = 900
+    aggregate_second: int = 900
+    merge_orig_buckets: bool = True
+    deduplication: bool = True
+    tz_offset_seconds: int = 0
+    prefix_fmt: str = DEFAULT_PREFIX_FMT
+    compression: str = "gzip"
+    max_row_group_size: int = 100_000_000
+    bulk_lines: int = 200_000
+    threshold_lines: int = 10_000_000
+    extra_field_prefix: str = "ExtraField"  # widening names (utils.rs:1217-1222)
+    corrupt_column: str = "_corrupt_line"
+
+    # training-data / query-layer extensions (no reference counterpart)
+    shuffle_partitions: int = 32
+
+    def __post_init__(self) -> None:
+        if self.aggregate_second < self.stagging_second:
+            raise ValueError(
+                "aggregate_second must be >= stagging_second "
+                "(reference asserts this, s3logs/src/utils.rs:800-812)"
+            )
+        if self.aggregate_second % self.stagging_second != 0:
+            raise ValueError("aggregate_second must be a multiple of stagging_second")
+
+    @classmethod
+    def from_env(cls) -> "EngineConfig":
+        """Build from the reference's environment variables."""
+        tz = _env_str("S3LOGS_STAGGING_PARTITION_TZIF", "UTC+0")
+        return cls(
+            stagging_second=_env_int("S3LOGS_STAGGING_PARTITION_SECOND", 900),
+            aggregate_second=_env_int("S3LOGS_TRANSFORM_AGGREGATE_SECOND", 900),
+            merge_orig_buckets=_env_bool("S3LOGS_STAGGING_MERGE_ORIG_BUCKETS", True),
+            deduplication=_env_bool("S3LOGS_TRANSFORM_LOG_DEDUPLICATION", True),
+            tz_offset_seconds=parse_posix_tz_offset(tz),
+            compression=_env_str("S3LOGS_TRANSFORM_PARQUET_COMPRESSION", "gzip"),
+            bulk_lines=_env_int("S3LOGS_TRANSFORM_PARQUET_WRTIER_BULK_LINES", 200_000),
+        )
+
+
+def parse_posix_tz_offset(tz: str) -> int:
+    """Resolve a reference-style TZ string ("UTC+8", "UTC-5", "UTC+0")
+    to an eastward offset in seconds.
+
+    The reference feeds these through tzif and applies the std offset
+    with FixedOffset::east (s3logs/src/utils.rs:477-494), i.e. "UTC+8"
+    shifts partition boundaries 8 h east of UTC. Note genuine POSIX TZ
+    strings invert the sign; the reference's README examples
+    (transform.sh:19 "UTC+8") use the intuitive east-positive reading,
+    which we follow.
+    """
+    s = tz.strip().upper()
+    if s in ("UTC", "UTC+0", "UTC-0", "UTC0"):
+        return 0
+    if s.startswith("UTC"):
+        body = s[3:]
+        sign = 1
+        if body.startswith("-"):
+            sign, body = -1, body[1:]
+        elif body.startswith("+"):
+            body = body[1:]
+        if ":" in body:
+            hh, mm = body.split(":", 1)
+            return sign * (int(hh) * 3600 + int(mm) * 60)
+        return sign * int(body) * 3600
+    raise ValueError(f"unsupported TZ spec: {tz!r}")

@@ -1,0 +1,253 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two tiers:
+  - brute-force cosine top-k: exact baseline; a broadcast join of the
+    (small) query set against the corpus, cosine via builtin array
+    lambdas (F.zip_with/F.aggregate — JVM-side), ranked per query with
+    a window function. Correct at any scale that can afford a full
+    corpus scan per query batch.
+  - LSH-bucketed (random hyperplane) and IVF (k-means-lite coarse
+    quantizer) variants: prune the corpus per query to matching
+    buckets/cells, then exact cosine inside. The 100 TB path —
+    corpus-side keys are precomputed once (write-side), query-side keys
+    are cheap, and the join hits only matching buckets.
+
+No Python in the distance path; planes/centroids are deterministic
+(hash-derived or seeded) so results are reproducible and
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float/double> columns, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def with_unit_vector(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> DataFrame:
+    norm = l2_norm(F.col(vec_col))
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the query set, score every
+    corpus row, rank with a per-query window.
+
+    Plan shape at scale: corpus scan is embarrassingly parallel; the
+    only shuffle is the per-query top-k (rank window keyed by query id
+    — and the partial sort is bounded by k per partition since Spark
+    pushes TopK through the window when followed by the rank filter).
+    Returns (query_id, corpus_id, cosine, rank).
+    """
+    q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec).alias("_qv")))
+    c = corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv"))
+    scored = c.crossJoin(q).select(
+        query_id,
+        corpus_id,
+        cosine_sim(F.col("_cv"), F.col("_qv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_component(dim_idx: Column, plane_idx: int) -> Column:
+    """Deterministic pseudo-random ±1 component of hyperplane
+    ``plane_idx`` at dimension ``dim_idx`` (hash-derived, no RNG)."""
+    h = F.xxhash64(dim_idx, F.lit(plane_idx))
+    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def hyperplane_band_keys(
+    df: DataFrame, vec_col: str, n_bands: int = 8, bits_per_band: int = 8
+) -> DataFrame:
+    """Random-hyperplane LSH: sign bit of <v, p_j> for n_bands*bits_per_band
+    fixed ±1 planes; bits grouped into bands → one row per (band,
+    band_key). Exploded layout so the bucket join is a plain equi-join.
+    """
+    idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def band_key(b: int) -> Column:
+        bits = []
+        for j in range(bits_per_band):
+            plane = b * bits_per_band + j
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    idx,
+                    lambda x, i, plane=plane: x.cast("double") * _plane_component(i, plane),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        key = bits[0]
+        for bcol in bits[1:]:
+            key = key + bcol
+        return key.cast("int")
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("band_key"))
+            for b in range(n_bands)
+        ]
+    )
+    return df.select("*", F.explode(bands).alias("_bk")).select(
+        *df.columns, F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    k: int = 10,
+    n_bands: int = 8,
+    bits_per_band: int = 8,
+) -> DataFrame:
+    """ANN top-k: hyperplane-LSH candidate generation, exact cosine on
+    candidates, per-query rank. Recall < 1.0 by construction; tune
+    n_bands/bits_per_band. At scale the corpus band keys are a
+    write-side precomputation (bucketed table), making queries
+    shuffle-light."""
+    cb = hyperplane_band_keys(
+        corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv")), "_cv", n_bands, bits_per_band
+    )
+    qb = hyperplane_band_keys(
+        queries.select(F.col(query_id), F.col(query_vec).alias("_qv")), "_qv", n_bands, bits_per_band
+    )
+    cand = (
+        cb.join(F.broadcast(qb), on=["band", "band_key"])
+        .select(query_id, corpus_id, "_cv", "_qv")
+        .dropDuplicates([query_id, corpus_id])
+    )
+    scored = cand.select(
+        query_id, corpus_id, cosine_sim(F.col("_cv"), F.col("_qv")).alias("cosine")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str = "cell") -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (argmax cosine). Centroids are a driver-side list (trained by
+    ivf_train below or supplied); compiled into the plan as literals —
+    an intentional broadcast of a tiny model."""
+    sims = F.array(
+        *[
+            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            / (l2_norm(F.col(vec_col)) * F.lit(sum(x * x for x in c) ** 0.5))
+            for c in centroids
+        ]
+    )
+    return (
+        df.withColumn("_sims", sims)
+        .withColumn(out_col, (F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1).cast("int"))
+        .drop("_sims")
+    )
+
+
+def ivf_train(df: DataFrame, vec_col: str, n_cells: int = 16, iters: int = 3, sample_fraction: float = 1.0, seed: int = 42) -> list[list[float]]:
+    """Lloyd's k-means on (a sample of) the corpus, driver-coordinated:
+    per-iteration one groupBy over cell assignments — the classic Spark
+    k-means shape. Centroid count is tiny (≤ thousands), so driver
+    round-trips are cheap; the heavy lifting is distributed."""
+    data = df.select(F.col(vec_col).alias("v"))
+    if sample_fraction < 1.0:
+        data = data.sample(fraction=sample_fraction, seed=seed)
+    init = data.limit(n_cells * 50).toPandas()["v"].tolist()
+    step = max(1, len(init) // n_cells)
+    centroids = [list(map(float, init[i])) for i in range(0, step * n_cells, step)][:n_cells]
+    for _ in range(iters):
+        assigned = ivf_assign(data, "v", centroids, "cell")
+        dim = len(centroids[0])
+        sums = assigned.groupBy("cell").agg(
+            *[F.sum(F.col("v")[i].cast("double")).alias(f"s{i}") for i in range(dim)],
+            F.count(F.lit(1)).alias("n"),
+        )
+        rows = {r["cell"]: r for r in sums.collect()}
+        new_centroids = []
+        for ci in range(len(centroids)):
+            r = rows.get(ci)
+            if r is None or r["n"] == 0:
+                new_centroids.append(centroids[ci])
+            else:
+                new_centroids.append([r[f"s{i}"] / r["n"] for i in range(dim)])
+        centroids = new_centroids
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    centroids: list[list[float]],
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF search: corpus rows pre-assigned to cells; each query probes
+    its ``n_probe`` nearest cells; exact cosine inside probed cells."""
+    c = ivf_assign(corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv")), "_cv", centroids, "cell")
+    q = queries.select(F.col(query_id), F.col(query_vec).alias("_qv"))
+    sims = F.array(
+        *[
+            dot(F.col("_qv"), F.array(*[F.lit(float(x)) for x in cen]))
+            / (l2_norm(F.col("_qv")) * F.lit(sum(x * x for x in cen) ** 0.5))
+            for cen in centroids
+        ]
+    )
+    probe_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                sims, lambda s, i: F.struct((-s).alias("neg"), i.alias("cell"))
+            )
+        ),
+        1,
+        n_probe,
+    )
+    qp = q.withColumn("_probe", probe_cells).select(
+        query_id, "_qv", F.explode(F.col("_probe.cell")).alias("cell")
+    )
+    cand = c.join(F.broadcast(qp), on="cell").select(query_id, corpus_id, "_cv", "_qv")
+    scored = cand.select(
+        query_id, corpus_id, cosine_sim(F.col("_cv"), F.col("_qv")).alias("cosine")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,422 @@
+"""Deduplication operators: the reference's D1 plus the scale family
+(exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine) a
+training-data pipeline needs.
+
+D1 (the only stateful relational op in the reference,
+s3logs/src/utils.rs:1056-1090): window-scoped distinct-by-RequestID —
+a HashSet of RequestIDs reset whenever the scan crosses an
+aggregate_second boundary, i.e. `DISTINCT ON (bucket, window,
+RequestID)` under scan order. Our `dropDuplicates` is the deterministic
+order-insensitive superset (documented divergence, SURVEY.md §7.4.2).
+Purpose: at-least-once redelivery can duplicate rows (FAQ.md:16-22).
+
+Scale posture: dropDuplicates is a hash aggregate on the key — one
+shuffle, map-side partial dedup first, AQE-coalesced. The near-dup
+family below is designed so the pairwise stage only ever happens within
+LSH buckets (self-join on band signature), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.config import EngineConfig
+from s3logs_parquet_spark.schema import DEDUP_FIELD
+
+# ---------------------------------------------------------------------------
+# D1 — reference-parity window-scoped dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_log_rows(
+    df: DataFrame,
+    cfg: EngineConfig,
+    window_col: str = "agg_window",
+    bucket_col: str = "bucket_key",
+    id_col: str = DEDUP_FIELD,
+) -> DataFrame:
+    """D1 — keep one row per (bucket, agg window, RequestID).
+
+    `dropDuplicates` keeps an arbitrary survivor like the reference
+    keeps the first-seen; rows are byte-identical duplicates in the
+    motivating crash-redelivery case, so survivor choice is unobservable.
+    Gated by cfg.deduplication (S3LOGS_TRANSFORM_LOG_DEDUPLICATION,
+    default true; short-circuit parity with utils.rs:1071-1073).
+    """
+    if not cfg.deduplication:
+        return df
+    return df.dropDuplicates([bucket_col, window_col, id_col])
+
+
+# ---------------------------------------------------------------------------
+# Exact content dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, keep_order_col: str | None = None) -> DataFrame:
+    """Exact dedup by content: keep the row with the smallest
+    ``keep_order_col`` per distinct content (deterministic survivor —
+    required for oracle differential tests). One shuffle on a 64-bit
+    content hash + content (hash only narrows the exchange key width).
+    """
+    if keep_order_col is None:
+        return df.dropDuplicates([content_col])
+    others = [c for c in df.columns]
+    strukt = F.struct(*[F.col(keep_order_col), *[F.col(c) for c in others if c != keep_order_col]])
+    agg = df.groupBy(F.xxhash64(F.col(content_col)).alias("_h"), F.col(content_col).alias("_c")) \
+        .agg(F.min(strukt).alias("_row"))
+    return agg.select([F.col(f"_row.{c}").alias(c) for c in others])
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH (near-dup at scale)
+# ---------------------------------------------------------------------------
+
+# 61-bit Mersenne prime: multiply of two <2^61 residues fits in signed
+# 128-bit, but Spark longs are 64-bit — so we keep hash values < 2^31
+# and coefficients < 2^31 so a*x+b stays < 2^63. Portable to any SQL
+# engine doing 64-bit integer arithmetic (DuckDB oracle parity).
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _word_shingles(text: Column, k: int) -> Column:
+    """k-word shingles as an array<string> of space-joined windows over
+    the lowercased word sequence. Empty/short docs → their full word
+    join (single shingle) so every doc has a signature."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+
+
+def _shingle_hash(shingle: Column) -> Column:
+    """Deterministic 31-bit positive hash of a shingle, reproducible in
+    plain SQL: polynomial rolling hash base 131 mod 2^31-1 over UTF-8
+    bytes is overkill to express portably, so we use Spark's xxhash64
+    folded into [0, 2^31-1). Oracle parity strategy: oracles for
+    MinHash use DuckDB's hash() — NOT equal to xxhash64 — so MinHash
+    queries are verified by *cluster structure* invariants, not by raw
+    hash values (see plans/queries.py)."""
+    return F.pmod(F.xxhash64(shingle), F.lit(_MERSENNE_31))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature: array<long> of length ``num_hashes``.
+
+    h_i(x) = (a_i * x + b_i) mod (2^31-1) over 31-bit shingle hashes;
+    (a_i, b_i) fixed by ``seed`` via a splitmix-style recurrence so runs
+    are deterministic. All computed with builtin array lambdas
+    (F.transform / F.array_min) — no Python in the row path.
+    """
+    rng_state = seed & 0x7FFFFFFF or 1
+    coeffs: list[tuple[int, int]] = []
+    for _ in range(num_hashes):
+        rng_state = (rng_state * 1103515245 + 12345) % _MERSENNE_31
+        a = rng_state or 1
+        rng_state = (rng_state * 1103515245 + 12345) % _MERSENNE_31
+        b = rng_state
+        coeffs.append((a, b))
+
+    shingles = F.array_distinct(_word_shingles(F.col(text_col), shingle_k))
+    hashed = F.transform(shingles, _shingle_hash).alias("_sh")
+    base = df.select(F.col(id_col), hashed)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_sh"),
+                    lambda x, a=a, b=b: (F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE_31),
+                )
+            )
+            for a, b in coeffs
+        ]
+    ).alias("signature")
+    return base.select(id_col, sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH, then exact
+    signature-similarity filter.
+
+    Scale shape: explode signatures into ``bands`` rows keyed by
+    (band_id, band_hash) → self-join within buckets only. At 100 TB the
+    join key is uniformly hash-distributed; hot buckets (boilerplate
+    docs) are the classic skew case — AQE skew-join handles moderate
+    skew, and `spark.sql.shuffle.partitions` sizing the rest. Returns
+    (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "signature", "bk.band", "bk.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.signature").alias("sig_a"),
+            F.col("r.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(num_hashes)
+    )
+    return (
+        pairs.withColumn("est_jaccard", est.cast("double"))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def connected_components_clusters(pairs: DataFrame, ids: DataFrame, id_col: str) -> DataFrame:
+    """Union near-dup pairs into clusters: iterative label propagation
+    (min-id) to a fixed point. Each iteration is one join+agg; converges
+    in O(log(diameter)) rounds — dup clusters are tiny in practice, so
+    2-4 rounds. Returns (id, cluster_id)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id"))
+    for _ in range(8):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("src", "dst2"), edges.dst == F.col("dst2"))
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = labels.join(neighbor_min, on="src", how="left").select(
+            "src", F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias("cluster_id")
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="src")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        if not changed:
+            break
+    return labels.select(F.col("src").alias(id_col), "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64, shingle_k: int = 2) -> DataFrame:
+    """64-bit SimHash per doc: sign-sum of per-shingle hash bits.
+
+    Vectorized as array lambdas: for each bit position, count shingles
+    with that bit set vs total, bit = 1 iff majority. Returns
+    (id, simhash long).
+    """
+    shingles = F.array_distinct(_word_shingles(F.col(text_col), shingle_k))
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    n = F.size(hashes)
+    bit_cols = []
+    for b in range(bits):
+        ones = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, b=b: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        bit_cols.append(F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b).cast("long"))
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim + c
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
+    the 4x16-bit-block pigeonhole trick: any pair within distance 3
+    shares at least one exact 16-bit block → join per block, never
+    all-pairs."""
+    sigs = simhash(df, id_col, text_col)
+    blocks = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("blk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.blk", "b.blk_val")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.blk") == F.col("r.blk"),
+                F.col("l.blk_val") == F.col("r.blk_val"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact set similarity — oracle-friendly)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    join_on: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard similarity for candidate pairs.
+
+    Without a candidate set this is quadratic — at scale you feed it
+    minhash_lsh_pairs as ``join_on``. Expressed with array_intersect /
+    array_union set semantics, fully SQL-portable (DuckDB oracle uses
+    list_distinct + list intersection), so this op anchors the
+    correctness of the whole near-dup family.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(_word_shingles(F.col(text_col), k)).alias("grams"),
+    )
+    l, r = sh.alias("l"), sh.alias("r")
+    cond = [F.col(f"l.{id_col}") < F.col(f"r.{id_col}")]
+    if join_on is not None:
+        cand = join_on.select(F.col("id_a"), F.col("id_b"))
+        joined = cand.join(l, cand.id_a == F.col(f"l.{id_col}")).join(
+            r, cand.id_b == F.col(f"r.{id_col}")
+        )
+    else:
+        joined = l.crossJoin(r).filter(cond[0])
+    inter = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams")))
+    union = F.size(F.array_union(F.col("l.grams"), F.col("r.grams")))
+    jac = (inter.cast("double") / union.cast("double")).alias("jaccard")
+    return (
+        joined.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            jac,
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, n_bands: int = 8
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold.
+
+    Candidate generation by random-hyperplane LSH (sign bits of dot
+    products with fixed pseudo-random planes, grouped into bands), then
+    exact cosine on candidates. Deterministic planes derived from the
+    vector index via a hash — no RNG at runtime.
+    """
+    from s3logs_parquet_spark.operators.ann import cosine_sim, with_unit_vector, hyperplane_band_keys
+
+    unit = with_unit_vector(df, vec_col, "_unit")
+    banded = hyperplane_band_keys(unit, "_unit", n_bands=n_bands, bits_per_band=8)
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l._unit").alias("va"),
+            F.col("r._unit").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

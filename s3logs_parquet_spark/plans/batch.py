@@ -1,0 +1,109 @@
+"""The fused batch job: aggregate + transform as ONE Spark job.
+
+Reference topology (§3.1 + §3.2): stage 1 appends raw lines into
+per-(bucket, 900 s window) staging files on shared disk
+(utils.rs:559-735); stage 2 re-reads each file group, parses, dedups,
+and writes partitioned Parquet (utils.rs:1472-1506, 1050-1140). The
+staging tier exists only because the Rust pipeline has no shuffle — so
+the correct Spark design fuses both stages: the exchange introduced by
+dropDuplicates IS the staging tier. One pass over the raw bytes instead
+of two, no disk staging, no file locks, no rename/recovery protocol
+(Spark's committer + task retry subsume W4/W6 and the crash-recovery
+machinery at utils.rs:1298-1394).
+
+At 100 TB: parse is map-only; the single shuffle is keyed by
+(bucket_key, agg_window, RequestID) — high-cardinality and uniform, so
+no skew; output files land partitioned by event-time prefix with AQE
+choosing file counts. The optional two-pass schema widening (M3) adds
+one cheap map-side-combined max() aggregate, same asymptotics as the
+reference's full re-scan (utils.rs:1213-1235) but over columnar
+pruned data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.config import EngineConfig
+from s3logs_parquet_spark.functions.parse import max_field_count, parse_s3_access_log
+from s3logs_parquet_spark.operators.dedup import dedup_log_rows
+from s3logs_parquet_spark.operators.windows import with_agg_window, with_bucket_key
+from s3logs_parquet_spark.schema import NUM_LOG_FIELDS
+from s3logs_parquet_spark.sources.text_source import read_log_lines
+from s3logs_parquet_spark.writer import with_partition_columns, write_partitioned_parquet
+
+
+@dataclass
+class TransformResult:
+    rows_in: int
+    rows_parsed: int
+    rows_out: int
+    extra_fields: int
+
+
+def parse_and_dedup(
+    lines: DataFrame,
+    cfg: EngineConfig,
+    extra_fields: int = 0,
+) -> DataFrame:
+    """Raw lines → parsed, filtered (F1), windowed (G1), bucket-keyed
+    (G3), deduplicated (D1) rows. Pure plan builder — no action."""
+    parsed = parse_s3_access_log(
+        lines, extra_fields=extra_fields, extra_prefix=cfg.extra_field_prefix
+    )
+    clean = parsed.filter(F.col("ts").isNotNull())  # F1: drop unparseable
+    windowed = with_agg_window(clean, align_seconds=cfg.aggregate_second)
+    keyed = with_bucket_key(windowed, cfg)
+    return dedup_log_rows(keyed, cfg)
+
+
+def corrupt_lines(lines: DataFrame) -> DataFrame:
+    """F1 side channel — the lines the reference silently drops
+    (utils.rs:596-602), kept observable."""
+    from s3logs_parquet_spark.functions.parse import extract_ts
+
+    return lines.filter(extract_ts(F.col("value")).isNull())
+
+
+def run_batch_transform(
+    spark: SparkSession,
+    input_paths: str | list[str],
+    output_path: str,
+    cfg: EngineConfig | None = None,
+    adaptive_schema: bool = True,
+    collect_metrics: bool = True,
+) -> TransformResult:
+    """End-to-end: text in, partitioned deduplicated Parquet out.
+
+    ``adaptive_schema`` runs the M3 two-pass widening protocol: pass 1
+    learns max field count; if > 26 the write pass projects nullable
+    ``ExtraField{27..N}`` columns (naming per utils.rs:1217-1222).
+    Unlike the reference we never crash on empty input
+    (divergence noted at SURVEY.md §7.4.6).
+    """
+    cfg = cfg or EngineConfig()
+    lines = read_log_lines(spark, input_paths)
+
+    extra = 0
+    if adaptive_schema:
+        probe = parse_s3_access_log(lines).select("n_fields", "ts")
+        widest = max_field_count(probe.filter(F.col("ts").isNotNull()))
+        extra = max(0, widest - NUM_LOG_FIELDS)
+
+    result = parse_and_dedup(lines, cfg, extra_fields=extra)
+    out = with_partition_columns(result, cfg).drop("n_fields", "ts", "agg_window", "bucket_key")
+    write_partitioned_parquet(out, output_path, cfg)
+
+    if not collect_metrics:
+        return TransformResult(-1, -1, -1, extra)
+    rows_in = lines.count()
+    rows_parsed = lines.filter(
+        F.col("value").rlike(r"\[\d{2}/\w{3}/\d{4}:")
+    ).count()
+    # empty input → empty output dir: supply the write schema so the
+    # read-back never fails to infer (reference panics here, utils.rs:610)
+    rows_out = spark.read.schema(out.schema).parquet(output_path).count()
+    return TransformResult(rows_in, rows_parsed, rows_out, extra)

@@ -1,0 +1,67 @@
+"""Partitioned Parquet sink: W3-W5 of SURVEY.md §2.7.
+
+The reference hand-rolls chunked Arrow writes (200k-row batches,
+utils.rs:1050-1140), atomic rename commits (:1200-1241), and multipart
+S3 uploads (transfer.rs:62-224). In Spark all three are the Parquet
+file sink + committer; what remains of W3-W5 is *configuration*:
+compression / row-group size from the reference's writer-properties INI
+(s3logs/src/conf.rs:7-105), and the Hive partition columns derived from
+event time per the prefix format family (README.md:61).
+
+Scale posture: `partitionBy` + AQE coalescing keeps file counts sane;
+`maxRecordsPerFile` plays the role of the reference's rotation
+thresholds (T3). No collect, no driver-side writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.config import EngineConfig
+from s3logs_parquet_spark.functions.timeops import shifted
+
+# Hive partition columns implied by the default prefix format
+# year=%Y/month=%m/day=%d/hour=%H (README.md:61).
+PARTITION_COLS = ("year", "month", "day", "hour")
+
+
+def with_partition_columns(df: DataFrame, cfg: EngineConfig, ts_col: str = "ts") -> DataFrame:
+    """Derive the four Hive partition columns from event time in the
+    configured fixed TZ (W5 key calc, s3logs/src/utils.rs:1396-1415).
+    Kept as zero-padded strings to byte-match the reference's prefixes."""
+    ts = shifted(F.col(ts_col), cfg.tz_offset_seconds)
+    return (
+        df.withColumn("year", F.date_format(ts, "yyyy"))
+        .withColumn("month", F.date_format(ts, "MM"))
+        .withColumn("day", F.date_format(ts, "dd"))
+        .withColumn("hour", F.date_format(ts, "HH"))
+    )
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    cfg: EngineConfig,
+    mode: str = "append",
+    partition_cols: tuple[str, ...] = PARTITION_COLS,
+) -> None:
+    """W2-W5 — the partitioned columnar sink.
+
+    maxRecordsPerFile mirrors the reference's bulk/rotation thresholds
+    (utils.rs:71-72, output.rs:39); parquet.block.size its row-group
+    cap. Commit atomicity comes from the FileOutputCommitter (W4's
+    rename protocol, built-in)."""
+    (
+        df.write.mode(mode)
+        .option("compression", cfg.compression)
+        .option("maxRecordsPerFile", cfg.threshold_lines)
+        .option("parquet.block.size", min(cfg.max_row_group_size, 512 * 1024 * 1024))
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def write_gzip_text_archive(lines_df: DataFrame, path: str) -> None:
+    """W7 — optional raw-line archive, gzip text (utils.rs:1273-1294)."""
+    lines_df.write.mode("append").option("compression", "gzip").text(path)
