@@ -1,0 +1,102 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "extra": {...}}
+
+Each query is forced through the noop sink (full materialization, no
+collect/sink cost). The log_etl entry measures the fused
+parse→dedup→partitioned-parquet batch job end-to-end and reports
+lines/s in extra — the reference's primary operating metric
+(BASELINE.md "observed-throughput").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from s3logs_parquet_spark.config import EngineConfig
+from s3logs_parquet_spark.plans.batch import parse_and_dedup
+from s3logs_parquet_spark.plans.queries import QUERIES, _synthetic_log_lines
+from s3logs_parquet_spark.session import get_spark
+from s3logs_parquet_spark.sources.tables import load_table
+from s3logs_parquet_spark.writer import with_partition_columns, write_partitioned_parquet
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "events_tumbling_window",
+    "events_sliding_means",
+    "s3log_pipeline_roundtrip",
+    "docs_token_stats",
+    "docs_minhash_lsh_pairs",
+    "emb_cosine_topk",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="s3logs-bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = QUERIES[name]
+        df = fn(spark, sf_dir)
+        df.count()  # warm: plan + scan caches (file listing, parquet footers)
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # end-to-end log ETL throughput: events rows rendered as raw log
+    # lines on disk, then the full fused batch job (parse → window →
+    # dedup → partitioned parquet write)
+    work = tempfile.mkdtemp(prefix="bench_etl_")
+    try:
+        lines_path = os.path.join(work, "lines")
+        events = load_table(spark, sf_dir, "events")
+        _synthetic_log_lines(events).write.mode("overwrite").text(lines_path)
+        n_lines = spark.read.text(lines_path).count()
+        out_path = os.path.join(work, "out")
+        cfg = EngineConfig()
+        t0 = time.time()
+        lines = spark.read.text(lines_path)
+        result = parse_and_dedup(lines, cfg)
+        out = with_partition_columns(result, cfg).drop("n_fields", "ts", "agg_window", "bucket_key")
+        write_partitioned_parquet(out, out_path, cfg, mode="overwrite")
+        etl_sec = time.time() - t0
+        timings["log_etl"] = round(etl_sec, 3)
+        lines_per_sec = round(n_lines / etl_sec, 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": {"log_etl_lines_per_sec": lines_per_sec, "log_etl_n_lines": n_lines},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

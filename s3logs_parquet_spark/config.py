@@ -71,7 +71,7 @@ class EngineConfig:
     deduplication: bool = True
     tz_offset_seconds: int = 0
     prefix_fmt: str = DEFAULT_PREFIX_FMT
-    compression: str = "gzip"
+    compression: str = "snappy"  # reference code default (conf.rs:43); its shipped INI overrides to gzip
     max_row_group_size: int = 100_000_000
     bulk_lines: int = 200_000
     threshold_lines: int = 10_000_000

@@ -1,0 +1,153 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (split/regexp/aggregate lambdas) — JVM-side
+whole-stage codegen, map-only, no shuffle: each scales linearly to any
+corpus size. Every op is designed to be re-expressible in ANSI SQL so
+the DuckDB differential oracle checks exact values (see
+plans/queries.py for the twin SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.functions.hashing import MERSENNE_31, hash32
+
+# Split on ASCII whitespace runs. trim first so no empty edge tokens.
+_WS = r"\s+"
+
+
+def words(text: Column) -> Column:
+    """Lowercased whitespace tokens; empty text → empty array."""
+    t = F.lower(F.trim(text))
+    return F.filter(F.split(t, _WS), lambda w: w != "")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+# BPE-ish subword segmentation: letter-runs, digit-runs, and single
+# punctuation marks each count as one token — the classic pre-tokenizer
+# shape (GPT-2-style contractions omitted for SQL portability).
+_BPE_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_TOKEN), 0))
+
+
+# --- quality scoring -------------------------------------------------------
+
+# Tiny embedded stopword lists (public, standard closed-class words).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "est", "pour", "dans", "que", "une"],
+    "es": ["el", "la", "los", "de", "que", "es", "para", "con", "una", "por"],
+}
+
+
+def _stopword_hits(ws: Column, lang: str) -> Column:
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / word-shape features.
+
+    Ratios are doubles in [0,1]; callers round before oracle compare.
+    """
+    ws = words(text)
+    n_words = F.size(ws)
+    n_chars = F.length(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    n_stop = _stopword_hits(ws, "en")
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0),
+        "stopword_ratio": F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0),
+        "mean_word_len": mean_word_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards stopword presence and
+    sane word lengths, penalizes punctuation soup and trivial length.
+    Deterministic arithmetic over the features (portable to SQL)."""
+    f = quality_features(text)
+    length_ok = F.least(f["n_words"].cast("double") / F.lit(20.0), F.lit(1.0))
+    stop_ok = F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+    punct_ok = F.greatest(F.lit(1.0) - f["punct_ratio"] * 5.0, F.lit(0.0))
+    wordlen_ok = F.when(
+        (f["mean_word_len"] >= 3.0) & (f["mean_word_len"] <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return (length_ok * 0.3 + stop_ok * 0.3 + punct_ok * 0.2 + wordlen_ok * 0.2)
+
+
+# --- language ID -----------------------------------------------------------
+
+
+def langid(text: Column) -> Column:
+    """n-gram/stopword heuristic language ID over {en,de,fr,es}:
+    language with the most stopword hits; ties and zero hits → 'und'
+    (undetermined). Greater-than comparisons make the tie-break
+    deterministic and SQL-portable (first language in fixed order wins
+    ties only if strictly greater than all later ones... i.e. ties →
+    'und')."""
+    ws = words(text)
+    hits = {lang: _stopword_hits(ws, lang) for lang in STOPWORDS}
+    langs = list(STOPWORDS)
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    # iterate in fixed order; strict > keeps first-wins-on-tie = no, ties fall through to 'und'
+    for lang in langs:
+        cond = hits[lang] > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return best
+
+
+# --- fingerprinting --------------------------------------------------------
+
+
+def fingerprint(text: Column, base: int = 1_000_003) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over per-word portable hashes, mod 2^31-1.
+
+        fp = fold(words, 0, (acc, w) -> (acc*base + hash32(w)) mod M)
+
+    Same text → same fp; any reorder/edit → different fp (whp). Exactly
+    reproducible in DuckDB list_reduce."""
+    ws = words(text)
+    return F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * F.lit(base) + hash32(w)) % F.lit(MERSENNE_31),
+    )
+
+
+def winnowing_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing (Schleimer et al., SIGMOD'03): the set of minimum
+    k-gram hashes over each sliding window — the standard local
+    fingerprint for plagiarism/near-copy detection. Returns
+    array<long> (distinct, sorted)."""
+    ws = words(text)
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0))),
+        lambda i: hash32(F.array_join(F.slice(ws, i + 1, k), " ")),
+    )
+    m = F.size(grams)
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - F.lit(window), F.lit(0))),
+        lambda i: F.array_min(F.slice(grams, i + 1, window)),
+    )
+    return F.array_sort(F.array_distinct(wins))

@@ -98,19 +98,21 @@ def hyperplane_band_keys(
     """
     idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
 
+    def _proj(plane: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                idx,
+                lambda x, i: x.cast("double") * _plane_component(i, plane),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
     def band_key(b: int) -> Column:
         bits = []
         for j in range(bits_per_band):
-            plane = b * bits_per_band + j
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    idx,
-                    lambda x, i, plane=plane: x.cast("double") * _plane_component(i, plane),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+            proj = _proj(b * bits_per_band + j)
             bits.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
         key = bits[0]
         for bcol in bits[1:]:

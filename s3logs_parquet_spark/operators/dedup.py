@@ -73,11 +73,8 @@ def exact_dedup(df: DataFrame, content_col: str, keep_order_col: str | None = No
 # Shingling + MinHash + LSH (near-dup at scale)
 # ---------------------------------------------------------------------------
 
-# 61-bit Mersenne prime: multiply of two <2^61 residues fits in signed
-# 128-bit, but Spark longs are 64-bit — so we keep hash values < 2^31
-# and coefficients < 2^31 so a*x+b stays < 2^63. Portable to any SQL
-# engine doing 64-bit integer arithmetic (DuckDB oracle parity).
-_MERSENNE_31 = (1 << 31) - 1
+from s3logs_parquet_spark.functions.hashing import MERSENNE_31 as _MERSENNE_31
+from s3logs_parquet_spark.functions.hashing import affine_coeffs, hash32
 
 
 def _word_shingles(text: Column, k: int) -> Column:
@@ -94,14 +91,10 @@ def _word_shingles(text: Column, k: int) -> Column:
 
 
 def _shingle_hash(shingle: Column) -> Column:
-    """Deterministic 31-bit positive hash of a shingle, reproducible in
-    plain SQL: polynomial rolling hash base 131 mod 2^31-1 over UTF-8
-    bytes is overkill to express portably, so we use Spark's xxhash64
-    folded into [0, 2^31-1). Oracle parity strategy: oracles for
-    MinHash use DuckDB's hash() — NOT equal to xxhash64 — so MinHash
-    queries are verified by *cluster structure* invariants, not by raw
-    hash values (see plans/queries.py)."""
-    return F.pmod(F.xxhash64(shingle), F.lit(_MERSENNE_31))
+    """Deterministic 31-bit positive shingle hash, bit-identical in any
+    engine with md5 (see functions/hashing.py) — this is what makes the
+    whole MinHash family DuckDB-oracle-checkable by exact values."""
+    return hash32(shingle) % F.lit(_MERSENNE_31)
 
 
 def minhash_signatures(
@@ -119,29 +112,18 @@ def minhash_signatures(
     are deterministic. All computed with builtin array lambdas
     (F.transform / F.array_min) — no Python in the row path.
     """
-    rng_state = seed & 0x7FFFFFFF or 1
-    coeffs: list[tuple[int, int]] = []
-    for _ in range(num_hashes):
-        rng_state = (rng_state * 1103515245 + 12345) % _MERSENNE_31
-        a = rng_state or 1
-        rng_state = (rng_state * 1103515245 + 12345) % _MERSENNE_31
-        b = rng_state
-        coeffs.append((a, b))
+    coeffs = affine_coeffs(num_hashes, seed)
 
     shingles = F.array_distinct(_word_shingles(F.col(text_col), shingle_k))
     hashed = F.transform(shingles, _shingle_hash).alias("_sh")
     base = df.select(F.col(id_col), hashed)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_sh"),
-                    lambda x, a=a, b=b: (F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE_31),
-                )
-            )
-            for a, b in coeffs
-        ]
-    ).alias("signature")
+
+    def _minhash(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE_31))
+        )
+
+    sig = F.array(*[_minhash(a, b) for a, b in coeffs]).alias("signature")
     return base.select(id_col, sig)
 
 
@@ -260,23 +242,28 @@ def connected_components_clusters(pairs: DataFrame, ids: DataFrame, id_col: str)
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64, shingle_k: int = 2) -> DataFrame:
-    """64-bit SimHash per doc: sign-sum of per-shingle hash bits.
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_k: int = 2) -> DataFrame:
+    """SimHash per doc: sign-sum of per-shingle hash bits (default 32
+    bits via the portable md5-derived hash → exact DuckDB oracle).
 
     Vectorized as array lambdas: for each bit position, count shingles
     with that bit set vs total, bit = 1 iff majority. Returns
     (id, simhash long).
     """
     shingles = F.array_distinct(_word_shingles(F.col(text_col), shingle_k))
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    hashes = F.transform(shingles, hash32)
     n = F.size(hashes)
-    bit_cols = []
-    for b in range(bits):
-        ones = F.aggregate(
+
+    def _ones_at_bit(b: int) -> Column:
+        return F.aggregate(
             hashes,
             F.lit(0),
-            lambda acc, h, b=b: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int"),
+            lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int"),
         )
+
+    bit_cols = []
+    for b in range(bits):
+        ones = _ones_at_bit(b)
         bit_cols.append(F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b).cast("long"))
     sim = bit_cols[0]
     for c in bit_cols[1:]:
@@ -286,9 +273,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64, shingle_k
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
-    the 4x16-bit-block pigeonhole trick: any pair within distance 3
-    shares at least one exact 16-bit block → join per block, never
-    all-pairs."""
+    the 4-block pigeonhole trick: any pair within distance 3 shares at
+    least one exact 8-bit block of the 32-bit signature → join per
+    block, never all-pairs."""
     sigs = simhash(df, id_col, text_col)
     blocks = sigs.select(
         id_col,
@@ -298,8 +285,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), 8 * i)
+                        .bitwiseAND(F.lit(0xFF))
                         .alias("blk_val"),
                     )
                     for i in range(4)

@@ -1,0 +1,719 @@
+"""The query inventory: every operator family exposed as a
+(spark_builder, oracle_sql) pair for the driver's differential gate.
+
+Each entry's Spark side is idiomatic DataFrame code built from the
+package's operators; the oracle side is ANSI SQL DuckDB runs on the
+same parquet tables. Column names and rounding are aligned on both
+sides because the driver's compare hashes values sorted by column
+name. FP discipline: money sums rounded to 2, ratios/cosines to 6 —
+and where exactness matters (hashes, counts) the arithmetic is
+integer/md5-portable (functions/hashing.py).
+
+Registry shape:  QUERIES[name] = (fn(spark, sf_dir) -> DataFrame,
+                                  oracle_sql: str | None)
+None oracle → driver records a weaker rows-only check (used only for
+ops whose candidate generation depends on engine-native hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.config import EngineConfig
+from s3logs_parquet_spark.functions.hashing import hash32_sql
+from s3logs_parquet_spark.functions.parse import parse_s3_access_log
+from s3logs_parquet_spark.functions.text_analysis import (
+    STOPWORDS,
+    bpe_token_count,
+    fingerprint,
+    langid,
+    quality_features,
+    quality_score,
+    whitespace_token_count,
+)
+from s3logs_parquet_spark.operators.ann import brute_force_topk, lsh_topk
+from s3logs_parquet_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from s3logs_parquet_spark.operators.windows import with_agg_window
+
+
+from s3logs_parquet_spark.sources.tables import load_table as _t  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Relational / TPC-H-style (the generic query layer over parquet tables)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan→filter→group→agg. Catalyst pushes the shipdate predicate and
+    prunes to 7 columns at the parquet scan; partial aggregation
+    map-side; one shuffle on (returnflag, linestatus) — 6 groups."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                              AS sum_qty,
+       round(sum(l_extendedprice), 2)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       round(avg(l_quantity), 6)                              AS avg_qty,
+       round(avg(l_discount), 6)                              AS avg_disc,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join→group→top-k. customer is the small side → broadcast hash
+    join, no shuffle of lineitem for it; top-10 via rounded revenue
+    with orderkey tie-break so ranking is engine-independent."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join with dimension chain region→nation→(customer,
+    supplier). All dims broadcast; the only big-big join is
+    lineitem⋈orders on the orderkey."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def q_part_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort+limit (O-family; the reference has none — query layer op).
+    Deterministic tie-break on the key. TakeOrderedAndProject physical
+    op: no full sort at scale."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+ORACLE_PART_TOPK = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+"""
+
+
+def q_orders_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate per group."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+ORACLE_ORDERS_DISTINCT = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*)                  AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Engine-semantics family on the events table (G1/G3/G6/G7/D1/O3)
+# ---------------------------------------------------------------------------
+
+# floor() before the cast: events.ts carries sub-second nanos and
+# DuckDB's double→bigint cast rounds-half-even while Spark's
+# unix_timestamp truncates.
+_EPOCH = "floor(epoch(ts))::BIGINT"
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G2/G6 — 900 s tumbling windows with counts + stats."""
+    e = _t(spark, sf_dir, "events")
+    w = with_agg_window(e, "ts", 900, "w")
+    return w.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+ORACLE_EVENTS_TUMBLING = f"""
+SELECT {_EPOCH} - {_EPOCH} % 900 AS w,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+def q_events_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 analog on events: distinct (window, user, type) per window —
+    the dedup key-space cardinality the reference's HashSet tracks."""
+    e = _t(spark, sf_dir, "events")
+    w = with_agg_window(e, "ts", 900, "w")
+    dd = w.dropDuplicates(["w", "user_id", "event_type"])
+    return dd.groupBy("w").agg(F.count(F.lit(1)).alias("n_dedup"))
+
+
+ORACLE_EVENTS_WINDOW_DEDUP = f"""
+SELECT w, count(*) AS n_dedup FROM (
+  SELECT DISTINCT {_EPOCH} - {_EPOCH} % 900 AS w, user_id, event_type FROM events
+) GROUP BY w
+"""
+
+
+def q_events_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — min/max over timestamps (the window-span computation)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_EVENTS_MINMAX = "SELECT min(ts) AS min_ts, max(ts) AS max_ts, count(*) AS n_rows FROM events"
+
+
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — per-source grouping (merge mode off)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+ORACLE_EVENTS_BY_TYPE = """
+SELECT event_type, count(*) AS n_rows, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — the monitor's 15-min sliding window (1-min slide) means."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes", "1 minute").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.unix_timestamp(F.col("win.start")).alias("ws"), "n_rows", "avg_value")
+    )
+
+
+ORACLE_EVENTS_SLIDING = f"""
+SELECT ({_EPOCH} - {_EPOCH} % 60) - 60 * g AS ws,
+       count(*) AS n_rows,
+       round(avg(value), 6) AS avg_value
+FROM events CROSS JOIN generate_series(0, 14) t(g)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# The flagship: full log pipeline round-trip (P1-P3, F1, G1, G3, D1, G6)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_log_lines(e: DataFrame) -> DataFrame:
+    """Render events as S3-access-log lines (bracketed time, quoted
+    URI/agent) so the REAL parser runs on realistic text. Bucket derives
+    from user_id, RequestID from event_id."""
+    bucket = F.concat(F.lit("bucket-"), (F.col("user_id") % 3).cast("string"))
+    t = F.concat(F.lit("["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000]"))
+    line = F.concat_ws(
+        " ",
+        F.lit("deadbeefcafe0123"),
+        bucket,
+        t,
+        F.lit("192.0.2.1"),
+        F.lit("deadbeefcafe0123"),
+        F.col("event_id").cast("string"),
+        F.lit("REST.GET.OBJECT"),
+        F.concat(F.lit("/data/"), F.col("event_type"), F.lit("/obj")),
+        F.concat(F.lit('"GET /'), F.col("event_type"), F.lit(' HTTP/1.1"')),
+        F.lit("200"),
+        F.lit("-"),
+        F.col("value").cast("string"),
+        F.lit("-"), F.lit("10"), F.lit("10"),
+        F.lit('"http://example.com/ref"'),
+        F.lit('"agent/1.0 (Linux; x86)"'),
+        F.lit("-"), F.lit("hostid"), F.lit("SigV4"),
+        F.lit("ECDHE-RSA-AES128-GCM-SHA256"), F.lit("AuthHeader"),
+        F.lit("s3.example.com"), F.lit("TLSv1.2"), F.lit("-"), F.lit("-"),
+    )
+    return e.select(line.alias("value"))
+
+
+def q_log_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end engine semantics, oracle-checked: events → log lines
+    (doubled, to simulate at-least-once redelivery) → tokenize/parse →
+    F1 filter → G1 900 s windows → D1 dedup → per-(bucket, window)
+    counts. The oracle never sees the strings: it derives the same
+    aggregate directly from events — an independent derivation that
+    catches any parser/window/dedup defect."""
+    e = _t(spark, sf_dir, "events")
+    lines = _synthetic_log_lines(e)
+    doubled = lines.union(lines)  # redelivery duplicates
+    cfg = EngineConfig(merge_orig_buckets=False)
+    parsed = parse_s3_access_log(doubled)
+    clean = parsed.filter(F.col("ts").isNotNull())
+    w = with_agg_window(clean, "ts", cfg.aggregate_second, "w")
+    dd = w.dropDuplicates(["Bucket", "w", "RequestID"])
+    return dd.groupBy(F.col("Bucket").alias("bucket"), "w").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("RequestID").alias("n_ids"),
+    )
+
+
+ORACLE_LOG_PIPELINE = f"""
+SELECT 'bucket-' || (user_id % 3)::VARCHAR AS bucket,
+       {_EPOCH} - {_EPOCH} % 900 AS w,
+       count(*) AS n_rows,
+       count(DISTINCT event_id) AS n_ids
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_log_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-exact parser check through quoted/bracketed tokens: parse
+    rendered lines, emit individual fields; oracle recomputes each field
+    straight from events columns."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    parsed = parse_s3_access_log(_synthetic_log_lines(e))
+    return parsed.select(
+        F.col("RequestID").cast("long").alias("event_id"),
+        F.col("Bucket").alias("bucket"),
+        F.col("RequestURI").alias("uri"),
+        F.col("UserAgent").alias("agent"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.col("n_fields"),
+    )
+
+
+ORACLE_LOG_PARSE_FIELDS = f"""
+SELECT event_id,
+       'bucket-' || (user_id % 3)::VARCHAR AS bucket,
+       'GET /' || event_type || ' HTTP/1.1' AS uri,
+       'agent/1.0 (Linux; x86)' AS agent,
+       {_EPOCH} AS epoch_s,
+       26 AS n_fields
+FROM events WHERE event_id < 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis family on documents
+# ---------------------------------------------------------------------------
+
+# SQL twins of functions/text_analysis.py primitives
+_SQL_WORDS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w != '')"
+_SQL_BPE = "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')"
+
+
+def _sql_stop_hits(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(ws, w -> list_contains([{lst}], w)))"
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+ORACLE_DOCS_TOKEN_STATS = f"""
+SELECT doc_id,
+       len({_SQL_WORDS})::INT AS ws_tokens,
+       len({_SQL_BPE})::INT  AS bpe_tokens
+FROM documents
+"""
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+_SQL_QUALITY = f"""
+WITH feat AS (
+  SELECT doc_id,
+         {_SQL_WORDS} AS ws,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_words,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(ws) > 0 THEN {_sql_stop_hits('en')}::DOUBLE / len(ws) ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(ws) > 0
+              THEN list_aggregate(list_transform(ws, w -> length(w)), 'sum')::DOUBLE / len(ws)
+              ELSE 0.0 END AS mean_word_len
+  FROM feat
+)
+SELECT doc_id, n_words,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(
+         least(n_words / 20.0, 1.0) * 0.3
+         + least(stopword_ratio * 4.0, 1.0) * 0.3
+         + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.2
+         + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+       , 6) AS quality
+FROM m
+"""
+
+
+def q_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", langid(F.col("text")).alias("lang_pred"))
+
+
+_SQL_LANGID = f"""
+WITH h AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), c AS (
+  SELECT doc_id,
+         {_sql_stop_hits('en')} AS h_en,
+         {_sql_stop_hits('de')} AS h_de,
+         {_sql_stop_hits('fr')} AS h_fr,
+         {_sql_stop_hits('es')} AS h_es
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM c
+"""
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE_DOCS_FINGERPRINT = f"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents)
+SELECT doc_id,
+       CASE WHEN len(ws) = 0 THEN 0
+            ELSE list_reduce(
+                   list_transform(ws, x -> {hash32_sql('x')}),
+                   (acc, h) -> (acc * 1000003 + h) % 2147483647)
+       END AS fp
+FROM w
+"""
+
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash-groupBy: canonical doc per distinct
+    text + multiplicity."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+ORACLE_DOCS_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
+"""
+
+
+def q_docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs on a doc_id%20 subsample (the exact
+    op is quadratic by design — its scale path is LSH candidates)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.01).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+ORACLE_DOCS_JACCARD = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents WHERE doc_id % 20 = 0
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(ws) - 3, 0)),
+           i -> array_to_string(array_slice(ws, i + 1, i + 3), ' ')
+         )) AS grams
+  FROM d
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.01
+"""
+
+
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=32, shingle_k=2)
+
+
+ORACLE_DOCS_SIMHASH = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(ws) - 2, 0)),
+           i -> array_to_string(array_slice(ws, i + 1, i + 2), ' ')
+         )) AS shingles
+  FROM d
+), hs AS (
+  SELECT doc_id, list_transform(shingles, s -> {hash32_sql('s')}) AS hashes FROM sh
+)
+SELECT doc_id,
+       list_aggregate(
+         list_transform(generate_series(0, 31), b ->
+           CASE WHEN 2 * len(list_filter(hashes, h -> (h >> b) & 1 = 1)) >= len(hashes)
+                THEN (1::BIGINT << b) ELSE 0 END),
+         'sum') AS simhash
+FROM hs
+"""
+
+
+def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (the scale path for jaccard): banded
+    signature join, est_jaccard from signature agreement. Exact values
+    oracle-checkable because shingle hashing is the portable md5-32."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, shingle_k=3, jaccard_threshold=0.3
+    ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _oracle_minhash(num_hashes: int = 32, bands: int = 8) -> str:
+    from s3logs_parquet_spark.functions.hashing import affine_coeffs
+
+    coeffs = affine_coeffs(num_hashes, 42)
+    rows_per_band = num_hashes // bands
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, x -> ({a} * x + {b}) % 2147483647))" for a, b in coeffs
+    )
+    band_eq = " OR ".join(
+        f"a.sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}] = b.sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}]"
+        for b in range(bands)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(ws) - 3, 0)),
+           i -> array_to_string(array_slice(ws, i + 1, i + 3), ' ')
+         )) AS grams
+  FROM d
+), h AS (
+  SELECT doc_id, list_transform(grams, s -> {hash32_sql('s')} % 2147483647) AS sh FROM g
+), s AS (
+  SELECT doc_id, [{sig_terms}] AS sig FROM h
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_filter(generate_series(1, {num_hashes}), i -> a.sig[i] = b.sig[i]))::DOUBLE / {num_hashes}, 6) AS est_jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE ({band_eq})
+  AND len(list_filter(generate_series(1, {num_hashes}), i -> a.sig[i] = b.sig[i]))::DOUBLE / {num_hashes} >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 5 vectors as queries.
+    Query side broadcast; exact same double arithmetic as the oracle
+    (sequential dot/norm over the array) → values match to the bit,
+    rounded to 6 for safety."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = brute_force_topk(emb, queries, "vec_id", "query_id", k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+ORACLE_EMB_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cv)), i -> cv[i] * qv[i])), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)), (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (x, y) -> x + y))) AS cos_raw
+  FROM c CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN path: hyperplane-LSH bucketed candidates + exact rerank.
+    Engine-native hashing in candidate generation → rows-only check;
+    recall vs the exact top-k is asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = lsh_topk(emb, queries, "vec_id", "query_id", k=10, n_bands=12, bits_per_band=4)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + typed metadata)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: documents' text treated as an opaque
+    binary payload with typed metadata — the schema/partition shape a
+    multimodal (image/audio) table uses. Byte length + a sniffed
+    "format" tag computed JVM-side over the binary column."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.when(F.length(F.col("text")) > 500, F.lit("large"))
+        .otherwise(F.lit("small"))
+        .alias("blob_class"),
+    )
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CASE WHEN length(text) > 500 THEN 'large' ELSE 'small' END AS blob_class
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "tpch_q1_pricing_summary": (q_tpch_q1, ORACLE_TPCH_Q1),
+    "tpch_q3_shipping_priority": (q_tpch_q3, ORACLE_TPCH_Q3),
+    "tpch_q5_local_supplier_volume": (q_tpch_q5, ORACLE_TPCH_Q5),
+    "part_topk_price": (q_part_topk, ORACLE_PART_TOPK),
+    "orders_distinct_agg": (q_orders_distinct, ORACLE_ORDERS_DISTINCT),
+    "events_tumbling_window": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
+    "events_window_dedup": (q_events_window_dedup, ORACLE_EVENTS_WINDOW_DEDUP),
+    "events_minmax_ts": (q_events_minmax, ORACLE_EVENTS_MINMAX),
+    "events_by_type": (q_events_by_type, ORACLE_EVENTS_BY_TYPE),
+    "events_sliding_means": (q_events_sliding, ORACLE_EVENTS_SLIDING),
+    "s3log_pipeline_roundtrip": (q_log_pipeline, ORACLE_LOG_PIPELINE),
+    "s3log_parse_fields": (q_log_parse_fields, ORACLE_LOG_PARSE_FIELDS),
+    "docs_token_stats": (q_docs_token_stats, ORACLE_DOCS_TOKEN_STATS),
+    "docs_quality_score": (q_docs_quality, _SQL_QUALITY),
+    "docs_langid": (q_docs_langid, _SQL_LANGID),
+    "docs_fingerprint": (q_docs_fingerprint, ORACLE_DOCS_FINGERPRINT),
+    "docs_exact_dedup": (q_docs_exact_dedup, ORACLE_DOCS_EXACT_DEDUP),
+    "docs_ngram_jaccard_pairs": (q_docs_jaccard_pairs, ORACLE_DOCS_JACCARD),
+    "docs_simhash": (q_docs_simhash, ORACLE_DOCS_SIMHASH),
+    "docs_minhash_lsh_pairs": (q_docs_minhash_pairs, _oracle_minhash()),
+    "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
+    "emb_lsh_topk": (q_emb_lsh_topk, None),  # engine-native hashing → rows-only
+    "multimodal_binary_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
+}
