@@ -1,0 +1,225 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched Pandas operators over mapInPandas.
+
+Design (the part that must be real at 100 TB):
+- payloads are `binary` columns co-located with a metadata struct
+  (modality, mime, width/height/sample_rate/n_frames/duration) so
+  planning-level ops (filter by modality, size buckets, partition
+  routing) never touch the bytes;
+- heavy per-item work runs in `mapInPandas` — Arrow transfers the
+  binary batches zero-copy to Python, batch size bounded by
+  `spark.sql.execution.arrow.maxRecordsPerBatch` so executor memory is
+  payload-bounded, and the operator is a map-only stage (no shuffle);
+- actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so
+  the decode kernel is pluggable: `decoder="fake"` is a deterministic
+  stand-in (seeded by payload bytes) keeping every schema/partition/
+  batch-shape aspect real; `decoder="real"` raises NotImplementedError
+  at the clearly marked stub.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Typed metadata carried beside every payload column.
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("modality", StringType(), False),  # image|audio|video|text
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def media_table_schema(id_field: str = "media_id") -> StructType:
+    return StructType(
+        [
+            StructField(id_field, LongType(), False),
+            StructField("payload", BinaryType(), True),
+            StructField("meta", MEDIA_META_SCHEMA, False),
+        ]
+    )
+
+
+def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a media table from a text corpus: payload = UTF-8 bytes,
+    metadata derived deterministically — the fixture path for pipelines
+    whose real payloads live in object storage."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    n = F.octet_length(payload)
+    meta = F.struct(
+        F.when(F.col(id_col) % 3 == 0, F.lit("image"))
+        .when(F.col(id_col) % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.pmod(n, F.lit(640)) + 32).cast("int").alias("width"),
+        (F.pmod(n, F.lit(480)) + 32).cast("int").alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.pmod(n, F.lit(240)) + 1).cast("int").alias("n_frames"),
+        (n * 10).cast("long").alias("duration_ms"),
+    )
+    return df.select(F.col(id_col).alias("media_id"), payload.alias("payload"), meta.alias("meta"))
+
+
+# ---------------------------------------------------------------------------
+# Decode kernels
+# ---------------------------------------------------------------------------
+
+
+def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic pseudo-decode: pixels from a byte-seeded PRNG.
+    Keeps shapes/dtypes identical to a real decoder."""
+    seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _real_decode(payload: bytes):  # pragma: no cover - stub by design
+    raise NotImplementedError(
+        "real image/audio decode requires PIL/ffmpeg/soundfile, not present "
+        "in this environment; pass decoder='fake' for the deterministic stand-in"
+    )
+
+
+DECODE_OUT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("height", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("mean_intensity", DoubleType(), True),
+        StructField("feature", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def decode_and_featurize(
+    df: DataFrame, decoder: str = "fake", feature_dim: int = 16
+) -> DataFrame:
+    """Decode payloads and emit per-item features (mean intensity + a
+    pooled feature vector). mapInPandas: one Arrow batch in, one out;
+    no shuffle; Python memory bounded by batch size × payload size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                h = int(meta["height"] or 32)
+                w = int(meta["width"] or 32)
+                if decoder == "fake":
+                    px = _fake_pixels(bytes(payload or b""), h, w)
+                else:
+                    px = _real_decode(bytes(payload or b""))
+                pooled = px.astype(np.float64).reshape(-1)[: feature_dim * 16]
+                pad = feature_dim * 16 - pooled.size
+                if pad > 0:
+                    pooled = np.pad(pooled, (0, pad))
+                feat = pooled.reshape(feature_dim, -1).mean(axis=1) / 255.0
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "height": h,
+                        "width": w,
+                        "mean_intensity": float(px.mean()),
+                        "feature": feat.tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_OUT_SCHEMA.fields])
+
+    return df.mapInPandas(run, DECODE_OUT_SCHEMA)
+
+
+RESIZE_OUT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, target_h: int, target_w: int, decoder: str = "fake") -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (raw RGB bytes).
+    Demonstrates binary-out plumbing; a real codec would swap in at the
+    two marked points."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                h = int(meta["height"] or 32)
+                w = int(meta["width"] or 32)
+                if decoder == "fake":
+                    px = _fake_pixels(bytes(payload or b""), h, w)  # decode point
+                else:
+                    px = _real_decode(bytes(payload or b""))
+                yi = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+                xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+                resized = px[yi][:, xi]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "payload": resized.tobytes(),  # encode point
+                        "height": target_h,
+                        "width": target_w,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_OUT_SCHEMA.fields])
+
+    return df.mapInPandas(run, RESIZE_OUT_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 30, decoder: str = "fake") -> DataFrame:
+    """Video frame sampling: one output row per kept frame (explode-
+    shaped mapInPandas). Frame count comes from metadata; payload per
+    frame is the deterministic fake (or the real decoder's frames)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                n_frames = int(meta["n_frames"] or 1)
+                for idx in range(0, n_frames, every_n):
+                    if decoder == "fake":
+                        frame = _fake_pixels(
+                            bytes(payload or b"") + idx.to_bytes(4, "big"), 8, 8
+                        )
+                    else:
+                        frame = _real_decode(bytes(payload or b""))
+                    rows.append(
+                        {"media_id": int(mid), "frame_idx": idx, "frame_payload": frame.tobytes()}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
+
+    return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)

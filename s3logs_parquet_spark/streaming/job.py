@@ -1,0 +1,127 @@
+"""Structured Streaming pipeline: the s3logd-stream topology (SURVEY.md
+§2.8, §3.3) as readStream → parse → event-date routing → partitioned
+parquet sink.
+
+Reference topology: SQS events name newly-arrived log objects; rows are
+parsed and routed to per-event-date channels, each drained by a
+rotating Parquet writer that uploads + acks
+(s3logd-stream/src/output.rs:737-785, 812-965). Spark equivalences:
+
+- T1 (daily/hourly tumbling partitions, fixed TZ) → an event-date
+  column derived from the parsed timestamp; `partitionBy` on the sink.
+- T2 (no watermark; a writer for an old partition is re-created when a
+  late row arrives — unbounded lateness) → the file sink appends into
+  any partition at any time; we deliberately set NO watermark by
+  default, reproducing unbounded lateness exactly.
+- T3 (rotation at threshold_lines / idle) → `maxRecordsPerFile` +
+  micro-batch boundaries; idle teardown is Spark's trigger scheduling.
+- T4 (receipt ack after upload; redelivery dupes handled by D1) →
+  checkpoint WAL of the file source + idempotent task commit; optional
+  `dedup_watermark` switches on dropDuplicatesWithinWatermark for
+  redelivery dupes while keeping bounded state.
+- T5 (bounded channels backpressure) → `maxFilesPerTrigger`.
+- T6 (graceful drain) → `query.stop()` + checkpoint recovery, or
+  Trigger.AvailableNow for drain-everything-then-stop.
+
+The SQS event source (S5) is replaced by the file-listing stream
+source: S3 `ObjectCreated` notifications and directory listing both
+yield "process exactly the new objects once", which the source's
+checkpointed file log guarantees.
+
+Passthrough mode (P5, output.rs:621-635): event date comes from the
+object key, not per-line parsing — file-granularity work instead of
+row-granularity. The reference only supports UTC+0 here (panics
+otherwise, output.rs:629-635); we inherit that restriction by simply
+not applying an offset in passthrough mode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from s3logs_parquet_spark.config import EngineConfig
+from s3logs_parquet_spark.functions.parse import parse_s3_access_log
+from s3logs_parquet_spark.functions.timeops import shifted
+from s3logs_parquet_spark.sources.text_source import KEY_DATE_PATTERN
+
+
+@dataclass
+class StreamingJobConfig:
+    """Streaming knobs (s3logd-stream/example.ini analogs)."""
+
+    partition_granularity: str = "day"  # 'day' (86400 s) | 'hour' (3600 s), output.rs:197-221
+    passthrough: bool = False  # P5 key-date mode
+    max_files_per_trigger: int = 100  # T5 backpressure (queue len analog)
+    dedup_watermark: str | None = None  # e.g. '1 hour' → dropDuplicatesWithinWatermark
+    available_now: bool = False  # T6 drain-and-stop
+    processing_time: str = "10 seconds"  # micro-batch cadence otherwise
+
+
+def _event_date_col(cfg: EngineConfig, scfg: StreamingJobConfig) -> F.Column:
+    """T1 — the dt partition value (dt=%Y%m%d daily / %Y%m%d%H hourly,
+    output.rs:37, 197-221)."""
+    if scfg.passthrough:
+        # P5: date from the object key ...YYYY-MM-DD-HH-MM-SS-HEX16
+        date = F.regexp_extract(F.input_file_name(), KEY_DATE_PATTERN, 1)
+        base = F.to_timestamp(date, "yyyy-MM-dd")
+    else:
+        base = shifted(F.col("ts"), cfg.tz_offset_seconds)
+    fmt = "yyyyMMdd" if scfg.partition_granularity == "day" else "yyyyMMddHH"
+    return F.date_format(base, fmt)
+
+
+def build_stream(
+    spark: SparkSession,
+    input_dir: str,
+    cfg: EngineConfig | None = None,
+    scfg: StreamingJobConfig | None = None,
+) -> DataFrame:
+    """The streaming logical plan: file stream → parse → F1 → dt column.
+    Returned unstarted so tests/callers can attach any sink."""
+    cfg = cfg or EngineConfig()
+    scfg = scfg or StreamingJobConfig()
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", scfg.max_files_per_trigger)
+        .text(input_dir)
+    )
+    parsed = parse_s3_access_log(lines)
+    clean = parsed.filter(F.col("ts").isNotNull())  # F1
+    out = clean.withColumn("dt", _event_date_col(cfg, scfg))
+    if scfg.dedup_watermark:
+        out = out.withWatermark("ts", scfg.dedup_watermark).dropDuplicatesWithinWatermark(
+            ["dt", "RequestID"]
+        )
+    return out.drop("n_fields")
+
+
+def run_streaming_transform(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: EngineConfig | None = None,
+    scfg: StreamingJobConfig | None = None,
+) -> StreamingQuery:
+    """Start the end-to-end streaming job: partitioned parquet sink with
+    checkpointing (T4's at-least-once → effectively-once)."""
+    cfg = cfg or EngineConfig()
+    scfg = scfg or StreamingJobConfig()
+    df = build_stream(spark, input_dir, cfg, scfg)
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .option("compression", cfg.compression)
+        .option("maxRecordsPerFile", cfg.threshold_lines)  # T3 count rotation
+        .partitionBy("dt")
+        .outputMode("append")
+    )
+    if scfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=scfg.processing_time)
+    return writer.start()

@@ -1,0 +1,72 @@
+"""ANN operator tests: exactness of brute force, recall of LSH/IVF."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.operators.ann import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    ivf_train,
+    lsh_topk,
+)
+from s3logs_parquet_spark.operators.dedup import embedding_neardup_pairs
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries(emb, n=5):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+
+
+def test_brute_force_self_is_rank1(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = brute_force_topk(emb, _queries(emb), "vec_id", "query_id", k=3).collect()
+    rank1 = {r["query_id"]: (r["vec_id"], r["cosine"]) for r in out if r["rank"] == 1}
+    for qid, (vid, cos) in rank1.items():
+        assert vid == qid
+        assert abs(cos - 1.0) < 1e-9
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    exact = brute_force_topk(emb, q, "vec_id", "query_id", k=5)
+    approx = lsh_topk(emb, q, "vec_id", "query_id", k=5, n_bands=16, bits_per_band=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_train_and_search(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = ivf_train(emb, "embedding", n_cells=4, iters=2)
+    assert len(cents) == 4
+    assigned = ivf_assign(emb.select(F.col("embedding").alias("v")), "v", cents)
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells.issubset(set(range(4)))
+
+    q = _queries(emb)
+    exact = brute_force_topk(emb, q, "vec_id", "query_id", k=5)
+    approx = ivf_topk(emb, q, "vec_id", "query_id", cents, k=5, n_probe=2)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.5
+
+
+def test_embedding_neardup_self_duplicates(spark, sf_dir):
+    emb = _emb(spark, sf_dir).limit(50)
+    # plant an exact duplicate vector with a new id
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.union(dup)
+    pairs = embedding_neardup_pairs(corpus, "vec_id", "embedding", threshold=0.999)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100000) in found

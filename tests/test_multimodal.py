@@ -1,0 +1,60 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism, stub."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.operators.multimodal import (
+    DECODE_OUT_SCHEMA,
+    attach_fake_media,
+    decode_and_featurize,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    return attach_fake_media(docs, "doc_id", "text").cache()
+
+
+def test_media_schema_and_binary(spark, media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    row = media.first()
+    assert row["meta"]["modality"] in ("image", "audio", "video")
+    assert isinstance(row["payload"], (bytes, bytearray))
+
+
+def test_decode_featurize_deterministic(spark, media):
+    out1 = decode_and_featurize(media, decoder="fake").orderBy("media_id").collect()
+    out2 = decode_and_featurize(media, decoder="fake").orderBy("media_id").collect()
+    assert [r["mean_intensity"] for r in out1] == [r["mean_intensity"] for r in out2]
+    assert len(out1) == media.count()
+    assert len(out1[0]["feature"]) == 16
+    assert all(0.0 <= v <= 1.0 for v in out1[0]["feature"])
+    assert decode_and_featurize(media).schema == DECODE_OUT_SCHEMA
+
+
+def test_resize_shapes(spark, media):
+    out = resize_images(media, 16, 16).collect()
+    assert all(len(r["payload"]) == 16 * 16 * 3 for r in out)
+    assert all(r["height"] == 16 and r["width"] == 16 for r in out)
+
+
+def test_frame_sampling_explodes(spark, media):
+    out = sample_frames(media, every_n=60)
+    per_media = out.groupBy("media_id").count()
+    meta = media.select("media_id", F.col("meta.n_frames").alias("nf"))
+    joined = per_media.join(meta, "media_id").collect()
+    for r in joined:
+        expected = (r["nf"] + 59) // 60
+        assert r["count"] == expected
+    assert len(out.first()["frame_payload"]) == 8 * 8 * 3
+
+
+def test_real_decoder_is_marked_stub(spark, media):
+    with pytest.raises(Exception) as exc_info:
+        decode_and_featurize(media, decoder="real").collect()
+    assert "NotImplementedError" in str(exc_info.value) or "real image" in str(exc_info.value)

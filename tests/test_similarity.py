@@ -1,0 +1,112 @@
+"""Near-dup / similarity operator tests on constructed corpora with
+known ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.operators.dedup import (
+    connected_components_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+NEAR = BASE.replace("warm", "cold")  # one-word edit → high overlap
+OTHER = (
+    "completely different content about databases query engines and "
+    "distributed systems running on large clusters with many executors"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)],  # 4 = exact dup of 1
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    d = _docs(spark)
+    out = exact_dedup(d, "text", keep_order_col="doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 2, 3]  # 4 collapsed into 1 (min doc_id survives)
+
+
+def test_minhash_estimates_jaccard(spark):
+    d = _docs(spark)
+    sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(d, "doc_id", "text", num_hashes=128).collect()}
+    est_near = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 128
+    est_far = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 128
+    # true 3-gram jaccard of BASE vs NEAR is high (one word changed)
+    assert est_near > 0.5
+    assert est_far < 0.2
+    assert sigs[1] == sigs[4]  # identical docs → identical signatures
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    d = _docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+            d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always found
+    assert (1, 2) in pairs and (2, 4) in pairs  # near dup found
+    assert all(3 not in p for p in pairs)  # unrelated doc excluded
+
+
+def test_simhash_hamming_structure(spark):
+    d = _docs(spark)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(d, "doc_id", "text").collect()}
+    assert sh[1] == sh[4]
+    near_d = bin(sh[1] ^ sh[2]).count("1")
+    far_d = bin(sh[1] ^ sh[3]).count("1")
+    assert near_d < far_d
+    assert near_d <= 6
+
+
+def test_simhash_near_pairs(spark):
+    d = _docs(spark)
+    # the 4-block pigeonhole guarantees recall only for hamming <= 3;
+    # beyond that pairs may be missed (documented operator contract)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(d, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs[(1, 4)] == 0  # exact dup always found
+    assert all(h <= 3 for h in pairs.values())
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(d, "doc_id", "text").collect()}
+    if bin(sh[1] ^ sh[2]).count("1") <= 3:
+        assert (1, 2) in pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+    )
+    out = ngram_jaccard_pairs(d, "doc_id", "text", k=2, threshold=0.0).collect()
+    # 2-grams: {ab, bc, cd} vs {ab, bc, ce} → J = 2/4
+    assert len(out) == 1
+    assert abs(out[0]["jaccard"] - 0.5) < 1e-9
+
+
+def test_connected_components(spark):
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_clusters(pairs, ids, "doc_id").collect()
+    }
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[4] == 4
+    assert labels[5] == labels[6] == 5

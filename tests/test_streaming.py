@@ -1,0 +1,115 @@
+"""Streaming pipeline tests: T1-T6 semantics (SURVEY.md §2.8)."""
+
+from __future__ import annotations
+
+import os
+import random
+
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.config import EngineConfig
+from s3logs_parquet_spark.streaming.job import (
+    StreamingJobConfig,
+    run_streaming_transform,
+)
+from s3logs_parquet_spark.streaming.monitor import ThroughputStats
+from s3logs_parquet_spark.testing import generate_lines, make_line
+
+BASE_TS = 1715500800  # 2024-05-12 08:00 UTC
+DAY = 86400
+
+
+def _drain(spark, inp, out, ckpt, scfg=None):
+    scfg = scfg or StreamingJobConfig(available_now=True)
+    scfg.available_now = True
+    q = run_streaming_transform(spark, inp, out, ckpt, EngineConfig(), scfg)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_daily_partitions_and_recovery(spark, tmp_path):
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(inp)
+    # two files on different event dates + garbage lines
+    day0 = generate_lines(200, seed=11, base_ts=BASE_TS, garbage_fraction=0.05, dup_fraction=0.0)
+    day1 = generate_lines(100, seed=12, base_ts=BASE_TS + DAY, garbage_fraction=0.0, dup_fraction=0.0)
+    (tmp_path / "in" / "f0.log").write_text("\n".join(day0) + "\n")
+    (tmp_path / "in" / "f1.log").write_text("\n".join(day1) + "\n")
+
+    _drain(spark, inp, out, ckpt)
+    table = spark.read.parquet(out)
+    n_garbage = sum(1 for l in day0 if l.startswith("!!"))
+    assert table.count() == 300 - n_garbage
+    dts = sorted(str(r["dt"]) for r in table.select("dt").distinct().collect())
+    assert dts == ["20240512", "20240513"]
+
+    # T2: LATE data for the old partition arrives in a later trigger →
+    # partition re-opened, rows appended (unbounded lateness)
+    late = [make_line(random.Random(99), BASE_TS + 60)]
+    (tmp_path / "in" / "f2_late.log").write_text("\n".join(late) + "\n")
+    _drain(spark, inp, out, ckpt)  # restart from checkpoint: only new file processed
+    table2 = spark.read.parquet(out)
+    assert table2.count() == 300 - n_garbage + 1
+    # T4: restart did NOT reprocess f0/f1 (checkpointed source log)
+    assert table2.filter(F.col("dt") == "20240512").count() == 200 - n_garbage + 1
+
+
+def test_stream_hourly_granularity(spark, tmp_path):
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(inp)
+    rng = random.Random(5)
+    lines = [make_line(rng, BASE_TS + h * 3600) for h in range(3)]
+    (tmp_path / "in" / "f.log").write_text("\n".join(lines) + "\n")
+    _drain(
+        spark, inp, out, ckpt,
+        StreamingJobConfig(partition_granularity="hour"),
+    )
+    dts = sorted(str(r["dt"]) for r in spark.read.parquet(out).select("dt").distinct().collect())
+    assert dts == ["2024051208", "2024051209", "2024051210"]
+
+
+def test_stream_passthrough_key_date(spark, tmp_path):
+    """P5: event date from the object key, not line content."""
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(inp)
+    rng = random.Random(6)
+    # file named with a 2024-06-01 key date but lines dated 2024-05-12:
+    # passthrough must route by the KEY date
+    lines = [make_line(rng, BASE_TS) for _ in range(5)]
+    fname = "2024-06-01-00-00-00-ABCDEF0123456789"
+    (tmp_path / "in" / fname).write_text("\n".join(lines) + "\n")
+    _drain(
+        spark, inp, out, ckpt,
+        StreamingJobConfig(passthrough=True),
+    )
+    dts = [str(r["dt"]) for r in spark.read.parquet(out).select("dt").distinct().collect()]
+    assert dts == ["20240601"]
+
+
+def test_stream_dedup_watermark(spark, tmp_path):
+    """T4 redelivery dupes dropped by dropDuplicatesWithinWatermark."""
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(inp)
+    rng = random.Random(7)
+    line = make_line(rng, BASE_TS, request_id="DUPLICATEDRID001")
+    other = make_line(rng, BASE_TS + 5)
+    # same line delivered twice in one batch (redelivery)
+    (tmp_path / "in" / "f.log").write_text("\n".join([line, line, other]) + "\n")
+    _drain(
+        spark, inp, out, ckpt,
+        StreamingJobConfig(dedup_watermark="1 hour"),
+    )
+    table = spark.read.parquet(out)
+    assert table.count() == 2
+    assert table.filter(F.col("RequestID") == "DUPLICATEDRID001").count() == 1
+
+
+def test_throughput_stats_ring():
+    """mon.rs ring semantics: rolling means over minute slots."""
+    s = ThroughputStats()
+    t0 = 1715500800.0
+    for i in range(10):
+        s.record(600, now=t0 + i * 60)  # 600 rows per minute slot
+    assert s.rows_total == 6000
+    assert abs(s.mean_rows_per_sec(5) - 600 * 5 / 300.0) < 1e-9  # 10/s
+    assert s.mean_rows_per_sec(15) == 6000 / 900.0
