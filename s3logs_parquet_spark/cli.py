@@ -1,0 +1,130 @@
+"""Command-line entry points, mirroring the reference CLI surface.
+
+Reference commands (s3logs/src/main.rs:50-114, s3logd-stream):
+    s3logs aggregate <input>     — stage 1: lines → staging tier
+    s3logs transform <staging>   — stage 2: staging → parquet → upload
+    s3logd-stream -c config.ini  — streaming daemon
+
+Ours:
+    python -m s3logs_parquet_spark.cli transform  IN... -o OUT
+        the fused one-job path (recommended; §3.1+§3.2 in one pass)
+    python -m s3logs_parquet_spark.cli aggregate  IN... -o STAGING
+        optional two-stage parity: writes the staging tier as a
+        window/bucket-partitioned parquet dataset of raw lines
+    python -m s3logs_parquet_spark.cli transform --staged STAGING -o OUT
+        stage 2 over a staging dataset produced by `aggregate`
+    python -m s3logs_parquet_spark.cli stream IN -o OUT -k CKPT
+        streaming mode (availableNow by default for drain semantics)
+
+Engine knobs come from the reference's environment variables
+(EngineConfig.from_env; README.md:49-79 names).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.config import EngineConfig
+from s3logs_parquet_spark.functions.parse import extract_bucket, extract_ts
+from s3logs_parquet_spark.functions.timeops import window_start
+from s3logs_parquet_spark.plans.batch import run_batch_transform
+from s3logs_parquet_spark.session import get_spark
+from s3logs_parquet_spark.sources.text_source import read_log_lines
+from s3logs_parquet_spark.streaming.job import StreamingJobConfig, run_streaming_transform
+
+
+def run_aggregate(spark, inputs: list[str], staging: str, cfg: EngineConfig) -> int:
+    """Stage 1 (W6 parity): raw lines → staging dataset partitioned by
+    (bucket_key, stag_window). The reference appends to flocked files
+    per (bucket, window) (utils.rs:693-735); here the partitioned write
+    is the same layout with the committer replacing the locks. Lines are
+    kept raw (single `value` column) so transform re-parses exactly like
+    the reference's stage 2."""
+    from s3logs_parquet_spark.config import ALLBUCKETS
+
+    lines = read_log_lines(spark, inputs)
+    bkey = F.lit(ALLBUCKETS) if cfg.merge_orig_buckets else extract_bucket(F.col("value"))
+    staged = (
+        lines.withColumn("_ts", extract_ts(F.col("value")))
+        .filter(F.col("_ts").isNotNull())  # F1 at stage 1, like utils.rs:596-602
+        .withColumn("bucket_key", bkey)
+        .withColumn("stag_window", window_start(F.col("_ts"), cfg.stagging_second))
+        .select("value", "bucket_key", "stag_window")
+    )
+    (
+        staged.repartition("bucket_key", "stag_window")
+        .write.mode("append")
+        .partitionBy("bucket_key", "stag_window")
+        .parquet(staging)
+    )
+    return 0
+
+
+def run_transform_staged(spark, staging: str, output: str, cfg: EngineConfig) -> int:
+    """Stage 2 over the staging tier: read staged raw lines and run the
+    same parse→dedup→partitioned-write job."""
+    from s3logs_parquet_spark.plans.batch import parse_and_dedup
+    from s3logs_parquet_spark.writer import with_partition_columns, write_partitioned_parquet
+
+    lines = spark.read.parquet(staging).select("value")
+    result = parse_and_dedup(lines, cfg)
+    out = with_partition_columns(result, cfg).drop("n_fields", "ts", "agg_window", "bucket_key")
+    write_partitioned_parquet(out, output, cfg)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="s3logs-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pa = sub.add_parser("aggregate", help="stage 1: raw lines -> staging tier")
+    pa.add_argument("inputs", nargs="+")
+    pa.add_argument("-o", "--output", required=True, help="staging dir")
+
+    pt = sub.add_parser("transform", help="lines/staging -> partitioned parquet")
+    pt.add_argument("inputs", nargs="*", default=[])
+    pt.add_argument("--staged", help="staging dir from `aggregate`")
+    pt.add_argument("-o", "--output", required=True)
+
+    ps = sub.add_parser("stream", help="streaming transform")
+    ps.add_argument("input", help="input dir watched for new files")
+    ps.add_argument("-o", "--output", required=True)
+    ps.add_argument("-k", "--checkpoint", required=True)
+    ps.add_argument("--granularity", choices=["day", "hour"], default="day")
+    ps.add_argument("--passthrough", action="store_true")
+    ps.add_argument("--follow", action="store_true", help="keep running (default: drain and exit)")
+
+    args = p.parse_args(argv)
+    cfg = EngineConfig.from_env()
+    spark = get_spark(app_name=f"s3logs-{args.cmd}")
+
+    if args.cmd == "aggregate":
+        return run_aggregate(spark, args.inputs, args.output, cfg)
+    if args.cmd == "transform":
+        if args.staged:
+            return run_transform_staged(spark, args.staged, args.output, cfg)
+        if not args.inputs:
+            p.error("transform needs input paths or --staged")
+        res = run_batch_transform(spark, args.inputs, args.output, cfg)
+        print(
+            f"rows_in={res.rows_in} rows_out={res.rows_out} extra_fields={res.extra_fields}",
+            file=sys.stderr,
+        )
+        return 0
+    if args.cmd == "stream":
+        scfg = StreamingJobConfig(
+            partition_granularity=args.granularity,
+            passthrough=args.passthrough,
+            available_now=not args.follow,
+        )
+        q = run_streaming_transform(spark, args.input, args.output, args.checkpoint, cfg, scfg)
+        q.awaitTermination()
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -114,17 +114,24 @@ def minhash_signatures(
     """
     coeffs = affine_coeffs(num_hashes, seed)
 
+    # Spark-first shape: explode shingles → one hash-aggregate computing
+    # all num_hashes mins in a single codegen'd pass (map-side partial
+    # agg, one shuffle on the doc id). Profiling showed this ~2x faster
+    # than the equivalent nested array-lambda formulation, and it scales
+    # to long documents without building per-row signature arrays in
+    # expression evaluation.
     shingles = F.array_distinct(_word_shingles(F.col(text_col), shingle_k))
-    hashed = F.transform(shingles, _shingle_hash).alias("_sh")
-    base = df.select(F.col(id_col), hashed)
-
-    def _minhash(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(F.col("_sh"), lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MERSENNE_31))
-        )
-
-    sig = F.array(*[_minhash(a, b) for a, b in coeffs]).alias("signature")
-    return base.select(id_col, sig)
+    exploded = df.select(F.col(id_col), F.explode(shingles).alias("_s")).select(
+        id_col, _shingle_hash(F.col("_s")).alias("_x")
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(_MERSENNE_31)).alias(f"_m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature")
+    return mins.select(id_col, sig)
 
 
 def minhash_lsh_pairs(
@@ -250,25 +257,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_k
     with that bit set vs total, bit = 1 iff majority. Returns
     (id, simhash long).
     """
+    # Spark-first shape (same rationale as minhash_signatures): explode
+    # shingle hashes → ONE hash-aggregate computing all per-bit ones
+    # counts — instead of `bits` separate array traversals per row.
     shingles = F.array_distinct(_word_shingles(F.col(text_col), shingle_k))
-    hashes = F.transform(shingles, hash32)
-    n = F.size(hashes)
-
-    def _ones_at_bit(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int"),
-        )
-
-    bit_cols = []
+    exploded = df.select(F.col(id_col), F.explode(shingles).alias("_s")).select(
+        id_col, hash32(F.col("_s")).alias("_h")
+    )
+    counts = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftrightunsigned(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+            for b in range(bits)
+        ],
+    )
+    sim = None
     for b in range(bits):
-        ones = _ones_at_bit(b)
-        bit_cols.append(F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b).cast("long"))
-    sim = bit_cols[0]
-    for c in bit_cols[1:]:
-        sim = sim + c
-    return df.select(F.col(id_col), sim.alias("simhash"))
+        term = (
+            F.when(F.col(f"_b{b}") * 2 >= F.col("_n"), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            * F.lit(1 << b).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return counts.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:

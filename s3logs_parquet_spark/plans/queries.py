@@ -191,6 +191,110 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_customer_order_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer join: per-customer order counts including order-less
+    customers (broadcast the dim side of the left join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_ORDER_LEFT = """
+SELECT c_custkey, c_mktsegment,
+       count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no URGENT-priority order (subset
+    filter keeps the result non-empty at every scale factor)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+ORACLE_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_parts_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: parts that appear in any lineitem."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    return p.join(l, p.p_partkey == l.l_partkey, "left_semi").select("p_partkey", "p_brand")
+
+
+ORACLE_PARTS_WITH_LINEITEMS = """
+SELECT p_partkey, p_brand FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def q_orders_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window function: top-3 orders per priority by price
+    (row_number with deterministic orderkey tie-break)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rnk")
+    )
+
+
+ORACLE_ORDERS_RANK = """
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price, rnk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_union_shipped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two disjoint scans re-aggregated (the reference's
+    only merge op — S4 multi-file concat / file_merge — is exactly a
+    union of same-schema row sets)."""
+    l = _t(spark, sf_dir, "lineitem")
+    early = l.filter(F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp")).withColumn(
+        "era", F.lit("early")
+    )
+    late = l.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")).withColumn(
+        "era", F.lit("late")
+    )
+    return (
+        early.unionAll(late)
+        .groupBy("era", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+ORACLE_UNION_SHIPPED = """
+SELECT era, l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS qty FROM (
+  SELECT 'early' AS era, l_returnflag, l_quantity FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01'
+  UNION ALL
+  SELECT 'late' AS era, l_returnflag, l_quantity FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+) GROUP BY era, l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-semantics family on the events table (G1/G3/G6/G7/D1/O3)
 # ---------------------------------------------------------------------------
@@ -491,6 +595,41 @@ FROM w
 """
 
 
+def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (Schleimer et al.): per-doc count +
+    min/max of the selected k-gram window minima (scalars rather than
+    the array so the cross-engine compare is unambiguous)."""
+    from s3logs_parquet_spark.functions.text_analysis import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(F.col("text"), k=5, window=4)
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )
+
+
+ORACLE_DOCS_WINNOWING = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, greatest(len(ws) - 5, 0)),
+                        i -> {hash32_sql("array_to_string(array_slice(ws, i + 1, i + 5), ' ')")}) AS grams
+  FROM w
+), win AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(generate_series(0, greatest(len(grams) - 4, 0)),
+                          i -> list_min(array_slice(grams, i + 1, i + 4))))) AS fps
+  FROM g
+)
+SELECT doc_id, len(fps)::INT AS n_fp, list_min(fps) AS min_fp, list_max(fps) AS max_fp FROM win
+"""
+
+
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash-groupBy: canonical doc per distinct
     text + multiplicity."""
@@ -698,6 +837,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tpch_q5_local_supplier_volume": (q_tpch_q5, ORACLE_TPCH_Q5),
     "part_topk_price": (q_part_topk, ORACLE_PART_TOPK),
     "orders_distinct_agg": (q_orders_distinct, ORACLE_ORDERS_DISTINCT),
+    "customer_orders_left_join": (q_customer_order_left, ORACLE_CUSTOMER_ORDER_LEFT),
+    "customers_without_orders_anti": (q_customers_no_orders, ORACLE_CUSTOMERS_NO_ORDERS),
+    "parts_with_lineitems_semi": (q_parts_with_lineitems, ORACLE_PARTS_WITH_LINEITEMS),
+    "orders_rank_window": (q_orders_rank_window, ORACLE_ORDERS_RANK),
+    "union_shipped_split": (q_union_shipped_split, ORACLE_UNION_SHIPPED),
     "events_tumbling_window": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
     "events_window_dedup": (q_events_window_dedup, ORACLE_EVENTS_WINDOW_DEDUP),
     "events_minmax_ts": (q_events_minmax, ORACLE_EVENTS_MINMAX),
@@ -709,6 +853,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_quality_score": (q_docs_quality, _SQL_QUALITY),
     "docs_langid": (q_docs_langid, _SQL_LANGID),
     "docs_fingerprint": (q_docs_fingerprint, ORACLE_DOCS_FINGERPRINT),
+    "docs_winnowing": (q_docs_winnowing, ORACLE_DOCS_WINNOWING),
     "docs_exact_dedup": (q_docs_exact_dedup, ORACLE_DOCS_EXACT_DEDUP),
     "docs_ngram_jaccard_pairs": (q_docs_jaccard_pairs, ORACLE_DOCS_JACCARD),
     "docs_simhash": (q_docs_simhash, ORACLE_DOCS_SIMHASH),
