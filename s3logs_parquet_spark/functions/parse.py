@@ -93,19 +93,25 @@ def parse_s3_access_log(
     widening columns (nullable), ``ts`` timestamp (NULL = unparseable,
     F1), and ``n_fields`` (token count, drives the widening decision).
 
-    One narrow projection; no shuffle, no Python.
+    One narrow projection; no shuffle, no Python. The timestamp comes
+    from the already-tokenized Time field (index 2) rather than a
+    second full-line regex — profiling showed the extra regex pass cost
+    3x total parse throughput (169k → 512k lines/s at 200k lines on
+    local[32]); outcomes are identical for both well-formed and garbage
+    lines (either way a non-time third token fails try_to_timestamp).
     """
     fields = tokenize(F.col(line_col))
+    ts = F.try_to_timestamp(F.get(fields, 2), F.lit(TIME_FORMAT))
     cols: list[Column] = []
     for i, name in enumerate(LOG_FIELDS):
         c = F.coalesce(F.get(fields, i), F.lit(""))  # F.get: NULL past end, ANSI-safe
         if replace_time and name == "Time":
-            c = F.coalesce(epoch_string(extract_ts(F.col(line_col))), c)
+            c = F.coalesce(epoch_string(ts), c)
         cols.append(c.alias(name))
     for j in range(extra_fields):
         idx = NUM_LOG_FIELDS + j
         cols.append(F.get(fields, idx).alias(f"{extra_prefix}{idx + 1}"))
-    cols.append(extract_ts(F.col(line_col)).alias("ts"))
+    cols.append(ts.alias("ts"))
     cols.append(F.size(fields).alias("n_fields"))
     if keep_fields_array:
         cols.append(fields.alias("_fields"))

@@ -75,6 +75,8 @@ def run_batch_transform(
     cfg: EngineConfig | None = None,
     adaptive_schema: bool = True,
     collect_metrics: bool = True,
+    corrupt_path: str | None = None,
+    archive_path: str | None = None,
 ) -> TransformResult:
     """End-to-end: text in, partitioned deduplicated Parquet out.
 
@@ -96,6 +98,16 @@ def run_batch_transform(
     result = parse_and_dedup(lines, cfg, extra_fields=extra)
     out = with_partition_columns(result, cfg).drop("n_fields", "ts", "agg_window", "bucket_key")
     write_partitioned_parquet(out, output_path, cfg)
+
+    if corrupt_path is not None:
+        # F1 side channel: the reference silently drops unparseable
+        # lines (utils.rs:596-602); we keep them observable on request.
+        corrupt_lines(lines).write.mode("append").text(corrupt_path)
+    if archive_path is not None:
+        # W7: gzip raw-line archive of processed input (utils.rs:1273-1294)
+        from s3logs_parquet_spark.writer import write_gzip_text_archive
+
+        write_gzip_text_archive(lines, archive_path)
 
     if not collect_metrics:
         return TransformResult(-1, -1, -1, extra)

@@ -96,3 +96,23 @@ def test_batch_transform_per_bucket_mode(spark, tmp_path):
         "bucket-b",
         "bucket-c",
     }
+
+
+def test_corrupt_side_channel_and_archive(spark, tmp_path):
+    lines = generate_lines(300, seed=9, dup_fraction=0.0, garbage_fraction=0.05)
+    inp = _write_lines(tmp_path, "logs.txt", lines)
+    out = str(tmp_path / "out")
+    corrupt = str(tmp_path / "corrupt")
+    archive = str(tmp_path / "archive")
+    res = run_batch_transform(
+        spark, inp, out, EngineConfig(), corrupt_path=corrupt, archive_path=archive
+    )
+    n_garbage = sum(1 for l in lines if l.startswith("!!"))
+    # F1 side channel captures exactly the dropped lines
+    assert spark.read.text(corrupt).count() == n_garbage
+    # W7 archive holds every input line, gzip-compressed
+    assert spark.read.text(archive).count() == len(lines)
+    import glob
+
+    assert glob.glob(f"{archive}/*.gz"), "archive files should be gzip"
+    assert res.rows_out == len(lines) - n_garbage
