@@ -387,6 +387,45 @@ GROUP BY 1
 """
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (5-min inactivity gap) per user via the
+    built-in session_window. Timestamps are floored to seconds on BOTH
+    engines so the gap comparison is precision-independent (events.ts
+    carries nanos)."""
+    e = _t(spark, sf_dir, "events")
+    tss = F.timestamp_seconds(F.unix_timestamp("ts"))
+    return (
+        e.select("user_id", tss.alias("tss"), "value")
+        .groupBy("user_id", F.session_window("tss", "5 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_EVENTS_SESSIONS = f"""
+WITH e AS (
+  SELECT user_id, {_EPOCH} AS t, value FROM events
+), marked AS (
+  SELECT user_id, t, value,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) < 300
+              THEN 0 ELSE 1 END AS brk
+  FROM e
+), sess AS (
+  SELECT user_id, t, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(t) AS session_start, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # The flagship: full log pipeline round-trip (P1-P3, F1, G1, G3, D1, G6)
 # ---------------------------------------------------------------------------
@@ -598,17 +637,13 @@ FROM w
 def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing local fingerprints (Schleimer et al.): per-doc count +
     min/max of the selected k-gram window minima (scalars rather than
-    the array so the cross-engine compare is unambiguous)."""
-    from s3logs_parquet_spark.functions.text_analysis import winnowing_fingerprints
+    the array so the cross-engine compare is unambiguous). Uses the
+    explode+window-function formulation — 34x faster than nested array
+    lambdas (see functions/text_analysis.py)."""
+    from s3logs_parquet_spark.functions.text_analysis import winnowing_stats
 
     d = _t(spark, sf_dir, "documents")
-    fps = winnowing_fingerprints(F.col("text"), k=5, window=4)
-    return d.select(
-        "doc_id",
-        F.size(fps).alias("n_fp"),
-        F.array_min(fps).alias("min_fp"),
-        F.array_max(fps).alias("max_fp"),
-    )
+    return winnowing_stats(d, "doc_id", "text", k=5, window=4)
 
 
 ORACLE_DOCS_WINNOWING = f"""
@@ -847,6 +882,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_minmax_ts": (q_events_minmax, ORACLE_EVENTS_MINMAX),
     "events_by_type": (q_events_by_type, ORACLE_EVENTS_BY_TYPE),
     "events_sliding_means": (q_events_sliding, ORACLE_EVENTS_SLIDING),
+    "events_session_windows": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "s3log_pipeline_roundtrip": (q_log_pipeline, ORACLE_LOG_PIPELINE),
     "s3log_parse_fields": (q_log_parse_fields, ORACLE_LOG_PARSE_FIELDS),
     "docs_token_stats": (q_docs_token_stats, ORACLE_DOCS_TOKEN_STATS),

@@ -1,0 +1,131 @@
+"""Scale utilities: salted aggregation/join equivalence, compaction,
+custom stateful streaming operator."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.operators.skew import salted_agg, salted_join
+from s3logs_parquet_spark.plans.compact import compact_partitions
+
+
+def test_salted_agg_matches_plain(spark):
+    # heavy skew: 90% of rows share one key
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    plain = {
+        (r["k"]): (r["n"], r["total"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["n"], r["total"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": ("*", "count"), "total": ("v", "sum"), "mn": ("v", "min"), "mx": ("v", "max")},
+            n_salt=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.range(0, 5000).select(
+        F.when(F.col("id") % 5 < 4, F.lit(1)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(100)], ["k", "name"])
+    plain = big.join(small, "k").select("k", "payload", "name")
+    salted = salted_join(big, small, "k", n_salt=8).select("k", "payload", "name")
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_compaction_reduces_files(spark, tmp_path):
+    out = str(tmp_path / "t")
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 2).alias("p"), F.col("id").alias("v")
+    )
+    # deliberately fragment: 16 tasks x 2 partitions
+    df.repartition(16).write.partitionBy("p").parquet(out)
+    # materialize pre-compaction content (the lazy frame would re-read
+    # files compaction is about to replace)
+    before_rows = sorted(
+        (r["p"], r["v"]) for r in spark.read.parquet(out).select("p", "v").collect()
+    )
+    n_files_before = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(out)
+    )
+    assert n_files_before > 2
+
+    results = compact_partitions(spark, out, target_file_bytes=512 * 1024 * 1024)
+    assert len(results) == 2  # both partitions rewritten
+    n_files_after = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(out)
+    )
+    assert n_files_after == 2
+    after_rows = sorted(
+        (r["p"], r["v"]) for r in spark.read.parquet(out).select("p", "v").collect()
+    )
+    assert after_rows == before_rows
+
+
+def test_stateful_rotation_counts(spark, tmp_path):
+    """applyInPandasWithState keeps per-group counts across micro-batches."""
+    from s3logs_parquet_spark.functions.parse import parse_s3_access_log
+    from s3logs_parquet_spark.streaming.stateful import running_counts_with_rotation
+    from s3logs_parquet_spark.testing import generate_lines
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    (ind / "f1.log").write_text(
+        "\n".join(generate_lines(40, seed=31, garbage_fraction=0.0, dup_fraction=0.0)) + "\n"
+    )
+
+    lines = spark.readStream.option("maxFilesPerTrigger", 1).text(str(ind))
+    parsed = parse_s3_access_log(lines).filter(F.col("ts").isNotNull())
+    counted = running_counts_with_rotation(parsed.groupBy("Bucket"), threshold_lines=25)
+
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("rot1")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch1 = {r["group_key"]: r for r in spark.sql("SELECT * FROM rot1").collect()}
+    assert sum(r["total_rows"] for r in batch1.values()) == 40
+
+    # second batch: state carries over, rotations trip past threshold
+    (ind / "f2.log").write_text(
+        "\n".join(generate_lines(40, seed=32, garbage_fraction=0.0, dup_fraction=0.0)) + "\n"
+    )
+    q2 = (
+        counted.writeStream.format("memory")
+        .queryName("rot2")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM rot2").collect()
+    total = {}
+    for r in rows:
+        total[r["group_key"]] = max(total.get(r["group_key"], 0), r["total_rows"])
+    assert sum(total.values()) == 80
+    assert any(r["rotations"] >= 1 for r in rows)  # 80 rows over 3 buckets, threshold 25
