@@ -63,23 +63,39 @@ def main() -> None:
 
     # end-to-end log ETL throughput: events rows rendered as raw log
     # lines on disk, then the full fused batch job (parse → window →
-    # dedup → partitioned parquet write)
+    # dedup → partitioned parquet write). Two workload shapes:
+    #  - sparse: event times span the table's full ~30 days → ~720
+    #    hourly output partitions (worst case; write dominated by
+    #    per-partition file overhead at this tiny scale)
+    #  - dense: same lines with times compressed into one hour — the
+    #    reference generator's shape (trailing-10-min window,
+    #    loggen/conf.py) and the realistic continuous-ingest profile
     work = tempfile.mkdtemp(prefix="bench_etl_")
     try:
-        lines_path = os.path.join(work, "lines")
+        from pyspark.sql import functions as F
+
         events = load_table(spark, sf_dir, "events")
-        _synthetic_log_lines(events).write.mode("overwrite").text(lines_path)
-        n_lines = spark.read.text(lines_path).count()
-        out_path = os.path.join(work, "out")
-        cfg = EngineConfig()
-        t0 = time.time()
-        lines = spark.read.text(lines_path)
-        result = parse_and_dedup(lines, cfg)
-        out = with_partition_columns(result, cfg).drop("n_fields", "ts", "agg_window", "bucket_key")
-        write_partitioned_parquet(out, out_path, cfg, mode="overwrite")
-        etl_sec = time.time() - t0
-        timings["log_etl"] = round(etl_sec, 3)
-        lines_per_sec = round(n_lines / etl_sec, 1)
+        dense_events = events.withColumn(
+            "ts", F.timestamp_seconds(F.lit(1715500800) + F.unix_timestamp("ts") % 3600)
+        )
+        etl_stats = {}
+        for shape, ev in (("log_etl", events), ("log_etl_dense", dense_events)):
+            lines_path = os.path.join(work, f"lines_{shape}")
+            _synthetic_log_lines(ev).write.mode("overwrite").text(lines_path)
+            n_lines = spark.read.text(lines_path).count()
+            out_path = os.path.join(work, f"out_{shape}")
+            cfg = EngineConfig()
+            t0 = time.time()
+            lines = spark.read.text(lines_path)
+            result = parse_and_dedup(lines, cfg)
+            out = with_partition_columns(result, cfg).drop(
+                "n_fields", "ts", "agg_window", "bucket_key"
+            )
+            write_partitioned_parquet(out, out_path, cfg, mode="overwrite")
+            etl_sec = time.time() - t0
+            timings[shape] = round(etl_sec, 3)
+            etl_stats[f"{shape}_lines_per_sec"] = round(n_lines / etl_sec, 1)
+        n_lines_total = n_lines
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -92,7 +108,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "extra": {"log_etl_lines_per_sec": lines_per_sec, "log_etl_n_lines": n_lines},
+                "extra": {**etl_stats, "log_etl_n_lines": n_lines_total},
             }
         )
     )
