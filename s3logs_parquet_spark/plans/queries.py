@@ -342,15 +342,23 @@ SELECT w, count(*) AS n_dedup FROM (
 
 
 def q_events_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3 — min/max over timestamps (the window-span computation)."""
+    """O3 — min/max over timestamps (the window-span computation).
+    Emitted as epoch seconds: raw timestamps would compare at micro
+    precision on Spark but nano precision on DuckDB (events.ts carries
+    nanos) and a stringified compare would spuriously mismatch."""
     return _t(spark, sf_dir, "events").agg(
-        F.min("ts").alias("min_ts"),
-        F.max("ts").alias("max_ts"),
+        F.unix_timestamp(F.min("ts")).alias("min_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("max_epoch"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
 
-ORACLE_EVENTS_MINMAX = "SELECT min(ts) AS min_ts, max(ts) AS max_ts, count(*) AS n_rows FROM events"
+ORACLE_EVENTS_MINMAX = """
+SELECT floor(epoch(min(ts)))::BIGINT AS min_epoch,
+       floor(epoch(max(ts)))::BIGINT AS max_epoch,
+       count(*) AS n_rows
+FROM events
+"""
 
 
 def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,6 +392,27 @@ SELECT ({_EPOCH} - {_EPOCH} % 60) - 60 * g AS ws,
        round(avg(value), 6) AS avg_value
 FROM events CROSS JOIN generate_series(0, 14) t(g)
 GROUP BY 1
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    props column and aggregate on it (JSON path functions on both
+    engines)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+ORACLE_EVENTS_JSON_PROPS = """
+SELECT json_extract(props, '$.k')::BIGINT % 10 AS k_bucket,
+       count(*) AS n_rows,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
 """
 
 
@@ -883,6 +912,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_by_type": (q_events_by_type, ORACLE_EVENTS_BY_TYPE),
     "events_sliding_means": (q_events_sliding, ORACLE_EVENTS_SLIDING),
     "events_session_windows": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
+    "events_json_props": (q_events_json_props, ORACLE_EVENTS_JSON_PROPS),
     "s3log_pipeline_roundtrip": (q_log_pipeline, ORACLE_LOG_PIPELINE),
     "s3log_parse_fields": (q_log_parse_fields, ORACLE_LOG_PARSE_FIELDS),
     "docs_token_stats": (q_docs_token_stats, ORACLE_DOCS_TOKEN_STATS),
