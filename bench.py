@@ -39,6 +39,10 @@ HEADLINE = [
     "s3log_pipeline_roundtrip",
     "docs_token_stats",
     "docs_minhash_lsh_pairs",
+    "docs_simhash",
+    "docs_winnowing",
+    "events_session_windows",
+    "customer_orders_left_join",
     "emb_cosine_topk",
 ]
 

@@ -97,7 +97,10 @@ def run_batch_transform(
 
     result = parse_and_dedup(lines, cfg, extra_fields=extra)
     out = with_partition_columns(result, cfg).drop("n_fields", "ts", "agg_window", "bucket_key")
-    write_partitioned_parquet(out, output_path, cfg)
+    from s3logs_parquet_spark.writer import auto_files_per_partition
+
+    salt = auto_files_per_partition(input_paths)
+    write_partitioned_parquet(out, output_path, cfg, files_per_partition=salt)
 
     if corrupt_path is not None:
         # F1 side channel: the reference silently drops unparseable

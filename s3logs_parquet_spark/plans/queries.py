@@ -502,7 +502,11 @@ def q_log_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = lines.union(lines)  # redelivery duplicates
     cfg = EngineConfig(merge_orig_buckets=False)
     parsed = parse_s3_access_log(doubled)
-    clean = parsed.filter(F.col("ts").isNotNull())
+    # project to the three needed columns before the dedup exchange —
+    # the shuffle then carries 3 strings instead of 26 (Catalyst prunes
+    # the aggregate either way, but the early projection also skips the
+    # unused per-column padding expressions at parse time)
+    clean = parsed.filter(F.col("ts").isNotNull()).select("Bucket", "RequestID", "ts")
     w = with_agg_window(clean, "ts", cfg.aggregate_second, "w")
     dd = w.dropDuplicates(["Bucket", "w", "RequestID"])
     return dd.groupBy(F.col("Bucket").alias("bucket"), "w").agg(

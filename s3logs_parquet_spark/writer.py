@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import os
+
 from s3logs_parquet_spark.config import EngineConfig
 from s3logs_parquet_spark.functions.timeops import shifted
 
@@ -37,6 +39,37 @@ def with_partition_columns(df: DataFrame, cfg: EngineConfig, ts_col: str = "ts")
         .withColumn("day", F.date_format(ts, "dd"))
         .withColumn("hour", F.date_format(ts, "HH"))
     )
+
+
+def auto_files_per_partition(
+    input_paths: str | list[str],
+    target_input_bytes_per_file: int = 32 * 1024 * 1024,
+    max_salt: int = 128,
+) -> int:
+    """Size-based salt for the writer exchange.
+
+    The exchange on partition columns alone has a failure mode at the
+    other extreme from tiny-files: DENSE data (all rows in a couple of
+    event-hours) collapses onto that many writer tasks — observed as a
+    1M-row job writing 292 MB through 2 cores. Salting by
+    ceil(input_bytes / target) restores write parallelism proportional
+    to data volume while sparse inputs (many partitions, few rows each)
+    keep salt=1 and avoid file explosion. On a cluster the same
+    estimate comes from FileSystem.getContentSummary; here: local stat.
+    """
+    import glob as _glob
+
+    paths = [input_paths] if isinstance(input_paths, str) else list(input_paths)
+    total = 0
+    for p in paths:
+        p = p.removeprefix("file://")
+        for hit in _glob.glob(p) or [p]:
+            if os.path.isdir(hit):
+                for r, _d, fs in os.walk(hit):
+                    total += sum(os.path.getsize(os.path.join(r, f)) for f in fs)
+            elif os.path.isfile(hit):
+                total += os.path.getsize(hit)
+    return max(1, min(max_salt, (total + target_input_bytes_per_file - 1) // target_input_bytes_per_file))
 
 
 def write_partitioned_parquet(
@@ -66,8 +99,19 @@ def write_partitioned_parquet(
     if files_per_partition > 1:
         parts.append(F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition)))
     out = df.repartition(*parts)
+    writer = out.write
+    if mode == "overwrite_partitions":
+        # idempotent re-run: replace exactly the partitions present in
+        # this batch, leave the rest of the table untouched (the
+        # append-mode at-least-once re-run would duplicate rows —
+        # observed in verification; this is the exactly-once-per-window
+        # alternative the reference approximates with its receipt/ack
+        # protocol, T4)
+        writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    else:
+        writer = writer.mode(mode)
     (
-        out.write.mode(mode)
+        writer
         .option("compression", cfg.compression)
         .option("maxRecordsPerFile", cfg.threshold_lines)
         .option("parquet.block.size", min(cfg.max_row_group_size, 512 * 1024 * 1024))

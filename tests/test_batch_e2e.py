@@ -116,3 +116,38 @@ def test_corrupt_side_channel_and_archive(spark, tmp_path):
 
     assert glob.glob(f"{archive}/*.gz"), "archive files should be gzip"
     assert res.rows_out == len(lines) - n_garbage
+
+
+def test_overwrite_partitions_idempotent(spark, tmp_path):
+    """overwrite_partitions mode: re-running the same input replaces
+    the affected partitions instead of duplicating rows (append mode's
+    at-least-once behavior), and leaves other partitions alone."""
+    from s3logs_parquet_spark.plans.batch import parse_and_dedup
+    from s3logs_parquet_spark.writer import with_partition_columns, write_partitioned_parquet
+
+    cfg = EngineConfig()
+    out = str(tmp_path / "t")
+
+    def run(lines):
+        inp = _write_lines(tmp_path, "in.log", lines)
+        ldf = spark.read.text(inp)
+        res = with_partition_columns(parse_and_dedup(ldf, cfg), cfg).drop(
+            "n_fields", "ts", "agg_window", "bucket_key"
+        )
+        write_partitioned_parquet(res, out, cfg, mode="overwrite_partitions")
+
+    hour0 = generate_lines(200, seed=41, dup_fraction=0.0, garbage_fraction=0.0, span_seconds=3000)
+    run(hour0)
+    assert spark.read.parquet(out).count() == 200
+    run(hour0)  # identical re-run: no duplication
+    assert spark.read.parquet(out).count() == 200
+
+    # a later-hour batch must not clobber the hour=08 partition
+    hour2 = generate_lines(
+        100, seed=42, dup_fraction=0.0, garbage_fraction=0.0,
+        base_ts=1715500800 + 2 * 3600, span_seconds=1800,
+    )
+    run(hour2)
+    table = spark.read.parquet(out)
+    assert table.count() == 300
+    assert table.filter(F.col("hour") == 8).count() == 200
