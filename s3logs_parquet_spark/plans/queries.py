@@ -460,10 +460,10 @@ FROM sess GROUP BY user_id, sid
 # ---------------------------------------------------------------------------
 
 
-def _synthetic_log_lines(e: DataFrame) -> DataFrame:
-    """Render events as S3-access-log lines (bracketed time, quoted
-    URI/agent) so the REAL parser runs on realistic text. Bucket derives
-    from user_id, RequestID from event_id."""
+def _synthetic_log_line_col(e: DataFrame) -> F.Column:
+    """The log-line Column rendered from an events row (bracketed time,
+    quoted URI/agent). Bucket derives from user_id, RequestID from
+    event_id."""
     bucket = F.concat(F.lit("bucket-"), (F.col("user_id") % 3).cast("string"))
     t = F.concat(F.lit("["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000]"))
     line = F.concat_ws(
@@ -487,7 +487,13 @@ def _synthetic_log_lines(e: DataFrame) -> DataFrame:
         F.lit("ECDHE-RSA-AES128-GCM-SHA256"), F.lit("AuthHeader"),
         F.lit("s3.example.com"), F.lit("TLSv1.2"), F.lit("-"), F.lit("-"),
     )
-    return e.select(line.alias("value"))
+    return line
+
+
+def _synthetic_log_lines(e: DataFrame) -> DataFrame:
+    """Render events as S3-access-log lines so the REAL parser runs on
+    realistic text."""
+    return e.select(_synthetic_log_line_col(e).alias("value"))
 
 
 def q_log_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,6 +554,59 @@ SELECT event_id,
        {_EPOCH} AS epoch_s,
        26 AS n_fields
 FROM events WHERE event_id < 100
+"""
+
+
+def q_log_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/§1.3 — adaptive ExtraField widening through the oracle gate:
+    lines carry two overflow tokens; the two-pass protocol discovers
+    width 28 and projects nullable ExtraField27/28 (naming per
+    utils.rs:1217-1222). Odd event_ids get the extras, evens exercise
+    the NULL padding of the widened schema."""
+    from s3logs_parquet_spark.functions.parse import max_field_count
+    from s3logs_parquet_spark.schema import NUM_LOG_FIELDS
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    extra = F.when(
+        F.col("event_id") % 2 == 1,
+        F.concat(F.lit(" x"), F.col("event_id").cast("string"), F.lit(" y")),
+    ).otherwise(F.lit(""))
+    lines = e.select(F.concat(_synthetic_log_line_col(e), extra).alias("value"))
+    parsed0 = parse_s3_access_log(lines)
+    widest = max_field_count(parsed0.filter(F.col("ts").isNotNull()))
+    parsed = parse_s3_access_log(lines, extra_fields=max(0, widest - NUM_LOG_FIELDS))
+    return parsed.select(
+        F.col("RequestID").cast("long").alias("event_id"),
+        F.col("n_fields"),
+        F.col("ExtraField27").alias("extra27"),
+        F.col("ExtraField28").alias("extra28"),
+    )
+
+
+ORACLE_LOG_SCHEMA_WIDENING = """
+SELECT event_id,
+       CASE WHEN event_id % 2 = 1 THEN 28 ELSE 26 END AS n_fields,
+       CASE WHEN event_id % 2 = 1 THEN 'x' || event_id::VARCHAR END AS extra27,
+       CASE WHEN event_id % 2 = 1 THEN 'y' END AS extra28
+FROM events WHERE event_id < 200
+"""
+
+
+def q_partition_prefix_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/W5 — the Hive prefix computation in a non-UTC fixed offset
+    (UTC+8, the reference's transform.sh example): per-prefix row
+    counts."""
+    from s3logs_parquet_spark.functions.timeops import partition_prefix
+
+    e = _t(spark, sf_dir, "events")
+    pfx = partition_prefix(F.col("ts"), "year=%Y/month=%m/day=%d/hour=%H", 8 * 3600)
+    return e.groupBy(pfx.alias("prefix")).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+ORACLE_PARTITION_PREFIX_TZ = """
+SELECT strftime(ts + INTERVAL 8 HOUR, 'year=%Y/month=%m/day=%d/hour=%H') AS prefix,
+       count(*) AS n_rows
+FROM events GROUP BY 1
 """
 
 
@@ -917,6 +976,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_sliding_means": (q_events_sliding, ORACLE_EVENTS_SLIDING),
     "events_session_windows": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_json_props": (q_events_json_props, ORACLE_EVENTS_JSON_PROPS),
+    "log_schema_widening": (q_log_schema_widening, ORACLE_LOG_SCHEMA_WIDENING),
+    "partition_prefix_tz": (q_partition_prefix_tz, ORACLE_PARTITION_PREFIX_TZ),
     "s3log_pipeline_roundtrip": (q_log_pipeline, ORACLE_LOG_PIPELINE),
     "s3log_parse_fields": (q_log_parse_fields, ORACLE_LOG_PARSE_FIELDS),
     "docs_token_stats": (q_docs_token_stats, ORACLE_DOCS_TOKEN_STATS),
