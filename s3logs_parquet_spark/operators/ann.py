@@ -82,29 +82,43 @@ def brute_force_topk(
     )
 
 
-def _plane_component(dim_idx: Column, plane_idx: int) -> Column:
-    """Deterministic pseudo-random ±1 component of hyperplane
-    ``plane_idx`` at dimension ``dim_idx`` (hash-derived, no RNG)."""
-    h = F.xxhash64(dim_idx, F.lit(plane_idx))
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def plane_signs(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components from a seeded LCG — plain
+    integer arithmetic, reproducible in any language/SQL, so LSH bucket
+    assignments (and therefore candidate sets) are engine-portable."""
+    state = (seed & 0x7FFFFFFF) or 1
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % 2147483647
+            row.append(1.0 if state % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
 
 
 def hyperplane_band_keys(
-    df: DataFrame, vec_col: str, n_bands: int = 8, bits_per_band: int = 8
+    df: DataFrame,
+    vec_col: str,
+    n_bands: int = 8,
+    bits_per_band: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign bit of <v, p_j> for n_bands*bits_per_band
-    fixed ±1 planes; bits grouped into bands → one row per (band,
-    band_key). Exploded layout so the bucket join is a plain equi-join.
+    fixed ±1 planes (literal, seeded — see plane_signs); bits grouped
+    into bands → one row per (band, band_key). Exploded layout so the
+    bucket join is a plain equi-join.
     """
-    idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    planes = plane_signs(n_bands * bits_per_band, dim, seed)
 
     def _proj(plane: int) -> Column:
+        lits = F.array(*[F.lit(x) for x in planes[plane]])
         return F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                idx,
-                lambda x, i: x.cast("double") * _plane_component(i, plane),
-            ),
+            F.zip_with(F.col(vec_col), lits, lambda x, p: x.cast("double") * p),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

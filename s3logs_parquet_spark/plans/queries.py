@@ -915,14 +915,61 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
 
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN path: hyperplane-LSH bucketed candidates + exact rerank.
-    Engine-native hashing in candidate generation → rows-only check;
-    recall vs the exact top-k is asserted in tests."""
+    Planes are seeded ±1 literals (operators/ann.py:plane_signs) so the
+    candidate sets — and therefore the whole result — are reproduced
+    exactly by the SQL oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     out = lsh_topk(emb, queries, "vec_id", "query_id", k=10, n_bands=12, bits_per_band=4)
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _oracle_emb_lsh(n_bands: int = 12, bits_per_band: int = 4, dim: int = 64, k: int = 10) -> str:
+    from s3logs_parquet_spark.operators.ann import plane_signs
+
+    planes = plane_signs(n_bands * bits_per_band, dim, 42)
+
+    def dot_sql(plane: list[float]) -> str:
+        lits = "[" + ", ".join(str(x) for x in plane) + "]"
+        return (
+            "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+            f"{dim}), i -> v[i] * ({lits}::DOUBLE[])[i])), (a, b) -> a + b)"
+        )
+
+    band_keys = []
+    for b in range(n_bands):
+        bits = [
+            f"(CASE WHEN {dot_sql(planes[b * bits_per_band + j])} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits_per_band)
+        ]
+        band_keys.append(" + ".join(bits))
+    bks = "[" + ", ".join(band_keys) + "]"
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), keys AS (
+  SELECT vec_id, v, {bks} AS bks FROM c
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bks AS qbks FROM keys WHERE vec_id < 5
+), cand AS (
+  SELECT DISTINCT q.query_id, k.vec_id, k.v, q.qv
+  FROM keys k CROSS JOIN q CROSS JOIN generate_series(1, {n_bands}) t(b)
+  WHERE k.bks[b] = q.qbks[b]
+), scored AS (
+  SELECT query_id, vec_id,
+         list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), i -> v[i] * qv[i])), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)), (x, y) -> x + y))) AS cos_raw
+  FROM cand
+), ranked AS (
+  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -990,6 +1037,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_simhash": (q_docs_simhash, ORACLE_DOCS_SIMHASH),
     "docs_minhash_lsh_pairs": (q_docs_minhash_pairs, _oracle_minhash()),
     "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
-    "emb_lsh_topk": (q_emb_lsh_topk, None),  # engine-native hashing → rows-only
+    "emb_lsh_topk": (q_emb_lsh_topk, _oracle_emb_lsh()),
     "multimodal_binary_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
 }
