@@ -873,6 +873,56 @@ WHERE ({band_eq})
 """
 
 
+
+
+def q_docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs unioned into connected
+    components (iterative min-label propagation — the one genuinely
+    iterative algorithm in the engine). Deterministic: cluster id = min
+    doc_id of the component; oracle reproduces it with a recursive CTE
+    transitive closure over the same (portably hashed) pair set."""
+    from s3logs_parquet_spark.operators.dedup import (
+        connected_components_clusters,
+        minhash_lsh_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, shingle_k=3, jaccard_threshold=0.3
+    )
+    labels = connected_components_clusters(pairs, d.select("doc_id"), "doc_id")
+    # report only non-singleton clusters (keeps result focused + small)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        labels.join(sizes.filter(F.col("n") > 1), "cluster_id")
+        .select("doc_id", "cluster_id")
+    )
+
+
+def _oracle_clusters() -> str:
+    pair_sql = _oracle_minhash()  # the exact same pair derivation
+    return f"""
+WITH RECURSIVE
+pairs AS ({pair_sql}),
+ids(id) AS (SELECT doc_id FROM documents),
+edges(a, b) AS (
+  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+),
+labels AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_id FROM labels
+WHERE cluster_id IN (
+  SELECT cluster_id FROM labels GROUP BY cluster_id HAVING count(*) > 1
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1036,6 +1086,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_ngram_jaccard_pairs": (q_docs_jaccard_pairs, ORACLE_DOCS_JACCARD),
     "docs_simhash": (q_docs_simhash, ORACLE_DOCS_SIMHASH),
     "docs_minhash_lsh_pairs": (q_docs_minhash_pairs, _oracle_minhash()),
+    "docs_neardup_clusters": (q_docs_neardup_clusters, _oracle_clusters()),
     "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
     "emb_lsh_topk": (q_emb_lsh_topk, _oracle_emb_lsh()),
     "multimodal_binary_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
