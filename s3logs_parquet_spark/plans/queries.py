@@ -295,6 +295,49 @@ SELECT era, l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS qty F
 """
 
 
+
+
+def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (training-data
+    pipelines lean on quantile stats for length/quality cutoffs)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("qty_p25"),
+    )
+
+
+ORACLE_LINEITEM_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(quantile_cont(l_quantity, 0.25), 4)      AS qty_p25
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics + correlation per group."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_cov"),
+    )
+
+
+ORACLE_LINEITEM_STATS = """
+SELECT l_linestatus,
+       round(stddev_samp(l_extendedprice), 4) AS price_sd,
+       round(var_samp(l_quantity), 4)         AS qty_var,
+       round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+       round(covar_samp(l_discount, l_tax), 6)     AS disc_tax_cov
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-semantics family on the events table (G1/G3/G6/G7/D1/O3)
 # ---------------------------------------------------------------------------
@@ -1066,6 +1109,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "parts_with_lineitems_semi": (q_parts_with_lineitems, ORACLE_PARTS_WITH_LINEITEMS),
     "orders_rank_window": (q_orders_rank_window, ORACLE_ORDERS_RANK),
     "union_shipped_split": (q_union_shipped_split, ORACLE_UNION_SHIPPED),
+    "lineitem_quantiles": (q_lineitem_quantiles, ORACLE_LINEITEM_QUANTILES),
+    "lineitem_stats": (q_lineitem_stats, ORACLE_LINEITEM_STATS),
     "events_tumbling_window": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
     "events_window_dedup": (q_events_window_dedup, ORACLE_EVENTS_WINDOW_DEDUP),
     "events_minmax_ts": (q_events_minmax, ORACLE_EVENTS_MINMAX),
