@@ -1,0 +1,86 @@
+"""Sequence packing: assign documents to fixed-token-budget packs —
+the LLM-training prep step that turns a deduplicated corpus into
+context-window-sized training sequences.
+
+Distributed shape: a strictly sequential first-fit over 100 TB is a
+non-starter, so packing is hierarchical — documents are range-bucketed
+by a deterministic shard key, each shard packs independently with a
+greedy first-fit-decreasing pass (Arrow-batched applyInPandas, state
+bounded by the shard), and pack ids are globally unique via
+(shard, local_id). Packing quality is within a few percent of a global
+greedy pass for realistic length distributions while scaling linearly
+with shards; oversized single documents get a pack of their own
+(callers chunk them upstream if needed).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+PACK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("pack_id", LongType(), False),
+        StructField("pack_tokens", LongType(), False),
+    ]
+)
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    max_tokens: int = 4096,
+    n_shards: int = 64,
+) -> DataFrame:
+    """(id, tokens) → (doc_id, n_tokens, pack_id, pack_tokens).
+
+    Invariants (tested): every doc assigned exactly once; no pack over
+    ``max_tokens`` unless it holds a single oversized doc; pack ids
+    unique across shards; deterministic (shard key and order are pure
+    functions of the id).
+    """
+
+    def pack_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # first-fit-decreasing: big docs first, stable id tie-break
+        pdf = pdf.sort_values(["_tok", "_id"], ascending=[False, True])
+        shard = int(key[0])
+        packs: list[tuple[int, int]] = []  # (remaining, local_pack_idx)
+        assignment, totals = [], {}
+        for _id, tok in zip(pdf["_id"], pdf["_tok"]):
+            tok = int(tok)
+            placed = None
+            for i, (rem, idx) in enumerate(packs):
+                if tok <= rem:
+                    packs[i] = (rem - tok, idx)
+                    placed = idx
+                    break
+            if placed is None:
+                placed = len(packs)
+                packs.append((max(0, max_tokens - tok), placed))
+            assignment.append(placed)
+            totals[placed] = totals.get(placed, 0) + tok
+        pack_ids = [shard * 1_000_000_000 + a for a in assignment]
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["_id"].astype("int64"),
+                "n_tokens": pdf["_tok"].astype("int64"),
+                "pack_id": pd.Series(pack_ids, index=pdf.index, dtype="int64"),
+                "pack_tokens": pd.Series(
+                    [totals[a] for a in assignment], index=pdf.index, dtype="int64"
+                ),
+            }
+        )
+
+    from s3logs_parquet_spark.functions.hashing import hash32
+
+    keyed = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(token_col).cast("long").alias("_tok"),
+        F.pmod(hash32(F.col(id_col).cast("string")), F.lit(n_shards)).alias("_shard"),
+    )
+    return keyed.groupBy("_shard").applyInPandas(pack_shard, PACK_SCHEMA)

@@ -966,6 +966,52 @@ WHERE cluster_id IN (
 """
 
 
+
+
+def q_docs_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling: stable 10% sample keyed by
+    the portable hash of the doc id — re-runs and other engines select
+    the identical rows (what reproducible pipeline sampling needs,
+    unlike engine RNG sampling)."""
+    from s3logs_parquet_spark.functions.hashing import hash32
+
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.pmod(hash32(F.col("doc_id").cast("string")), F.lit(100)) < 10).select(
+        "doc_id", "n_chars"
+    )
+
+
+ORACLE_DOCS_SAMPLE = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {hash32_sql("doc_id::VARCHAR")} % 100 < 10
+"""
+
+
+def q_docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (80/10/10) by
+    content hash — stable across runs, engines, and re-partitioning."""
+    from s3logs_parquet_spark.functions.hashing import hash32
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(hash32(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id")
+    )
+
+
+ORACLE_DOCS_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id, {hash32_sql("doc_id::VARCHAR")} % 100 AS bucket FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs, min(doc_id) AS min_id
+FROM b GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1132,6 +1178,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_simhash": (q_docs_simhash, ORACLE_DOCS_SIMHASH),
     "docs_minhash_lsh_pairs": (q_docs_minhash_pairs, _oracle_minhash()),
     "docs_neardup_clusters": (q_docs_neardup_clusters, _oracle_clusters()),
+    "docs_systematic_sample": (q_docs_systematic_sample, ORACLE_DOCS_SAMPLE),
+    "docs_split_assign": (q_docs_split_assign, ORACLE_DOCS_SPLIT),
     "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
     "emb_lsh_topk": (q_emb_lsh_topk, _oracle_emb_lsh()),
     "multimodal_binary_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
