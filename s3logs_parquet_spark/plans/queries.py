@@ -1012,6 +1012,91 @@ FROM b GROUP BY 1
 """
 
 
+
+
+def q_docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: every member of a near-dup
+    cluster gets the SAME split (assignment hashes the cluster id, not
+    the doc id) — the standard guard against train/test contamination
+    through near-duplicates. Composes the clustering operator with the
+    deterministic split."""
+    from s3logs_parquet_spark.functions.hashing import hash32
+    from s3logs_parquet_spark.operators.dedup import (
+        connected_components_clusters,
+        minhash_lsh_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, shingle_k=3, jaccard_threshold=0.3
+    )
+    labels = connected_components_clusters(pairs, d.select("doc_id"), "doc_id")
+    bucket = F.pmod(hash32(F.col("cluster_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return labels.select("doc_id", split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _oracle_leakage_split() -> str:
+    pair_sql = _oracle_minhash()
+    return f"""
+WITH RECURSIVE
+pairs AS ({pair_sql}),
+ids(id) AS (SELECT doc_id FROM documents),
+edges(a, b) AS (
+  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+),
+labels AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+),
+assigned AS (
+  SELECT doc_id, {hash32_sql("cluster_id::VARCHAR")} % 100 AS bucket FROM labels
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM assigned GROUP BY 1
+"""
+
+
+def q_docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting: exact-duplicate rate per source — docs vs distinct
+    texts vs distinct fingerprints."""
+    from s3logs_parquet_spark.functions.text_analysis import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.countDistinct(fingerprint(F.col("text"))).alias("n_distinct_fp"),
+    )
+
+
+ORACLE_DOCS_DUP_RATE = f"""
+WITH w AS (
+  SELECT source, text, {_SQL_WORDS} AS ws FROM documents
+), fp AS (
+  SELECT source, text,
+         CASE WHEN len(ws) = 0 THEN 0
+              ELSE list_reduce(list_transform(ws, x -> {hash32_sql('x')}),
+                               (acc, h) -> (acc * 1000003 + h) % 2147483647)
+         END AS f
+  FROM w
+)
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT text) AS n_distinct_texts,
+       count(DISTINCT f)    AS n_distinct_fp
+FROM fp GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1180,6 +1265,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_neardup_clusters": (q_docs_neardup_clusters, _oracle_clusters()),
     "docs_systematic_sample": (q_docs_systematic_sample, ORACLE_DOCS_SAMPLE),
     "docs_split_assign": (q_docs_split_assign, ORACLE_DOCS_SPLIT),
+    "docs_leakage_safe_split": (q_docs_leakage_safe_split, _oracle_leakage_split()),
+    "docs_dup_rate_by_source": (q_docs_dup_rate_by_source, ORACLE_DOCS_DUP_RATE),
     "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
     "emb_lsh_topk": (q_emb_lsh_topk, _oracle_emb_lsh()),
     "multimodal_binary_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
