@@ -1,0 +1,74 @@
+"""The corpus-curation pipeline: the training-data operators composed
+into one job — what a user actually runs over 100 TB of raw documents.
+
+    quality filter → exact dedup (canonical = min doc_id per text)
+      → near-dup filter (MinHash-LSH clusters, keep cluster minimum)
+      → language filter → leakage-safe split assignment
+
+Every stage is one of the engine's tested operators; the composition is
+still a single lazy plan (plus the materialized signature checkpoint
+inside the LSH stage). Packing (operators/packing.py) typically follows
+per split; it stays out of this function so the curated frame remains
+fully SQL-expressible for the differential oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.functions.hashing import hash32
+from s3logs_parquet_spark.functions.text_analysis import langid, quality_score
+from s3logs_parquet_spark.operators.dedup import (
+    connected_components_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] = ("en",),
+    jaccard_threshold: float = 0.3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Returns the curated frame: (doc_id, lang_pred, quality, split).
+
+    Deterministic end to end — filters and survivors are pure functions
+    of content — so re-runs, other engines, and resumed jobs agree row
+    for row."""
+    scored = docs.withColumn("quality", F.round(quality_score(F.col(text_col)), 6)).withColumn(
+        "lang_pred", langid(F.col(text_col))
+    )
+    kept = scored.filter(
+        (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*languages)
+    )
+
+    # exact dedup: canonical row = min doc_id per identical text
+    exact = exact_dedup(kept, text_col, keep_order_col=id_col)
+
+    # near-dup: keep only each cluster's minimum doc_id
+    pairs = minhash_lsh_pairs(
+        exact,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=3,
+        jaccard_threshold=jaccard_threshold,
+    )
+    labels = connected_components_clusters(pairs, exact.select(id_col), id_col)
+    canonical = labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    survivors = exact.join(canonical, id_col, "left_semi")
+
+    # leakage-safe split: hash of the doc id (survivors are cluster
+    # minima, so doc_id IS the cluster id here)
+    bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return survivors.select(id_col, "lang_pred", "quality", split.alias("split"))

@@ -1097,6 +1097,107 @@ FROM fp GROUP BY source
 """
 
 
+
+
+def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: the full curation pipeline (quality filter
+    → exact dedup → near-dup cluster filter → language filter →
+    leakage-safe split) as one job, oracle-checked end to end."""
+    from s3logs_parquet_spark.plans.curation import curate_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_documents(d)
+
+
+def _oracle_curation(min_quality: float = 0.5) -> str:
+    from s3logs_parquet_spark.functions.hashing import affine_coeffs
+
+    coeffs = affine_coeffs(32, 42)
+    rows_per_band = 32 // 8
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, x -> ({a} * x + {b}) % 2147483647))" for a, b in coeffs
+    )
+    band_eq = " OR ".join(
+        f"a.sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}] = b.sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}]"
+        for b in range(8)
+    )
+    return f"""
+WITH RECURSIVE
+feat AS (
+  SELECT doc_id, text, {_SQL_WORDS} AS ws,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, text, ws,
+         len(ws)::BIGINT AS n_words,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(ws) > 0 THEN {_sql_stop_hits('en')}::DOUBLE / len(ws) ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(ws) > 0
+              THEN list_aggregate(list_transform(ws, w -> length(w)), 'sum')::DOUBLE / len(ws)
+              ELSE 0.0 END AS mean_word_len,
+         {_sql_stop_hits('en')} AS h_en,
+         {_sql_stop_hits('de')} AS h_de,
+         {_sql_stop_hits('fr')} AS h_fr,
+         {_sql_stop_hits('es')} AS h_es
+  FROM feat
+), scored AS (
+  SELECT doc_id, text, ws,
+         round(
+           least(n_words / 20.0, 1.0) * 0.3
+           + least(stopword_ratio * 4.0, 1.0) * 0.3
+           + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.2
+           + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         , 6) AS quality,
+         CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+              WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+              WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+              WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM m
+), kept AS (
+  SELECT * FROM scored WHERE quality >= {min_quality} AND lang_pred IN ('en')
+), exact AS (
+  SELECT min(doc_id) AS doc_id, text, min(ws) AS ws,
+         min(quality) AS quality, min(lang_pred) AS lang_pred
+  FROM kept GROUP BY text
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(ws) - 3, 0)),
+           i -> array_to_string(array_slice(ws, i + 1, i + 3), ' ')
+         )) AS grams
+  FROM exact
+), h AS (
+  SELECT doc_id, list_transform(grams, s2 -> {hash32_sql('s2')} % 2147483647) AS sh FROM g
+), sigs AS (
+  SELECT doc_id, [{sig_terms}] AS sig FROM h
+), prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE ({band_eq})
+    AND len(list_filter(generate_series(1, 32), i -> a.sig[i] = b.sig[i]))::DOUBLE / 32 >= 0.3
+), edges(x, y) AS (
+  SELECT id_a, id_b FROM prs UNION SELECT id_b, id_a FROM prs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM exact
+  UNION
+  SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id
+), labels AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+), survivors AS (
+  SELECT e.doc_id, e.lang_pred, e.quality
+  FROM exact e JOIN labels l ON e.doc_id = l.doc_id
+  WHERE l.doc_id = l.cluster_id
+)
+SELECT doc_id, lang_pred, quality,
+       CASE WHEN {hash32_sql("doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+            WHEN {hash32_sql("doc_id::VARCHAR")} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM survivors
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1267,6 +1368,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_split_assign": (q_docs_split_assign, ORACLE_DOCS_SPLIT),
     "docs_leakage_safe_split": (q_docs_leakage_safe_split, _oracle_leakage_split()),
     "docs_dup_rate_by_source": (q_docs_dup_rate_by_source, ORACLE_DOCS_DUP_RATE),
+    "docs_curation_pipeline": (q_docs_curation_pipeline, _oracle_curation()),
     "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
     "emb_lsh_topk": (q_emb_lsh_topk, _oracle_emb_lsh()),
     "multimodal_binary_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
