@@ -1297,6 +1297,70 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with a fixed coarse quantizer: cells = the embeddings
+    of vec_id < 16 (deterministic, table-derived — k-means training is
+    exercised in tests; a fixed codebook keeps the oracle exact).
+    Corpus rows assign to their argmax-cosine cell, queries probe the
+    top-2 cells, exact cosine rerank inside."""
+    from s3logs_parquet_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = ivf_topk(emb, queries, "vec_id", "query_id", centroids, k=10, n_probe=2)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+_SQL_NORM = "sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), (x, y) -> x + y))"
+
+
+def _oracle_emb_ivf(n_cells: int = 16, n_probe: int = 2, k: int = 10) -> str:
+    cos_vc = f"{_SQL_DOT.format(a='e.v', b='c.cv')} / ({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='c.cv')})"
+    cos_qc = f"{_SQL_DOT.format(a='q.qv', b='c.cv')} / ({_SQL_NORM.format(a='q.qv')} * {_SQL_NORM.format(a='c.cv')})"
+    cos_qv = f"{_SQL_DOT.format(a='s.v', b='s.qv')} / ({_SQL_NORM.format(a='s.v')} * {_SQL_NORM.format(a='s.qv')})"
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < {n_cells}
+), emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, c.cell) AS rn
+    FROM emb e CROSS JOIN cents c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {cos_qc} DESC, c.cell) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {n_probe}
+), cand AS (
+  SELECT DISTINCT p.query_id, p.qv, a.vec_id, a.v
+  FROM probes p JOIN assign a ON a.cell = p.cell
+), ranked AS (
+  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM (SELECT s.query_id, s.vec_id, {cos_qv} AS cos_raw FROM cand s)
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + typed metadata)
 # ---------------------------------------------------------------------------
@@ -1371,5 +1435,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_curation_pipeline": (q_docs_curation_pipeline, _oracle_curation()),
     "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
     "emb_lsh_topk": (q_emb_lsh_topk, _oracle_emb_lsh()),
+    "emb_ivf_topk": (q_emb_ivf_topk, _oracle_emb_ivf()),
     "multimodal_binary_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
 }
