@@ -23,6 +23,7 @@ Engine knobs come from the reference's environment variables
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -98,6 +99,20 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--follow", action="store_true", help="keep running (default: drain and exit)")
 
     args = p.parse_args(argv)
+
+    # fail fast with a clear message on missing local inputs (a bare
+    # Hadoop FileNotFoundException buries the path in a JVM stack)
+    local_inputs = getattr(args, "inputs", None) or (
+        [args.input] if hasattr(args, "input") else []
+    )
+    import glob as _glob
+
+    for path in local_inputs:
+        if "://" in path:
+            continue  # remote FS: let Hadoop resolve
+        if not _glob.glob(path) and not os.path.exists(path):
+            p.error(f"input path does not exist: {path}")
+
     cfg = EngineConfig.from_env()
     spark = get_spark(app_name=f"s3logs-{args.cmd}")
 

@@ -151,3 +151,17 @@ def test_overwrite_partitions_idempotent(spark, tmp_path):
     table = spark.read.parquet(out)
     assert table.count() == 300
     assert table.filter(F.col("hour") == 8).count() == 200
+
+
+def test_gzip_compressed_input(spark, tmp_path):
+    """S3 access logs are commonly delivered gzip-compressed; the text
+    source must read .gz transparently (Hadoop codec discovery)."""
+    import gzip
+
+    lines = generate_lines(150, seed=55, dup_fraction=0.0, garbage_fraction=0.0)
+    gz = tmp_path / "logs.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    out = str(tmp_path / "out")
+    res = run_batch_transform(spark, str(gz), out, EngineConfig())
+    assert res.rows_out == 150
