@@ -113,3 +113,41 @@ def test_throughput_stats_ring():
     assert s.rows_total == 6000
     assert abs(s.mean_rows_per_sec(5) - 600 * 5 / 300.0) < 1e-9  # 10/s
     assert s.mean_rows_per_sec(15) == 6000 / 900.0
+
+
+def test_stream_processing_time_follow_and_graceful_stop(spark, tmp_path):
+    """T3 processing-time cadence + T6 graceful stop: the follow-mode
+    query picks up files appearing between micro-batches and drains
+    cleanly on stop()."""
+    import time as _time
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(inp)
+    (tmp_path / "in" / "f1.log").write_text(
+        "\n".join(generate_lines(30, seed=61, garbage_fraction=0.0, dup_fraction=0.0)) + "\n"
+    )
+    q = run_streaming_transform(
+        spark, inp, out, ckpt, EngineConfig(),
+        StreamingJobConfig(processing_time="1 seconds"),
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 30:
+                    break
+            except Exception:
+                pass  # sink not initialized yet
+            _time.sleep(1)
+        # drop a second file while the query is live
+        (tmp_path / "in" / "f2.log").write_text(
+            "\n".join(generate_lines(20, seed=62, garbage_fraction=0.0, dup_fraction=0.0)) + "\n"
+        )
+        deadline = _time.time() + 60
+        while _time.time() < deadline and spark.read.parquet(out).count() < 50:
+            _time.sleep(1)
+        assert spark.read.parquet(out).count() == 50
+    finally:
+        q.stop()  # T6
+        q.awaitTermination(60)
+    assert not q.isActive
