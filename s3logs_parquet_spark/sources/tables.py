@@ -15,6 +15,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name != "events":
@@ -23,4 +28,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register every testdata table as a temp view so users get the
+    full ad-hoc `spark.sql` layer (the reference's output exists to be
+    queried by Athena/Hadoop; this is the equivalent surface here)."""
+    for name in tables or TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_log_table(
+    spark: SparkSession, parquet_path: str, view: str = "s3_access_logs"
+) -> DataFrame:
+    """Expose an engine-produced log table for SQL (partition pruning on
+    year/month/day/hour comes from the Hive layout)."""
+    df = spark.read.parquet(parquet_path)
+    df.createOrReplaceTempView(view)
     return df

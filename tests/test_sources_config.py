@@ -84,3 +84,33 @@ def test_pack_after_curation(spark, sf_dir):
         .filter((F.col("t") > 96) & (F.col("n") > 1))
     )
     assert over.count() == 0
+
+
+def test_sql_layer_over_views_and_output(spark, sf_dir, tmp_path):
+    """Ad-hoc spark.sql over registered testdata views AND over an
+    engine-produced log table (partition pruning via the Hive layout)."""
+    from s3logs_parquet_spark.config import EngineConfig
+    from s3logs_parquet_spark.plans.batch import run_batch_transform
+    from s3logs_parquet_spark.sources.tables import register_log_table, register_views
+    from s3logs_parquet_spark.testing import generate_lines
+
+    register_views(spark, sf_dir)
+    row = spark.sql(
+        "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).collect()[0]
+    assert row["n"] > 0
+
+    inp = tmp_path / "in.log"
+    inp.write_text("\n".join(generate_lines(300, seed=81, span_seconds=7200)) + "\n")
+    out = str(tmp_path / "t")
+    run_batch_transform(spark, str(inp), out, EngineConfig(), collect_metrics=False)
+    register_log_table(spark, out)
+    agg = spark.sql(
+        "SELECT Bucket, count(*) AS n FROM s3_access_logs WHERE hour = 8 GROUP BY Bucket"
+    )
+    assert agg.count() == 3
+    # partition pruning visible in the plan
+    plan = agg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
