@@ -12,7 +12,7 @@ s3logs/src/conf.rs:7-105.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # Default prefix-partition format family (reference README.md:61):
 # output keys look like  {prefix}/year=%Y/month=%m/day=%d/hour=%H/file.parquet

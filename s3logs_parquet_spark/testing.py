@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import random
 import string
-from datetime import datetime, timedelta, timezone
+from datetime import datetime, timezone
 
 OPERATIONS = [
     "REST.HEAD.OBJECT",
