@@ -203,3 +203,33 @@ def winnowing_stats(df, id_col: str, text_col: str, k: int = 5, window: int = 4)
         F.min("_m").alias("min_fp"),
         F.max("_m").alias("max_fp"),
     )
+
+
+# --- cleaning / repetition signals ----------------------------------------
+
+
+def clean_text(text: Column) -> Column:
+    """Normalization for training corpora: strip HTML-ish tags, drop
+    control characters, collapse whitespace runs, trim. Pure regexp
+    chain — portable to any engine with POSIX-ish regex."""
+    no_tags = F.regexp_replace(text, r"<[^>]*>", " ")
+    no_ctrl = F.regexp_replace(no_tags, r"[\x00-\x1f]", " ")
+    collapsed = F.regexp_replace(no_ctrl, r"\s+", " ")
+    return F.trim(collapsed)
+
+
+def repetition_signals(text: Column) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals: the fraction of
+    duplicate words and duplicate word-bigrams. High values flag
+    boilerplate/spam for quality filtering."""
+    ws = words(text)
+    n = F.size(ws)
+    uniq = F.size(F.array_distinct(ws))
+    bigrams = F.zip_with(ws, F.slice(ws, 2, 2_000_000_000), lambda a, b: F.concat_ws(" ", a, b))
+    bigrams = F.slice(bigrams, 1, F.greatest(n - F.lit(1), F.lit(0)))
+    nb = F.size(bigrams)
+    uniqb = F.size(F.array_distinct(bigrams))
+    return {
+        "dup_word_ratio": F.when(n > 0, (n - uniq).cast("double") / n).otherwise(0.0),
+        "dup_bigram_ratio": F.when(nb > 0, (nb - uniqb).cast("double") / nb).otherwise(0.0),
+    }

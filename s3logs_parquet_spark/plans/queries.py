@@ -1198,6 +1198,44 @@ FROM survivors
 """
 
 
+
+
+def q_docs_clean_and_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization + within-doc repetition signals (the
+    boilerplate/spam filters of a curation pipeline)."""
+    from s3logs_parquet_spark.functions.text_analysis import clean_text, repetition_signals
+
+    d = _t(spark, sf_dir, "documents")
+    sig = repetition_signals(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length(clean_text(F.col("text"))).alias("clean_chars"),
+        F.round(sig["dup_word_ratio"], 6).alias("dup_word_ratio"),
+        F.round(sig["dup_bigram_ratio"], 6).alias("dup_bigram_ratio"),
+    )
+
+
+ORACLE_DOCS_CLEAN_REP = f"""
+WITH w AS (
+  SELECT doc_id, text, {_SQL_WORDS} AS ws FROM documents
+), b AS (
+  SELECT doc_id, text, ws, len(ws) AS n,
+         CASE WHEN len(ws) > 1
+              THEN list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])
+              ELSE []::VARCHAR[] END AS bigrams
+  FROM w
+)
+SELECT doc_id,
+       length(trim(regexp_replace(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+              '[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g'))) AS clean_chars,
+       round(CASE WHEN n > 0 THEN (n - len(list_distinct(ws)))::DOUBLE / n ELSE 0.0 END, 6) AS dup_word_ratio,
+       round(CASE WHEN len(bigrams) > 0
+                  THEN (len(bigrams) - len(list_distinct(bigrams)))::DOUBLE / len(bigrams)
+                  ELSE 0.0 END, 6) AS dup_bigram_ratio
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1433,6 +1471,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_leakage_safe_split": (q_docs_leakage_safe_split, _oracle_leakage_split()),
     "docs_dup_rate_by_source": (q_docs_dup_rate_by_source, ORACLE_DOCS_DUP_RATE),
     "docs_curation_pipeline": (q_docs_curation_pipeline, _oracle_curation()),
+    "docs_clean_and_repetition": (q_docs_clean_and_repetition, ORACLE_DOCS_CLEAN_REP),
     "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
     "emb_lsh_topk": (q_emb_lsh_topk, _oracle_emb_lsh()),
     "emb_ivf_topk": (q_emb_ivf_topk, _oracle_emb_ivf()),
