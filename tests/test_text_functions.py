@@ -1,0 +1,52 @@
+"""Unit tests for text-analysis primitives on hand-computed examples."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.functions.text_analysis import (
+    bpe_token_count,
+    clean_text,
+    fingerprint,
+    langid,
+    repetition_signals,
+    whitespace_token_count,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_token_counts(spark):
+    assert _one(spark, whitespace_token_count(F.lit("  a  b   c "))) == 3
+    assert _one(spark, whitespace_token_count(F.lit(""))) == 0
+    # BPE-ish: letters / digits / single punct
+    assert _one(spark, bpe_token_count(F.lit("ab12 cd!"))) == 4  # ab, 12, cd, !
+
+
+def test_clean_text(spark):
+    got = _one(spark, clean_text(F.lit("<p>Hello   <b>world</b></p>\x07 !")))
+    assert got == "Hello world !"
+
+
+def test_repetition_signals(spark):
+    sig = repetition_signals(F.lit("a a a b"))
+    row = spark.range(1).select(
+        sig["dup_word_ratio"].alias("w"), sig["dup_bigram_ratio"].alias("b")
+    ).collect()[0]
+    assert abs(row["w"] - 0.5) < 1e-9       # 4 words, 2 distinct
+    assert abs(row["b"] - 1 / 3) < 1e-9     # bigrams: aa,aa,ab → 2 distinct of 3
+
+
+def test_langid_examples(spark):
+    assert _one(spark, langid(F.lit("the cat and the dog in the house"))) == "en"
+    assert _one(spark, langid(F.lit("der hund und die katze ist hier"))) == "de"
+    assert _one(spark, langid(F.lit("zzz qqq www"))) == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    a = _one(spark, fingerprint(F.lit("alpha beta gamma")))
+    b = _one(spark, fingerprint(F.lit("beta alpha gamma")))
+    c = _one(spark, fingerprint(F.lit("alpha beta gamma")))
+    assert a == c and a != b
