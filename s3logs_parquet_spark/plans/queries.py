@@ -1236,6 +1236,50 @@ FROM b
 """
 
 
+
+
+def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 8-bit-block pigeonhole candidates, exact
+    Hamming filter — the cheap-sketch complement to MinHash-LSH."""
+    from s3logs_parquet_spark.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+ORACLE_DOCS_SIMHASH_PAIRS = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(ws) - 2, 0)),
+           i -> array_to_string(array_slice(ws, i + 1, i + 2), ' ')
+         )) AS shingles
+  FROM d
+), hs AS (
+  SELECT doc_id, list_transform(shingles, s -> {hash32_sql('s')}) AS hashes FROM sh
+), sims AS (
+  SELECT doc_id,
+         list_aggregate(
+           list_transform(generate_series(0, 31), b ->
+             CASE WHEN 2 * len(list_filter(hashes, h -> (h >> b) & 1 = 1)) >= len(hashes)
+                  THEN (1::BIGINT << b) ELSE 0 END),
+           'sum') AS simhash
+  FROM hs
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+  WHERE ((a.simhash >> 0)  & 255 = (b.simhash >> 0)  & 255
+      OR (a.simhash >> 8)  & 255 = (b.simhash >> 8)  & 255
+      OR (a.simhash >> 16) & 255 = (b.simhash >> 16) & 255
+      OR (a.simhash >> 24) & 255 = (b.simhash >> 24) & 255)
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1464,6 +1508,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_exact_dedup": (q_docs_exact_dedup, ORACLE_DOCS_EXACT_DEDUP),
     "docs_ngram_jaccard_pairs": (q_docs_jaccard_pairs, ORACLE_DOCS_JACCARD),
     "docs_simhash": (q_docs_simhash, ORACLE_DOCS_SIMHASH),
+    "docs_simhash_pairs": (q_docs_simhash_pairs, ORACLE_DOCS_SIMHASH_PAIRS),
     "docs_minhash_lsh_pairs": (q_docs_minhash_pairs, _oracle_minhash()),
     "docs_neardup_clusters": (q_docs_neardup_clusters, _oracle_clusters()),
     "docs_systematic_sample": (q_docs_systematic_sample, ORACLE_DOCS_SAMPLE),

@@ -111,3 +111,40 @@ def test_generated_corpus_parses(spark):
     ok = parsed.filter(F.col("ts").isNotNull())
     assert ok.filter(F.col("n_fields") != 26).count() == 0
     assert ok.filter(F.col("RequestID").rlike("^[A-Z0-9]{16}$")).count() == ok.count()
+
+
+def test_older_format_short_line_pads(spark):
+    """Pre-2019 S3 log lines end at HostHeader (fewer trailing fields);
+    the parser must pad the absent TLSVersion/AccessPointARN/AclRequired."""
+    line = (
+        "79a59df900b949e55d96a1e698fbacedfd6e09d98eacf8f8d5218e7cd47ef2be awsexamplebucket1 "
+        "[06/Feb/2019:00:00:38 +0000] 192.0.2.3 "
+        "79a59df900b949e55d96a1e698fbacedfd6e09d98eacf8f8d5218e7cd47ef2be 891CE47D2EXAMPLE "
+        "REST.GET.LOGGING_STATUS - \"GET /awsexamplebucket1?logging HTTP/1.1\" 200 - 242 - 11 - "
+        "\"-\" \"S3Console/0.4\" - "
+        "9vKBE6vMhrNiWHZmb2L0mXOcqPGzQOI5XLnCtZNPxev+Hf+7tpT6sxDwDty4LHBUOZNG96N1234= SigV4 "
+        "ECDHE-RSA-AES128-GCM-SHA256 AuthHeader awsexamplebucket1.s3.us-west-1.amazonaws.com"
+    )
+    df = spark.createDataFrame([(line,)], ["value"])
+    row = parse_s3_access_log(df).collect()[0]
+    assert row["n_fields"] == 23
+    assert row["HostHeader"] == "awsexamplebucket1.s3.us-west-1.amazonaws.com"
+    assert row["TLSVersion"] == "" and row["AclRequired"] == ""
+    assert row["ts"] is not None
+
+
+def test_invalid_utf8_bytes_do_not_crash(spark, tmp_path):
+    """Binary garbage interleaved with valid lines: the scan replaces
+    bad bytes, the parser drops unparseable rows, nothing crashes."""
+    import random as _r
+
+    p = tmp_path / "mixed.log"
+    good = make_line(_r.Random(3), 1715500800)
+    with open(p, "wb") as f:
+        f.write(good.encode() + b"\n")
+        f.write(b"\xff\xfe\x00garbage\x80bytes\n")
+        f.write(good.replace("fakebucket", "other").encode() + b"\n")
+    parsed = parse_s3_access_log(spark.read.text(str(p)))
+    ok = parsed.filter(F.col("ts").isNotNull())
+    assert ok.count() == 2
+    assert parsed.count() == 3
