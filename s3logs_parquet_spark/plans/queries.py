@@ -338,6 +338,52 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+
+
+def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total):
+    grouping-set aggregation, NULL-marked subtotal rows on both
+    engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+ORACLE_LINEITEM_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation: per user-cohort, one column
+    per event type (explicit conditional sums so column naming is
+    engine-independent)."""
+    e = _t(spark, sf_dir, "events")
+    cohort = (F.col("user_id") % 10).alias("cohort")
+    types = ["click", "view", "purchase", "signup", "error"]
+    aggs = [
+        F.round(F.sum(F.when(F.col("event_type") == t, F.col("value")).otherwise(0.0)), 4).alias(f"sum_{t}")
+        for t in types
+    ]
+    return e.groupBy(cohort).agg(*aggs)
+
+
+def _oracle_events_pivot() -> str:
+    types = ["click", "view", "purchase", "signup", "error"]
+    cols = ",\n       ".join(
+        f"round(sum(CASE WHEN event_type = '{t}' THEN value ELSE 0.0 END), 4) AS sum_{t}"
+        for t in types
+    )
+    return f"""
+SELECT user_id % 10 AS cohort,
+       {cols}
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-semantics family on the events table (G1/G3/G6/G7/D1/O3)
 # ---------------------------------------------------------------------------
@@ -1489,6 +1535,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "union_shipped_split": (q_union_shipped_split, ORACLE_UNION_SHIPPED),
     "lineitem_quantiles": (q_lineitem_quantiles, ORACLE_LINEITEM_QUANTILES),
     "lineitem_stats": (q_lineitem_stats, ORACLE_LINEITEM_STATS),
+    "lineitem_rollup": (q_lineitem_rollup, ORACLE_LINEITEM_ROLLUP),
+    "events_pivot_by_type": (q_events_pivot_by_type, _oracle_events_pivot()),
     "events_tumbling_window": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
     "events_window_dedup": (q_events_window_dedup, ORACLE_EVENTS_WINDOW_DEDUP),
     "events_minmax_ts": (q_events_minmax, ORACLE_EVENTS_MINMAX),
