@@ -384,6 +384,29 @@ FROM events GROUP BY 1
 """
 
 
+
+
+def q_orders_lineitem_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/collection functions: per-order sorted item list rendered
+    as a string (portable multiset compare), plus array stats."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return l.groupBy("l_orderkey").agg(
+        F.array_join(F.sort_array(F.collect_list("l_linenumber")), ",").alias("line_numbers"),
+        F.size(F.collect_set("l_partkey")).alias("n_parts"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+ORACLE_ORDERS_ARRAYS = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+       len(list_distinct(list(l_partkey)))::INT AS n_parts,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem WHERE l_orderkey % 50 = 0
+GROUP BY l_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Engine-semantics family on the events table (G1/G3/G6/G7/D1/O3)
 # ---------------------------------------------------------------------------
@@ -1537,6 +1560,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lineitem_stats": (q_lineitem_stats, ORACLE_LINEITEM_STATS),
     "lineitem_rollup": (q_lineitem_rollup, ORACLE_LINEITEM_ROLLUP),
     "events_pivot_by_type": (q_events_pivot_by_type, _oracle_events_pivot()),
+    "orders_lineitem_arrays": (q_orders_lineitem_arrays, ORACLE_ORDERS_ARRAYS),
     "events_tumbling_window": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
     "events_window_dedup": (q_events_window_dedup, ORACLE_EVENTS_WINDOW_DEDUP),
     "events_minmax_ts": (q_events_minmax, ORACLE_EVENTS_MINMAX),
