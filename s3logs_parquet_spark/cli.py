@@ -130,6 +130,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
     if args.cmd == "stream":
+        from s3logs_parquet_spark.streaming.monitor import ThroughputListener
+
+        listener = ThroughputListener()
+        spark.streams.addListener(listener)
         scfg = StreamingJobConfig(
             partition_granularity=args.granularity,
             passthrough=args.passthrough,
@@ -137,6 +141,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         q = run_streaming_transform(spark, args.input, args.output, args.checkpoint, cfg, scfg)
         q.awaitTermination()
+        # listener events are delivered asynchronously; give the bus a
+        # moment to drain before reporting
+        import time as _time
+
+        deadline = _time.time() + 5
+        while listener.stats.batches_total == 0 and _time.time() < deadline:
+            _time.sleep(0.2)
+        # mon.rs-style summary (s3logd-stream/src/mon.rs:154-167)
+        st = listener.stats
+        print(
+            f"rows={st.rows_total} batches={st.batches_total} "
+            f"mean5m={st.mean_rows_per_sec(5):.1f}/s mean15m={st.mean_rows_per_sec(15):.1f}/s",
+            file=sys.stderr,
+        )
         return 0
     return 2
 
