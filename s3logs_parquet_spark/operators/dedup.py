@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from s3logs_parquet_spark.config import EngineConfig
 from s3logs_parquet_spark.schema import DEDUP_FIELD
+from s3logs_parquet_spark.session import materialize as _materialize
 
 # ---------------------------------------------------------------------------
 # D1 — reference-parity window-scoped dedup
@@ -173,6 +174,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
     materialize: bool = True,
+    durable: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH, then exact
     signature-similarity filter.
@@ -186,15 +188,17 @@ def minhash_lsh_pairs(
 
     ``materialize`` checkpoints the signatures before the self-join so
     they are computed once, not once per join side — 7.7x faster in
-    profiling. The production-scale analog is persisting signatures as
-    a table (write-side precompute); disable only if you need a pure
-    unexecuted plan.
+    profiling. ``durable=True`` uses a reliable checkpoint dir instead
+    of executor-resident blocks, surviving executor loss (the 100 TB
+    posture; see session.materialize). The production-scale analog is
+    persisting signatures as a table (write-side precompute); disable
+    only if you need a pure unexecuted plan.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
     if materialize:
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs = _materialize(sigs, durable)
 
     banded = sigs.select(
         F.col(id_col),
@@ -249,39 +253,72 @@ def minhash_lsh_pairs(
     )
 
 
-def connected_components_clusters(pairs: DataFrame, ids: DataFrame, id_col: str) -> DataFrame:
-    """Union near-dup pairs into clusters: iterative label propagation
-    (min-id) to a fixed point. Each iteration is one join+agg; converges
-    in O(log(diameter)) rounds — dup clusters are tiny in practice, so
-    2-4 rounds. Returns (id, cluster_id)."""
-    edges = (
+def connected_components_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    max_rounds: int = 20,
+    durable: bool = False,
+) -> DataFrame:
+    """Union near-dup pairs into clusters. Min-label propagation with a
+    pointer-doubling shortcut each round (label(x) ← label(label(x))),
+    so the min-id reaches every node in O(log(diameter)) rounds — a
+    20-round cap covers diameters up to ~2^20, vs plain neighbor-min
+    propagation which is O(diameter) and silently truncates long dup
+    chains. Raises if the cap is hit without a verified fixpoint rather
+    than returning wrong cluster ids (the leakage-safe split is built on
+    these). Each round is two hash joins + one aggregate; only scalar
+    fingerprints are collected. Returns (id, cluster_id)."""
+    edges = _materialize(  # reused every round — compute once
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)  # reused every round — compute once
+        .distinct(),
+        durable,
     )
     labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
-    # Convergence: under min-label propagation the label sum is strictly
-    # decreasing until the fixpoint, so one tiny aggregate per round
-    # replaces a join-based diff (2x faster loop in profiling). Summing
-    # label ids can overflow int64 only past ~1e9 rows x 1e9 ids; for
-    # that regime swap in sum(xxhash64(cluster_id)) as the fingerprint.
+    labels = _materialize(labels, durable)
+    # Convergence: labels only ever decrease (least() below and the
+    # shortcut both replace a label with a ≤ one), so the label sum is
+    # strictly decreasing until the fixpoint — one tiny scalar aggregate
+    # per round replaces a join-based diff (2x faster loop in
+    # profiling). Summing label ids can overflow int64 only past ~1e9
+    # rows x 1e9 ids; for that regime swap in sum(xxhash64(cluster_id))
+    # as the fingerprint.
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-    for _ in range(12):
+    converged = False
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("src", "dst2"), edges.dst == F.col("dst2"))
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = labels.join(neighbor_min, on="src", how="left").select(
+        stepped = labels.join(neighbor_min, on="src", how="left").select(
             "src", F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias("cluster_id")
-        ).localCheckpoint(eager=True)
+        )
+        # Pointer doubling: jump to the label of my label. label(x) is
+        # always a node id inside x's component, so the shortcut stays
+        # in-component while halving the remaining chain length.
+        parents = stepped.select(
+            F.col("src").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
+        new_labels = _materialize(
+            stepped.join(parents, stepped.cluster_id == parents.p_id, "left").select(
+                "src", F.coalesce("p_label", "cluster_id").alias("cluster_id")
+            ),
+            durable,
+        )
         new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_clusters: no fixpoint after {max_rounds} rounds "
+            "(component diameter > 2^rounds is implausible — likely a data or "
+            "fingerprint-overflow issue); refusing to return wrong cluster ids"
+        )
     return labels.select(F.col("src").alias(id_col), "cluster_id")
 
 
@@ -323,7 +360,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_k
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, materialize: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    materialize: bool = True,
+    durable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
     the 4-block pigeonhole trick: any pair within distance 3 shares at
@@ -331,7 +373,7 @@ def simhash_near_pairs(
     block, never all-pairs."""
     sigs = simhash(df, id_col, text_col)
     if materialize:
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs = _materialize(sigs, durable)
     blocks = sigs.select(
         id_col,
         "simhash",
@@ -385,15 +427,26 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     join_on: DataFrame | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard similarity for candidate pairs.
 
-    Without a candidate set this is quadratic — at scale you feed it
-    minhash_lsh_pairs as ``join_on``. Expressed with array_intersect /
-    array_union set semantics, fully SQL-portable (DuckDB oracle uses
-    list_distinct + list intersection), so this op anchors the
-    correctness of the whole near-dup family.
+    Requires a candidate set (``join_on``, e.g. minhash_lsh_pairs
+    output) — without one the only formulation is an all-pairs
+    crossJoin, a quadratic scale hazard this module otherwise never
+    permits, so that path must be opted into explicitly with
+    ``allow_quadratic=True`` (small data / oracle checks only; raises
+    otherwise). Expressed with array_intersect / array_union set
+    semantics, fully SQL-portable (DuckDB oracle uses list_distinct +
+    list intersection), so this op anchors the correctness of the whole
+    near-dup family.
     """
+    if join_on is None and not allow_quadratic:
+        raise ValueError(
+            "ngram_jaccard_pairs without join_on is an all-pairs crossJoin; "
+            "pass a candidate set (e.g. minhash_lsh_pairs output) or opt in "
+            "with allow_quadratic=True for small inputs"
+        )
     sh = df.select(
         F.col(id_col),
         F.array_distinct(_word_shingles(F.col(text_col), k)).alias("grams"),
@@ -432,6 +485,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_bands: int = 8,
     materialize: bool = True,
+    durable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold.
 
@@ -445,7 +499,7 @@ def embedding_neardup_pairs(
     unit = with_unit_vector(df, vec_col, "_unit")
     banded = hyperplane_band_keys(unit, "_unit", n_bands=n_bands, bits_per_band=8)
     if materialize:
-        banded = banded.localCheckpoint(eager=True)
+        banded = _materialize(banded, durable)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(

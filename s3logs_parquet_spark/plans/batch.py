@@ -95,16 +95,44 @@ def run_batch_transform(
         widest = max_field_count(probe.filter(F.col("ts").isNotNull()))
         extra = max(0, widest - NUM_LOG_FIELDS)
 
-    result = parse_and_dedup(lines, cfg, extra_fields=extra)
-    out = with_partition_columns(result, cfg).drop("n_fields", "ts", "agg_window", "bucket_key")
+    # Metrics ride the write job itself via Observation nodes — no
+    # second pass and no output read-back (which double-counted
+    # pre-existing rows under mode=append), and rows_parsed is by
+    # construction the SAME ts-not-null predicate the pipeline filters
+    # on, not a lookalike regex.
+    obs_in = obs_parsed = obs_out = None
+    src = lines
+    if collect_metrics:
+        from pyspark.sql import Observation
+
+        obs_in, obs_parsed, obs_out = Observation(), Observation(), Observation()
+        src = lines.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    parsed = parse_s3_access_log(src, extra_fields=extra, extra_prefix=cfg.extra_field_prefix)
+    clean_plain = parsed.filter(F.col("ts").isNotNull())  # F1: drop unparseable
+    clean = (
+        clean_plain.observe(obs_parsed, F.count(F.lit(1)).alias("n"))
+        if collect_metrics
+        else clean_plain
+    )
+    windowed = with_agg_window(clean, align_seconds=cfg.aggregate_second)
+    keyed = with_bucket_key(windowed, cfg)
+    result = dedup_log_rows(keyed, cfg)
+    out_plain = with_partition_columns(result, cfg).drop("n_fields", "ts", "agg_window", "bucket_key")
+    out = (
+        out_plain.observe(obs_out, F.count(F.lit(1)).alias("n"))
+        if collect_metrics
+        else out_plain
+    )
     from s3logs_parquet_spark.writer import auto_files_per_partition
 
-    salt = auto_files_per_partition(input_paths)
+    salt = auto_files_per_partition(input_paths, spark=spark)
     write_partitioned_parquet(out, output_path, cfg, files_per_partition=salt)
 
     if corrupt_path is not None:
         # F1 side channel: the reference silently drops unparseable
         # lines (utils.rs:596-602); we keep them observable on request.
+        # Uses the un-observed `lines` lineage (an Observation may only
+        # be attached to one completed query).
         corrupt_lines(lines).write.mode("append").text(corrupt_path)
     if archive_path is not None:
         # W7: gzip raw-line archive of processed input (utils.rs:1273-1294)
@@ -114,11 +142,20 @@ def run_batch_transform(
 
     if not collect_metrics:
         return TransformResult(-1, -1, -1, extra)
-    rows_in = lines.count()
-    rows_parsed = lines.filter(
-        F.col("value").rlike(r"\[\d{2}/\w{3}/\d{4}:")
-    ).count()
-    # empty input → empty output dir: supply the write schema so the
-    # read-back never fails to infer (reference panics here, utils.rs:610)
-    rows_out = spark.read.schema(out.schema).parquet(output_path).count()
-    return TransformResult(rows_in, rows_parsed, rows_out, extra)
+
+    def _obs_count(obs, fallback_df: DataFrame) -> int:
+        # When the whole plan collapses to an empty relation (zero
+        # parseable lines), AQE's empty-relation propagation leaves the
+        # observation a schema-less row that pyspark can't convert —
+        # recount directly then (trivially cheap: the plan is empty).
+        try:
+            return int(obs.get["n"])
+        except Exception:
+            return fallback_df.count()
+
+    return TransformResult(
+        _obs_count(obs_in, lines),
+        _obs_count(obs_parsed, clean_plain),
+        _obs_count(obs_out, out_plain),
+        extra,
+    )

@@ -887,7 +887,7 @@ def q_docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs on a doc_id%20 subsample (the exact
     op is quadratic by design — its scale path is LSH candidates)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
-    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.01).select(
+    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.01, allow_quadratic=True).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -935,7 +935,7 @@ SELECT doc_id,
          list_transform(generate_series(0, 31), b ->
            CASE WHEN 2 * len(list_filter(hashes, h -> (h >> b) & 1 = 1)) >= len(hashes)
                 THEN (1::BIGINT << b) ELSE 0 END),
-         'sum') AS simhash
+         'sum')::BIGINT AS simhash
 FROM hs
 """
 
@@ -1334,7 +1334,7 @@ WITH d AS (
            list_transform(generate_series(0, 31), b ->
              CASE WHEN 2 * len(list_filter(hashes, h -> (h >> b) & 1 = 1)) >= len(hashes)
                   THEN (1::BIGINT << b) ELSE 0 END),
-           'sum') AS simhash
+           'sum')::BIGINT AS simhash
   FROM hs
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -15,6 +15,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+def materialize(df, durable: bool = False):
+    """Materialize an intermediate DataFrame that later stages re-scan
+    (LSH signature tables, CC edge lists — anything feeding a self-join
+    or an iterative loop).
+
+    durable=False → ``localCheckpoint(eager=True)``: blocks are
+    executor-resident, fastest, but an executor loss loses the blocks
+    and fails the job. Right default for local mode and short jobs.
+
+    durable=True → reliable ``checkpoint(eager=True)`` into the
+    session's checkpoint dir: survives executor loss — the 100 TB
+    posture. The dir comes from ``SPARK_GRAFT_CHECKPOINT_DIR`` (default
+    ``/tmp/s3logs-parquet-spark-ckpt``); on a cluster point it at a
+    shared filesystem (HDFS/S3A) so any executor can re-read blocks.
+    """
+    if not durable:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(
+            os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/s3logs-parquet-spark-ckpt")
+        )
+    return df.checkpoint(eager=True)
+
+
 def get_spark(
     app_name: str = "s3logs-parquet-spark",
     master: str | None = None,

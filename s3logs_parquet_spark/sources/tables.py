@@ -27,7 +27,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer floor-division: (ts/1000).cast('long') goes through
+        # float64, whose ulp at ~1.7e18 nanos is 0.25 — sub-microsecond
+        # remainders can round UP across the integer boundary, diverging
+        # from DuckDB's truncation by 1µs. `div` stays in int64.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

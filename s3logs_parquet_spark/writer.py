@@ -41,25 +41,32 @@ def with_partition_columns(df: DataFrame, cfg: EngineConfig, ts_col: str = "ts")
     )
 
 
-def auto_files_per_partition(
-    input_paths: str | list[str],
-    target_input_bytes_per_file: int = 32 * 1024 * 1024,
-    max_salt: int = 128,
-) -> int:
-    """Size-based salt for the writer exchange.
+def _input_bytes_hadoop(paths: list[str], spark) -> int:
+    """Total input bytes through the Hadoop FileSystem API — works for
+    any scheme Spark can read (s3a://, hdfs://, file://), including
+    glob patterns, so the writer salt is sized correctly on a cluster,
+    not just against the local filesystem."""
+    jvm = spark._jvm
+    jsc = spark.sparkContext._jsc
+    hconf = jsc.hadoopConfiguration()
+    total = 0
+    for p in paths:
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(hconf)
+        statuses = fs.globStatus(jpath)
+        if statuses is None:
+            continue
+        for st in statuses:
+            if st.isDirectory():
+                total += fs.getContentSummary(st.getPath()).getLength()
+            else:
+                total += st.getLen()
+    return total
 
-    The exchange on partition columns alone has a failure mode at the
-    other extreme from tiny-files: DENSE data (all rows in a couple of
-    event-hours) collapses onto that many writer tasks — observed as a
-    1M-row job writing 292 MB through 2 cores. Salting by
-    ceil(input_bytes / target) restores write parallelism proportional
-    to data volume while sparse inputs (many partitions, few rows each)
-    keep salt=1 and avoid file explosion. On a cluster the same
-    estimate comes from FileSystem.getContentSummary; here: local stat.
-    """
+
+def _input_bytes_local(paths: list[str]) -> int:
     import glob as _glob
 
-    paths = [input_paths] if isinstance(input_paths, str) else list(input_paths)
     total = 0
     for p in paths:
         p = p.removeprefix("file://")
@@ -69,6 +76,40 @@ def auto_files_per_partition(
                     total += sum(os.path.getsize(os.path.join(r, f)) for f in fs)
             elif os.path.isfile(hit):
                 total += os.path.getsize(hit)
+    return total
+
+
+def auto_files_per_partition(
+    input_paths: str | list[str],
+    target_input_bytes_per_file: int = 32 * 1024 * 1024,
+    max_salt: int = 128,
+    spark=None,
+) -> int:
+    """Size-based salt for the writer exchange.
+
+    The exchange on partition columns alone has a failure mode at the
+    other extreme from tiny-files: DENSE data (all rows in a couple of
+    event-hours) collapses onto that many writer tasks — observed as a
+    1M-row job writing 292 MB through 2 cores. Salting by
+    ceil(input_bytes / target) restores write parallelism proportional
+    to data volume while sparse inputs (many partitions, few rows each)
+    keep salt=1 and avoid file explosion.
+
+    With ``spark`` given, sizes through Hadoop ``FileSystem`` /
+    ``getContentSummary`` so remote inputs (s3a://, hdfs://) are
+    measured — a local-only stat would silently return salt=1 for them
+    and reintroduce the dense-write collapse at exactly the scale that
+    matters. Local os.stat is the no-session fallback.
+    """
+    paths = [input_paths] if isinstance(input_paths, str) else list(input_paths)
+    total = 0
+    if spark is not None:
+        try:
+            total = _input_bytes_hadoop(paths, spark)
+        except Exception:
+            total = 0
+    if total == 0:
+        total = _input_bytes_local(paths)
     return max(1, min(max_salt, (total + target_input_bytes_per_file - 1) // target_input_bytes_per_file))
 
 

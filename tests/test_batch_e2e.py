@@ -165,3 +165,18 @@ def test_gzip_compressed_input(spark, tmp_path):
     out = str(tmp_path / "out")
     res = run_batch_transform(spark, str(gz), out, EngineConfig())
     assert res.rows_out == 150
+
+
+def test_metrics_count_this_batch_not_the_table(spark, tmp_path):
+    # append-mode re-run: rows_out must report THIS batch's rows, not
+    # the cumulative table (the old read-back double-counted), and
+    # rows_parsed must use the pipeline's own ts-not-null predicate.
+    lines = generate_lines(300, seed=11, dup_fraction=0.0, garbage_fraction=0.1)
+    inp = _write_lines(tmp_path, "logs.txt", lines)
+    out = str(tmp_path / "out")
+    r1 = run_batch_transform(spark, inp, out, EngineConfig())
+    r2 = run_batch_transform(spark, inp, out, EngineConfig())
+    assert r2.rows_out == r1.rows_out  # not 2x
+    assert r1.rows_in == 300
+    assert r1.rows_parsed == r1.rows_out  # no dups in this input
+    assert spark.read.parquet(out).count() == 2 * r1.rows_out

@@ -129,3 +129,23 @@ def test_stateful_rotation_counts(spark, tmp_path):
         total[r["group_key"]] = max(total.get(r["group_key"], 0), r["total_rows"])
     assert sum(total.values()) == 80
     assert any(r["rotations"] >= 1 for r in rows)  # 80 rows over 3 buckets, threshold 25
+
+
+def test_auto_salt_sizes_via_hadoop_fs(spark, tmp_path):
+    from s3logs_parquet_spark.writer import auto_files_per_partition
+
+    big = tmp_path / "in" / "big.log"
+    big.parent.mkdir()
+    big.write_bytes(b"x" * (1 << 20))
+    # Scheme-qualified URI + glob: resolved through Hadoop FileSystem
+    # (the same code path an s3a:// input takes), not os.walk.
+    uri = f"file://{tmp_path}/in/*.log"
+    salt = auto_files_per_partition(uri, target_input_bytes_per_file=256 * 1024, spark=spark)
+    assert salt == 4
+    # directory input goes through getContentSummary
+    salt_dir = auto_files_per_partition(
+        f"file://{tmp_path}/in", target_input_bytes_per_file=256 * 1024, spark=spark
+    )
+    assert salt_dir == 4
+    # no-session fallback still works on plain local paths
+    assert auto_files_per_partition(str(big), target_input_bytes_per_file=256 * 1024) == 4

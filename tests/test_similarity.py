@@ -92,7 +92,7 @@ def test_ngram_jaccard_exact_value(spark):
     d = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
     )
-    out = ngram_jaccard_pairs(d, "doc_id", "text", k=2, threshold=0.0).collect()
+    out = ngram_jaccard_pairs(d, "doc_id", "text", k=2, threshold=0.0, allow_quadratic=True).collect()
     # 2-grams: {ab, bc, cd} vs {ab, bc, ce} → J = 2/4
     assert len(out) == 1
     assert abs(out[0]["jaccard"] - 0.5) < 1e-9
@@ -110,3 +110,51 @@ def test_connected_components(spark):
     assert labels[1] == labels[2] == labels[3] == 1
     assert labels[4] == 4
     assert labels[5] == labels[6] == 5
+
+
+def test_connected_components_long_chain(spark):
+    # A 40-node path graph: plain neighbor-min propagation needs 39
+    # rounds; pointer doubling must finish well inside the 20-round cap.
+    n = 40
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_clusters(pairs, ids, "doc_id").collect()
+    }
+    assert all(labels[i] == 0 for i in range(n))
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(19)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components_clusters(pairs, ids, "doc_id", max_rounds=1)
+
+
+def test_connected_components_durable_checkpoint(spark, tmp_path):
+    import os
+
+    os.environ["SPARK_GRAFT_CHECKPOINT_DIR"] = str(tmp_path / "ckpt")
+    try:
+        ids = spark.createDataFrame([(i,) for i in range(1, 5)], ["doc_id"])
+        pairs = spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"])
+        labels = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components_clusters(pairs, ids, "doc_id", durable=True).collect()
+        }
+        assert labels == {1: 1, 2: 1, 3: 3, 4: 3}
+        # blocks actually landed in the reliable checkpoint dir
+        assert any((tmp_path / "ckpt").rglob("*"))
+    finally:
+        os.environ.pop("SPARK_GRAFT_CHECKPOINT_DIR", None)
+
+
+def test_ngram_jaccard_requires_candidates(spark):
+    import pytest
+
+    d = spark.createDataFrame([(1, "a b"), (2, "a c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        ngram_jaccard_pairs(d, "doc_id", "text")

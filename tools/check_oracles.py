@@ -74,14 +74,23 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(srows)} rows, cols={scols} ({spark_t:.1f}s)")
             continue
         try:
-            rel = con.execute(oracles[name])
-            dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            # .sql() (not .execute()) so we can inspect DuckDB-level types:
+            # HUGEINT survives fetchall() as a Python int here, but the
+            # driver's arrow/numpy normalizer turns it into float64 and every
+            # row hash-mismatches (round-1 docs_simhash failure) — so treat
+            # any HUGEINT output column as a failure even if values match.
+            drel = con.sql(oracles[name])
+            dcols = list(drel.columns)
+            dtypes = [str(t).upper() for t in drel.types]
+            drows = drel.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {str(exc)[:300]}")
             n_fail += 1
             continue
         problems = []
+        huge = [f"{c}:{t}" for c, t in zip(dcols, dtypes) if "HUGEINT" in t]
+        if huge:
+            problems.append(f"oracle emits HUGEINT (cast ::BIGINT): {huge}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
