@@ -91,6 +91,48 @@ class EngineConfig:
             raise ValueError("aggregate_second must be a multiple of stagging_second")
 
     @classmethod
+    def from_ini(
+        cls,
+        writer_props_path: str | None = None,
+        stream_ini_path: str | None = None,
+        **overrides,
+    ) -> "EngineConfig":
+        """Build from the reference's INI files, loaded verbatim.
+
+        - ``writer_props_path``: parquet writer properties
+          (s3logs/src/conf.rs:7-105; shipped example
+          s3logs/config/parquet_writer_properties.ini) — [DEFAULT]
+          section with compression / max_row_group_size /
+          writer_version / created_by. Unknown compression falls back
+          to the reference's default (SNAPPY, conf.rs:22-25).
+        - ``stream_ini_path``: daemon config (s3logd-stream/example.ini
+          [STREAM]/[OUTPUT]; s3logd/config/example.ini [DEFAULT]) —
+          maps timezone → tz_offset_seconds and threshold_lines;
+          streaming-topology keys are consumed by
+          StreamingJobConfig.from_ini.
+        Explicit ``overrides`` win over both files.
+        """
+        known_compressions = {"uncompressed", "snappy", "gzip", "lzo", "brotli", "lz4", "zstd", "lz4_raw"}
+        kw: dict = {}
+        if writer_props_path is not None:
+            sec = load_ini(writer_props_path).get("DEFAULT", {})
+            if "compression" in sec:
+                comp = sec["compression"].lower()
+                # conf.rs:22-25 warns + falls back rather than failing
+                kw["compression"] = comp if comp in known_compressions else "snappy"
+            if "max_row_group_size" in sec:
+                kw["max_row_group_size"] = int(sec["max_row_group_size"])
+        if stream_ini_path is not None:
+            ini = load_ini(stream_ini_path)
+            out = {**ini.get("DEFAULT", {}), **ini.get("OUTPUT", {})}
+            if "timezone" in out:
+                kw["tz_offset_seconds"] = parse_posix_tz_offset(out["timezone"])
+            if "threshold_lines" in out:
+                kw["threshold_lines"] = int(out["threshold_lines"])
+        kw.update(overrides)
+        return cls(**kw)
+
+    @classmethod
     def from_env(cls) -> "EngineConfig":
         """Build from the reference's environment variables."""
         tz = _env_str("S3LOGS_STAGGING_PARTITION_TZIF", "UTC+0")
@@ -103,6 +145,32 @@ class EngineConfig:
             compression=_env_str("S3LOGS_TRANSFORM_PARQUET_COMPRESSION", "gzip"),
             bulk_lines=_env_int("S3LOGS_TRANSFORM_PARQUET_WRTIER_BULK_LINES", 200_000),
         )
+
+
+def load_ini(path: str) -> dict[str, dict[str, str]]:
+    """Parse a reference-style INI into {section: {key: value}}.
+
+    configparser treats [DEFAULT] as a template section; we surface it
+    as a real section (the reference's config crate reads it directly,
+    conf.rs:60-66). Quoted values are unquoted (the reference files
+    quote strings, e.g. created_by / loglevel); keys are lowercased by
+    configparser, matching the reference's case-insensitive get."""
+    import configparser
+
+    cp = configparser.ConfigParser(interpolation=None)
+    with open(path) as f:
+        cp.read_string(f.read())
+
+    def _strip(v: str) -> str:
+        v = v.strip()
+        if len(v) >= 2 and v[0] == v[-1] and v[0] in "\"'":
+            v = v[1:-1]
+        return v
+
+    out = {"DEFAULT": {k: _strip(v) for k, v in cp.defaults().items()}}
+    for s in cp.sections():
+        out[s] = {k: _strip(v) for k, v in cp.items(s)}
+    return out
 
 
 def parse_posix_tz_offset(tz: str) -> int:

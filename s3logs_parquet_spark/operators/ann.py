@@ -197,17 +197,37 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]], out_co
     )
 
 
-def ivf_train(df: DataFrame, vec_col: str, n_cells: int = 16, iters: int = 3, sample_fraction: float = 1.0, seed: int = 42) -> list[list[float]]:
+def ivf_train(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    iters: int = 3,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    id_col: str | None = None,
+) -> list[list[float]]:
     """Lloyd's k-means on (a sample of) the corpus, driver-coordinated:
     per-iteration one groupBy over cell assignments — the classic Spark
     k-means shape. Centroid count is tiny (≤ thousands), so driver
-    round-trips are cheap; the heavy lifting is distributed."""
-    data = df.select(F.col(vec_col).alias("v"))
-    if sample_fraction < 1.0:
-        data = data.sample(fraction=sample_fraction, seed=seed)
-    init = data.limit(n_cells * 50).toPandas()["v"].tolist()
-    step = max(1, len(init) // n_cells)
-    centroids = [list(map(float, init[i])) for i in range(0, step * n_cells, step)][:n_cells]
+    round-trips are cheap; the heavy lifting is distributed.
+
+    With ``id_col`` the init is fully deterministic — centroid i is the
+    vector of the i-th smallest id — which makes the TRAINED quantizer
+    (not just a fixed codebook) reproducible enough to be differential-
+    tested against an oracle that unrolls the same Lloyd iterations
+    (queries.py emb_ivf_trained_topk). Without it, the init samples via
+    limit() (fine for production, not value-checkable)."""
+    if id_col is not None:
+        init_rows = df.orderBy(F.col(id_col)).limit(n_cells).select(vec_col).collect()
+        centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+        data = df.select(F.col(vec_col).alias("v"))
+    else:
+        data = df.select(F.col(vec_col).alias("v"))
+        if sample_fraction < 1.0:
+            data = data.sample(fraction=sample_fraction, seed=seed)
+        init = data.limit(n_cells * 50).toPandas()["v"].tolist()
+        step = max(1, len(init) // n_cells)
+        centroids = [list(map(float, init[i])) for i in range(0, step * n_cells, step)][:n_cells]
     for _ in range(iters):
         assigned = ivf_assign(data, "v", centroids, "cell")
         dim = len(centroids[0])

@@ -1512,6 +1512,82 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def q_emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: deterministic Lloyd's
+    k-means (init = vectors of the 8 smallest vec_ids, 2 iterations —
+    operators/ann.py ivf_train with id_col), then the same probed
+    search as emb_ivf_topk. The oracle unrolls the identical two Lloyd
+    iterations in SQL (per-dim avg, argmax-cosine assignment, empty
+    cells keep their centroid), so the whole train→assign→probe→rerank
+    chain is value-checked."""
+    from s3logs_parquet_spark.operators.ann import ivf_topk, ivf_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = ivf_train(emb, "embedding", n_cells=8, iters=2, id_col="vec_id")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = ivf_topk(emb, queries, "vec_id", "query_id", centroids, k=10, n_probe=2)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _oracle_emb_ivf_trained(
+    n_cells: int = 8, iters: int = 2, n_probe: int = 2, k: int = 10, dim: int = 64
+) -> str:
+    def cos(a: str, b: str) -> str:
+        return f"{_SQL_DOT.format(a=a, b=b)} / ({_SQL_NORM.format(a=a)} * {_SQL_NORM.format(a=b)})"
+
+    sql = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cell, v AS cv FROM emb WHERE vec_id < {n_cells}
+)"""
+    prev = "c0"
+    for t in range(1, iters + 1):
+        sql += f""", a{t} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+    FROM emb e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), m{t} AS (
+  SELECT cell, list(a ORDER BY i) AS cv FROM (
+    SELECT cell, i, avg(v[i]) AS a
+    FROM a{t} CROSS JOIN generate_series(1, {dim}) t(i)
+    GROUP BY cell, i
+  ) GROUP BY cell
+), c{t} AS (
+  SELECT p.cell, coalesce(m.cv, p.cv) AS cv FROM {prev} p LEFT JOIN m{t} m USING (cell)
+)"""
+        prev = f"c{t}"
+    sql += f""", assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+    FROM emb e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {cos('q.qv', 'c.cv')} DESC, c.cell) AS rn
+    FROM q CROSS JOIN {prev} c
+  ) WHERE rn <= {n_probe}
+), cand AS (
+  SELECT DISTINCT p.query_id, p.qv, a.vec_id, a.v
+  FROM probes p JOIN assign a ON a.cell = p.cell
+), ranked AS (
+  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM (SELECT s.query_id, s.vec_id, {cos('s.v', 's.qv')} AS cos_raw FROM cand s)
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+    return sql
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + typed metadata)
 # ---------------------------------------------------------------------------
@@ -1538,6 +1614,56 @@ SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        CASE WHEN length(text) > 500 THEN 'large' ELSE 'small' END AS blob_class
 FROM documents
+"""
+
+
+def q_manifest_events_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/F2 round-trip: synthesize S3-notification JSON documents from
+    the events table, then run them through the real manifest parser
+    (sources/manifest_source.parse_s3_events) — construct→parse must be
+    the identity on accepted events and drop rejected ones, which the
+    oracle checks by computing the expected survivors directly."""
+    from s3logs_parquet_spark.sources.manifest_source import parse_s3_events
+
+    e = _t(spark, sf_dir, "events")
+    ename = (
+        F.when(F.col("event_type") == "view", F.lit("ObjectCreated:Put"))
+        .when(F.col("event_type") == "click", F.lit("ObjectCreated:CompleteMultipartUpload"))
+        .otherwise(F.concat(F.lit("ObjectRemoved:"), F.col("event_type")))
+    )
+    doc = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    ename.alias("eventName"),
+                    F.struct(
+                        F.struct(
+                            F.concat(F.lit("bkt-"), (F.col("user_id") % 10).cast("string")).alias(
+                                "name"
+                            )
+                        ).alias("bucket"),
+                        F.struct(
+                            F.concat(F.lit("logs/obj-"), F.col("event_id").cast("string")).alias(
+                                "key"
+                            ),
+                            F.col("event_id").alias("size"),
+                        ).alias("object"),
+                    ).alias("s3"),
+                )
+            ).alias("Records")
+        )
+    )
+    return parse_s3_events(e.select(doc.alias("value")))
+
+
+ORACLE_MANIFEST_EVENTS_F2 = """
+SELECT CASE WHEN event_type = 'view' THEN 'ObjectCreated:Put'
+            ELSE 'ObjectCreated:CompleteMultipartUpload' END AS event_name,
+       'bkt-' || (user_id % 10)::VARCHAR AS bucket,
+       'logs/obj-' || event_id::VARCHAR AS key,
+       event_id AS size
+FROM events
+WHERE event_type IN ('view', 'click')
 """
 
 
@@ -1592,5 +1718,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
     "emb_lsh_topk": (q_emb_lsh_topk, _oracle_emb_lsh()),
     "emb_ivf_topk": (q_emb_ivf_topk, _oracle_emb_ivf()),
+    "emb_ivf_trained_topk": (q_emb_ivf_trained_topk, _oracle_emb_ivf_trained()),
     "multimodal_binary_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
+    "manifest_events_f2": (q_manifest_events_f2, ORACLE_MANIFEST_EVENTS_F2),
 }

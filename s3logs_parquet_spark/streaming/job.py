@@ -60,6 +60,35 @@ class StreamingJobConfig:
     available_now: bool = False  # T6 drain-and-stop
     processing_time: str = "10 seconds"  # micro-batch cadence otherwise
 
+    @classmethod
+    def from_ini(cls, path: str, **overrides) -> "StreamingJobConfig":
+        """Load the daemon's INI (s3logd-stream/example.ini) verbatim:
+        [OUTPUT] hourly_partition → partition_granularity,
+        event_time_key_format=false → passthrough (key-date mode,
+        output.rs:621-635), [STREAM] max_recv_queue_len → the trigger
+        backpressure cap (T5 — the reference's receive-queue bound)."""
+        from s3logs_parquet_spark.config import load_ini
+
+        ini = load_ini(path)
+        merged = {**ini.get("DEFAULT", {}), **ini.get("STREAM", {}), **ini.get("OUTPUT", {})}
+        kw: dict = {}
+        if "hourly_partition" in merged:
+            kw["partition_granularity"] = (
+                "hour" if merged["hourly_partition"].lower() in ("1", "true", "yes") else "day"
+            )
+        if "event_time_key_format" in merged:
+            # true = parse event time from rows; false = take it from
+            # the object key (P5 passthrough)
+            kw["passthrough"] = merged["event_time_key_format"].lower() not in (
+                "1",
+                "true",
+                "yes",
+            )
+        if "max_recv_queue_len" in merged:
+            kw["max_files_per_trigger"] = int(merged["max_recv_queue_len"])
+        kw.update(overrides)
+        return cls(**kw)
+
 
 def _event_date_col(cfg: EngineConfig, scfg: StreamingJobConfig) -> F.Column:
     """T1 — the dt partition value (dt=%Y%m%d daily / %Y%m%d%H hourly,
@@ -96,6 +125,81 @@ def build_stream(
             ["dt", "RequestID"]
         )
     return out.drop("n_fields")
+
+
+def run_manifest_stream(
+    spark: SparkSession,
+    manifest_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: EngineConfig | None = None,
+    scfg: StreamingJobConfig | None = None,
+    scheme: str = "file://",
+    object_root: str | None = None,
+) -> StreamingQuery:
+    """S5 end-to-end: queue-driven ingestion, manifests instead of SQS.
+
+    The reference daemons long-poll SQS and process exactly the objects
+    named by `ObjectCreated` events (s3logd-stream/src/main.rs:112-139,
+    s3logd/src/main.rs:104-132). Here the event documents arrive as
+    JSON-lines manifest files (the S3-notification → queue → dump
+    shape); ``readStream`` over the manifest directory is the queue:
+    its checkpointed file log delivers each manifest exactly once, and
+    each micro-batch's F2-filtered events name the objects to ingest.
+
+    ``foreachBatch`` then runs the *batch* parse→F1→window→dedup plan
+    over exactly those objects and commits the batch to
+    ``output_dir/batch=<id>`` with mode=overwrite: a replayed batch
+    (restart between sink write and checkpoint commit) rewrites the
+    same directory instead of appending duplicates — the commit unit is
+    the batch directory, the same upload-then-ack receipt shape as the
+    reference (s3logd-stream/src/output.rs:812-965, T4). The output
+    root stays one readable parquet table (`batch` becomes a partition
+    column on read).
+
+    ``object_root`` rebases object keys for testing (bucket/key →
+    object_root/bucket/key); production leaves it None with
+    scheme='s3a://'.
+    """
+    from s3logs_parquet_spark.plans.batch import parse_and_dedup
+    from s3logs_parquet_spark.sources.manifest_source import parse_s3_events
+    from s3logs_parquet_spark.sources.text_source import read_log_lines
+
+    cfg = cfg or EngineConfig()
+    scfg = scfg or StreamingJobConfig()
+    events = parse_s3_events(
+        spark.readStream.option("maxFilesPerTrigger", scfg.max_files_per_trigger).text(
+            manifest_dir
+        )
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # Collect object NAMES only (one row per created object — small
+        # by construction; the reference holds the same list in its SQS
+        # receive buffer).
+        root = f"{object_root}/" if object_root else ""
+        paths = sorted(
+            f"{scheme}{root}{r['bucket']}/{r['key']}"
+            for r in batch_df.select("bucket", "key").distinct().collect()
+        )
+        if not paths:
+            return
+        rows = parse_and_dedup(read_log_lines(spark, paths), cfg)
+        out = rows.withColumn("dt", _event_date_col(cfg, scfg)).drop(
+            "n_fields", "ts", "agg_window", "bucket_key"
+        )
+        out.write.mode("overwrite").option("compression", cfg.compression).option(
+            "maxRecordsPerFile", cfg.threshold_lines
+        ).partitionBy("dt").parquet(f"{output_dir}/batch={batch_id}")
+
+    writer = events.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if scfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=scfg.processing_time)
+    return writer.start()
 
 
 def run_streaming_transform(

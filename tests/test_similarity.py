@@ -158,3 +158,43 @@ def test_ngram_jaccard_requires_candidates(spark):
     d = spark.createDataFrame([(1, "a b"), (2, "a c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="allow_quadratic"):
         ngram_jaccard_pairs(d, "doc_id", "text")
+
+
+def test_hash_impl_structure_invariant(spark):
+    """Planted near-dup structure must not depend on the hash impl:
+    'portable' (md5, oracle mode) and 'xxhash64' (scale mode) find the
+    same pairs and clusters."""
+    from s3logs_parquet_spark.functions import hashing
+
+    # Each group has a disjoint vocabulary: within-group jaccard ~0.95,
+    # cross-group ~0 — decisively away from the threshold, so the pair
+    # STRUCTURE is impl-independent even though estimates jitter.
+    rows = []
+    for i in range(10):
+        words = " ".join(f"w{i}x{j}" for j in range(40))
+        rows.append((i, words))
+        rows.append((100 + i, words + f" tail{i}"))  # near-dup of i
+    rows.append((500, "a completely different short document"))
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    results = {}
+    for impl in ("portable", "xxhash64"):
+        hashing.set_hash_impl(impl)
+        try:
+            pairs = minhash_lsh_pairs(
+                d, "doc_id", "text", num_hashes=32, bands=8, shingle_k=3, jaccard_threshold=0.3
+            )
+            results[impl] = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        finally:
+            hashing.set_hash_impl("portable")
+    assert results["portable"] == results["xxhash64"]
+    assert {(i, 100 + i) for i in range(10)} <= results["portable"]
+
+
+def test_set_hash_impl_validates(spark):
+    import pytest
+
+    from s3logs_parquet_spark.functions.hashing import set_hash_impl
+
+    with pytest.raises(ValueError):
+        set_hash_impl("murmur3")

@@ -114,3 +114,68 @@ def test_sql_layer_over_views_and_output(spark, sf_dir, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PartitionFilters" in plan
+
+
+def test_ini_writer_properties_verbatim(tmp_path):
+    """The reference's shipped parquet_writer_properties.ini loads
+    as-is (s3logs/config/parquet_writer_properties.ini)."""
+    import os
+
+    from s3logs_parquet_spark.config import EngineConfig, load_ini
+
+    ref = "/root/reference/s3logs/config/parquet_writer_properties.ini"
+    if os.path.exists(ref):
+        cfg = EngineConfig.from_ini(writer_props_path=ref)
+        assert cfg.compression == "gzip"
+        assert cfg.max_row_group_size == 100000000
+        assert load_ini(ref)["DEFAULT"]["created_by"] == "aws s3logs writer"
+    # same shape, self-contained
+    p = tmp_path / "props.ini"
+    p.write_text(
+        "[DEFAULT]\nwriter_version = 1.0\ncompression = ZSTD\n"
+        'max_row_group_size = 5000000\ncreated_by = "x"\n'
+    )
+    cfg = EngineConfig.from_ini(writer_props_path=str(p))
+    assert cfg.compression == "zstd"
+    assert cfg.max_row_group_size == 5000000
+    # unknown compression falls back to the reference default (conf.rs:22-25)
+    p2 = tmp_path / "bad.ini"
+    p2.write_text("[DEFAULT]\ncompression = FOO\n")
+    assert EngineConfig.from_ini(writer_props_path=str(p2)).compression == "snappy"
+
+
+def test_ini_stream_daemon_verbatim(tmp_path):
+    """The reference's shipped daemon INIs load as-is
+    (s3logd-stream/example.ini, s3logd/config/example.ini)."""
+    import os
+
+    from s3logs_parquet_spark.config import EngineConfig
+    from s3logs_parquet_spark.streaming.job import StreamingJobConfig
+
+    ref = "/root/reference/s3logd-stream/example.ini"
+    if os.path.exists(ref):
+        scfg = StreamingJobConfig.from_ini(ref)
+        assert scfg.partition_granularity == "day"  # hourly_partition = false
+        assert scfg.passthrough is False  # event_time_key_format = true
+        assert scfg.max_files_per_trigger == 80  # max_recv_queue_len
+        ecfg = EngineConfig.from_ini(stream_ini_path=ref)
+        assert ecfg.tz_offset_seconds == 0  # timezone = UTC+0
+        assert ecfg.threshold_lines == 10000000
+    ref2 = "/root/reference/s3logd/config/example.ini"
+    if os.path.exists(ref2):
+        # [DEFAULT]-section daemon config parses through the same path
+        scfg2 = StreamingJobConfig.from_ini(ref2)
+        assert scfg2.max_files_per_trigger == 10
+    p = tmp_path / "stream.ini"
+    p.write_text(
+        "[STREAM]\nmax_recv_queue_len = 7\n"
+        "[OUTPUT]\nhourly_partition = true\ntimezone = UTC+8\n"
+        "threshold_lines = 1234\nevent_time_key_format = false\n"
+    )
+    scfg = StreamingJobConfig.from_ini(str(p))
+    assert scfg.partition_granularity == "hour"
+    assert scfg.passthrough is True
+    assert scfg.max_files_per_trigger == 7
+    ecfg = EngineConfig.from_ini(stream_ini_path=str(p))
+    assert ecfg.tz_offset_seconds == 8 * 3600
+    assert ecfg.threshold_lines == 1234

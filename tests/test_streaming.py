@@ -151,3 +151,61 @@ def test_stream_processing_time_follow_and_graceful_stop(spark, tmp_path):
         q.stop()  # T6
         q.awaitTermination(60)
     assert not q.isActive
+
+
+def test_manifest_stream_exactly_once_across_restart(spark, tmp_path):
+    """S5 end-to-end: manifests name objects; only those objects are
+    ingested; a restart with new manifests does not reprocess old ones."""
+    import json
+
+    from s3logs_parquet_spark.streaming.job import run_manifest_stream
+
+    objroot = tmp_path / "objects"
+    (objroot / "bkt-a" / "logs").mkdir(parents=True)
+    (objroot / "bkt-b" / "logs").mkdir(parents=True)
+    files = {}
+    for i, (bkt, n) in enumerate([("bkt-a", 120), ("bkt-a", 80), ("bkt-b", 60)]):
+        lines = generate_lines(n, seed=20 + i, base_ts=BASE_TS, dup_fraction=0.0, garbage_fraction=0.0)
+        key = f"logs/obj{i}.log"
+        (objroot / bkt / key).write_text("\n".join(lines) + "\n")
+        files[(bkt, key)] = n
+
+    def manifest_line(bkt, key, event="ObjectCreated:Put"):
+        return json.dumps(
+            {"Records": [{"eventName": event, "s3": {"bucket": {"name": bkt}, "object": {"key": key, "size": 1}}}]}
+        )
+
+    man, out, ckpt = (str(tmp_path / d) for d in ("man", "out", "ckpt"))
+    os.makedirs(man)
+    # first manifest: names obj0 and obj1; names obj2 only under a
+    # REJECTED event type (F2 must drop it); obj2's object exists but
+    # must not be read
+    (tmp_path / "man" / "m0.json").write_text(
+        "\n".join(
+            [
+                manifest_line("bkt-a", "logs/obj0.log"),
+                manifest_line("bkt-a", "logs/obj1.log"),
+                manifest_line("bkt-b", "logs/obj2.log", event="ObjectRemoved:Delete"),
+            ]
+        )
+        + "\n"
+    )
+    scfg = StreamingJobConfig(available_now=True)
+    q = run_manifest_stream(
+        spark, man, out, ckpt, EngineConfig(), scfg, scheme="file://", object_root=str(objroot)
+    )
+    q.awaitTermination(120)
+    t1 = spark.read.parquet(out)
+    assert t1.count() == 200  # obj0 + obj1 only, F2 dropped obj2
+
+    # second manifest names obj2 with an accepted event; restart from
+    # the same checkpoint: m0 is NOT redelivered, only obj2 arrives
+    (tmp_path / "man" / "m1.json").write_text(manifest_line("bkt-b", "logs/obj2.log") + "\n")
+    q2 = run_manifest_stream(
+        spark, man, out, ckpt, EngineConfig(), scfg, scheme="file://", object_root=str(objroot)
+    )
+    q2.awaitTermination(120)
+    t2 = spark.read.parquet(out)
+    assert t2.count() == 260
+    # batch commit dirs are the receipt units: replay-safe overwrite targets
+    assert t2.select("batch").distinct().count() == 2
