@@ -139,7 +139,18 @@ def write_partitioned_parquet(
     parts = [F.col(c) for c in partition_cols]
     if files_per_partition > 1:
         parts.append(F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition)))
-    out = df.repartition(*parts)
+    # Explicit partition count: repartition(*cols) alone lets AQE
+    # coalesce the writer exchange by byte size, which at many-Hive-
+    # partitions/small-bytes shapes collapses to ~1 task writing every
+    # partition file SERIALLY (measured 5.9-9.2 s for a 720-hour span at
+    # sf0.1; 4.1-4.4 s with the count pinned to shuffle.partitions).
+    # A user-specified count is exempt from AQE coalescing, and hash
+    # partitioning on the partition cols still routes each Hive
+    # partition to exactly one task, so the one-file-per-partition
+    # invariant is unchanged — we just keep the write fan-out at the
+    # cluster's configured parallelism.
+    n_tasks = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    out = df.repartition(n_tasks, *parts)
     writer = out.write
     if mode == "overwrite_partitions":
         # idempotent re-run: replace exactly the partitions present in
