@@ -127,20 +127,40 @@ def run_batch_transform(
 ) -> TransformResult:
     """End-to-end: text in, partitioned deduplicated Parquet out.
 
-    ``adaptive_schema`` runs the M3 two-pass widening protocol: pass 1
-    learns max field count; if > 26 the write pass projects nullable
-    ``ExtraField{27..N}`` columns (naming per utils.rs:1217-1222).
+    ``adaptive_schema`` runs the M3 widening protocol: if any
+    parseable line has > 26 fields, the written table projects
+    nullable ``ExtraField{27..N}`` columns (naming per
+    utils.rs:1217-1222). The classic protocol is a dedicated probe
+    pass — a SECOND full read of the input, a 2× read tax at backfill
+    scale. When the destination holds no data yet (the backfill case)
+    we instead write optimistically at the 26-column schema while the
+    same job observes max(n_fields); in the rare wide case the write
+    is redone widened under dynamic partition overwrite, which
+    replaces exactly the partitions pass 1 created — safe because the
+    table was empty. Appends into a non-empty table keep the probe
+    pass: dynamic overwrite there could clobber earlier batches'
+    rows, and incremental batches are small enough that the probe is
+    cheap. (The reference also restarts its file pass on mid-write
+    widening, s3logs/src/utils.rs:1066-1069.)
     Unlike the reference we never crash on empty input
     (divergence noted at SURVEY.md §7.4.6).
     """
+    from pyspark.sql import Observation
+
+    from s3logs_parquet_spark.writer import auto_files_per_partition, output_has_data
+
     cfg = cfg or EngineConfig()
     lines = read_log_lines(spark, input_paths)
 
     extra = 0
+    optimistic = False
     if adaptive_schema:
-        probe = parse_s3_access_log(lines).select("n_fields", "ts")
-        widest = max_field_count(probe.filter(F.col("ts").isNotNull()))
-        extra = max(0, widest - NUM_LOG_FIELDS)
+        if output_has_data(spark, output_path):
+            probe = parse_s3_access_log(lines).select("n_fields", "ts")
+            widest = max_field_count(probe.filter(F.col("ts").isNotNull()))
+            extra = max(0, widest - NUM_LOG_FIELDS)
+        else:
+            optimistic = True
 
     # Metrics ride the write job itself via Observation nodes — no
     # second pass and no output read-back (which double-counted
@@ -148,32 +168,58 @@ def run_batch_transform(
     # construction the SAME ts-not-null predicate the pipeline filters
     # on, not a lookalike regex.
     obs_in = obs_parsed = obs_out = None
-    src = lines
+    obs_width = Observation() if optimistic else None
     if collect_metrics:
-        from pyspark.sql import Observation
-
         obs_in, obs_parsed, obs_out = Observation(), Observation(), Observation()
-        src = lines.observe(obs_in, F.count(F.lit(1)).alias("n"))
-    parsed = parse_s3_access_log(src, extra_fields=extra, extra_prefix=cfg.extra_field_prefix)
-    clean_plain = parsed.filter(F.col("ts").isNotNull())  # F1: drop unparseable
-    clean = (
-        clean_plain.observe(obs_parsed, F.count(F.lit(1)).alias("n"))
-        if collect_metrics
-        else clean_plain
-    )
-    windowed = with_agg_window(clean, align_seconds=cfg.aggregate_second)
-    keyed = with_bucket_key(windowed, cfg)
-    result = dedup_log_rows(keyed, cfg)
-    out_plain = with_partition_columns(result, cfg).drop("n_fields", "ts", "agg_window", "bucket_key")
-    out = (
-        out_plain.observe(obs_out, F.count(F.lit(1)).alias("n"))
-        if collect_metrics
-        else out_plain
-    )
-    from s3logs_parquet_spark.writer import auto_files_per_partition
 
+    def _build(extra_fields: int, observe: bool):
+        src = (
+            lines.observe(obs_in, F.count(F.lit(1)).alias("n"))
+            if observe and collect_metrics
+            else lines
+        )
+        parsed = parse_s3_access_log(
+            src, extra_fields=extra_fields, extra_prefix=cfg.extra_field_prefix
+        )
+        clean_plain = parsed.filter(F.col("ts").isNotNull())  # F1: drop unparseable
+        clean = clean_plain
+        if observe and collect_metrics:
+            clean = clean.observe(obs_parsed, F.count(F.lit(1)).alias("n"))
+        if observe and optimistic:
+            clean = clean.observe(obs_width, F.max("n_fields").alias("m"))
+        windowed = with_agg_window(clean, align_seconds=cfg.aggregate_second)
+        keyed = with_bucket_key(windowed, cfg)
+        result = dedup_log_rows(keyed, cfg)
+        out_plain = with_partition_columns(result, cfg).drop(
+            "n_fields", "ts", "agg_window", "bucket_key"
+        )
+        out = (
+            out_plain.observe(obs_out, F.count(F.lit(1)).alias("n"))
+            if observe and collect_metrics
+            else out_plain
+        )
+        return out, clean_plain, out_plain
+
+    out, clean_plain, out_plain = _build(extra, observe=True)
     salt = auto_files_per_partition(input_paths, spark=spark)
     write_partitioned_parquet(out, output_path, cfg, files_per_partition=salt)
+
+    if optimistic:
+        try:
+            widest = int(obs_width.get["m"] or 0)
+        except Exception:
+            # empty-relation propagation left the observation schema-less
+            widest = max_field_count(clean_plain)
+        extra = max(0, widest - NUM_LOG_FIELDS)
+        if extra > 0:
+            wide, _cp, _op = _build(extra, observe=False)
+            write_partitioned_parquet(
+                wide,
+                output_path,
+                cfg,
+                mode="overwrite_partitions",
+                files_per_partition=salt,
+            )
 
     if corrupt_path is not None:
         # F1 side channel: the reference silently drops unparseable

@@ -113,6 +113,36 @@ def auto_files_per_partition(
     return max(1, min(max_salt, (total + target_input_bytes_per_file - 1) // target_input_bytes_per_file))
 
 
+def output_has_data(spark, path: str) -> bool:
+    """True iff ``path`` exists and holds at least one non-hidden file.
+
+    Goes through Hadoop ``FileSystem`` so s3a://, hdfs:// and local
+    paths all answer correctly on a cluster. The recursive listing is
+    an iterator and stops at the FIRST data file, so the check is O(1)
+    on a populated table; a local-only stat is the no-JVM fallback."""
+    try:
+        jvm = spark._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(hconf)
+        if not fs.exists(jpath):
+            return False
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith("_") and not name.startswith("."):
+                return True
+        return False
+    except Exception:
+        p = path.removeprefix("file://")
+        if not os.path.isdir(p):
+            return os.path.isfile(p)
+        for _r, _d, files in os.walk(p):
+            if any(not f.startswith(("_", ".")) for f in files):
+                return True
+        return False
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,

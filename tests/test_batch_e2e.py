@@ -209,3 +209,34 @@ def test_dedup_early_matches_late(spark):
             )
 
         assert _sig(late) == _sig(early)
+
+
+def test_widening_append_preserves_existing_rows(spark, tmp_path):
+    # Batch 1 populates the table; batch 2 carries >26-field lines.
+    # The optimistic single-pass path is only legal on an empty table
+    # (its widen-rerun uses dynamic partition overwrite); on a
+    # populated one the probe pass must be used so batch 1's rows
+    # survive even when both batches share event-hour partitions.
+    lines1 = generate_lines(200, seed=5, dup_fraction=0.0, garbage_fraction=0.0)
+    lines2 = generate_lines(
+        200, seed=6, dup_fraction=0.0, garbage_fraction=0.0, extra_fraction=0.2
+    )
+    out = str(tmp_path / "out")
+    r1 = run_batch_transform(spark, _write_lines(tmp_path, "b1.txt", lines1), out, EngineConfig())
+    r2 = run_batch_transform(spark, _write_lines(tmp_path, "b2.txt", lines2), out, EngineConfig())
+    assert r1.extra_fields == 0 and r2.extra_fields >= 1
+    table = spark.read.parquet(out)
+    assert table.count() == r1.rows_out + r2.rows_out
+
+
+def test_widening_rerun_does_not_duplicate(spark, tmp_path):
+    # Fresh-table wide batch: pass 1 writes truncated, the widen-rerun
+    # replaces it under dynamic overwrite — net row count must be the
+    # batch's own, not 2x.
+    lines = generate_lines(
+        250, seed=7, dup_fraction=0.0, garbage_fraction=0.0, extra_fraction=0.15
+    )
+    out = str(tmp_path / "out")
+    res = run_batch_transform(spark, _write_lines(tmp_path, "b.txt", lines), out, EngineConfig())
+    assert res.extra_fields >= 1
+    assert spark.read.parquet(out).count() == res.rows_out == 250
