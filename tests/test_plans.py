@@ -64,3 +64,39 @@ def test_minhash_no_cartesian(spark, sf_dir):
     cartesian product."""
     plan = _plan(spark, QUERIES["docs_minhash_lsh_pairs"][0](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_at_scale(spark, sf_dir):
+    """At 100 TB the fact-side scan passes
+    runtime.bloomFilter.applicationSideScanSizeThreshold (10 GB) and a
+    selective dimension filter sprouts a bloom filter on the fact scan
+    (semi-join reduction before the shuffle). Locally we simulate the
+    scale by zeroing the threshold and assert the plan carries
+    might_contain + bloom_filter_agg; at real scale this happens with
+    stock thresholds. Guards against the optimizer rule being disabled
+    by a session-config regression."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = l.join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            l.l_orderkey == o.o_orderkey,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
