@@ -159,21 +159,9 @@ def winnowing_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
     return F.array_sort(F.array_distinct(wins))
 
 
-def winnowing_stats(df, id_col: str, text_col: str, k: int = 5, window: int = 4):
-    """Winnowing fingerprints, Spark-first: posexplode k-grams → rolling
-    min via a rows-window over the gram index → per-doc aggregate of
-    the distinct selected hashes. Whole-stage codegen end to end; the
-    only shuffle is the per-doc sort the analytic window needs (at 100
-    TB, that shuffle is keyed by doc — uniform, high-cardinality).
-
-    Returns (id, n_fp distinct-count, min_fp, max_fp) — the scalar
-    summary used for cross-engine comparison.
-
-    Fully windowed formulation: words posexplode → k-gram via `lead`
-    (concat_ws skips the NULL leads at the tail, reproducing the
-    truncated-slice single gram of short docs) → rolling min → agg.
-    No array lambdas anywhere — 4.6x faster than building grams with
-    transform/slice (3.4 s → 0.7 s at 5000 docs)."""
+def _winnowing_wins(df, id_col: str, text_col: str, k: int, window: int):
+    """Shared winnowing pipeline: (id, _i, _m) rows where _m is the
+    window-min k-gram hash at gram index _i (pre-dedup)."""
     from pyspark.sql import Window as W
 
     ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -192,17 +180,46 @@ def winnowing_stats(df, id_col: str, text_col: str, k: int = 5, window: int = 4)
         .select(id_col, "_i", hash32(F.col("_g")).alias("_h"))
     )
     roll = W.partitionBy(id_col).orderBy("_i").rowsBetween(0, window - 1)
-    wins = grams.select(
+    return grams.select(
         F.col(id_col),
         F.col("_i"),
         F.min("_h").over(roll).alias("_m"),
         F.max("_i").over(per_doc).alias("_last"),
     ).filter(F.col("_i") <= F.greatest(F.col("_last") - F.lit(window - 1), F.lit(0)))
+
+
+def winnowing_stats(df, id_col: str, text_col: str, k: int = 5, window: int = 4):
+    """Winnowing fingerprints, Spark-first: posexplode k-grams → rolling
+    min via a rows-window over the gram index → per-doc aggregate of
+    the distinct selected hashes. Whole-stage codegen end to end; the
+    only shuffle is the per-doc sort the analytic window needs (at 100
+    TB, that shuffle is keyed by doc — uniform, high-cardinality).
+
+    Returns (id, n_fp distinct-count, min_fp, max_fp) — the scalar
+    summary used for cross-engine comparison.
+
+    Fully windowed formulation: words posexplode → k-gram via `lead`
+    (concat_ws skips the NULL leads at the tail, reproducing the
+    truncated-slice single gram of short docs) → rolling min → agg.
+    No array lambdas anywhere — 4.6x faster than building grams with
+    transform/slice (3.4 s → 0.7 s at 5000 docs)."""
+    wins = _winnowing_wins(df, id_col, text_col, k, window)
     return wins.groupBy(id_col).agg(
         F.countDistinct("_m").cast("int").alias("n_fp"),
         F.min("_m").alias("min_fp"),
         F.max("_m").alias("max_fp"),
     )
+
+
+def winnowing_fingerprint_rows(
+    df, id_col: str, text_col: str, k: int = 5, window: int = 4
+):
+    """(id, fp) rows — one row per distinct selected fingerprint per
+    doc. The long-format fingerprint table that contamination checks
+    and fingerprint indexes join on; at scale this is the table you
+    precompute write-side and keep bucketed by fp."""
+    wins = _winnowing_wins(df, id_col, text_col, k, window)
+    return wins.select(F.col(id_col), F.col("_m").alias("fp")).distinct()
 
 
 # --- cleaning / repetition signals ----------------------------------------

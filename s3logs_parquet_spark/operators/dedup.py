@@ -523,3 +523,52 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared_fps: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: drop training docs sharing winnowing
+    fingerprints with an eval/benchmark set — the standard guard
+    against test-set leakage into training data.
+
+    Both sides go through the same winnowing fingerprint extraction
+    (functions/text_analysis.py); a doc is contaminated when it shares
+    >= ``min_shared_fps`` distinct fingerprints with ANY benchmark
+    doc. Returns ``docs`` with an ``is_contaminated`` flag (caller
+    filters or audits).
+
+    Scale shape: the benchmark fingerprint set is small by nature
+    (benchmarks are thousands of docs, not billions) → broadcast
+    semi-join against the exploded corpus fingerprints. Never
+    all-pairs, never a shuffle of the corpus text itself — only
+    (id, fp) longs move. At 100 TB the corpus fingerprint table is the
+    write-side precomputed artifact winnowing_fingerprint_rows
+    documents.
+    """
+    from s3logs_parquet_spark.functions.text_analysis import (
+        winnowing_fingerprint_rows,
+    )
+
+    corpus_fps = winnowing_fingerprint_rows(docs, id_col, text_col, k=k, window=window)
+    bench_fps = (
+        winnowing_fingerprint_rows(benchmark, id_col, text_col, k=k, window=window)
+        .select("fp")
+        .distinct()
+    )
+    hits = (
+        corpus_fps.join(F.broadcast(bench_fps), "fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_shared"))
+        .filter(F.col("_n_shared") >= min_shared_fps)
+        .select(id_col)
+    )
+    return docs.join(
+        hits.withColumn("is_contaminated", F.lit(True)), id_col, "left"
+    ).withColumn("is_contaminated", F.coalesce(F.col("is_contaminated"), F.lit(False)))

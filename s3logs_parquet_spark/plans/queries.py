@@ -1671,6 +1671,117 @@ WHERE event_type IN ('view', 'click')
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit: winnowing-fingerprint overlap
+    between the corpus and a held-out benchmark set (doc_id % 7 == 0
+    here), per-source contamination counts. The corpus never
+    all-pairs: exploded (id, fp) longs semi-join a BROADCAST benchmark
+    fingerprint set (operators/dedup.py:decontaminate)."""
+    from s3logs_parquet_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    flagged = decontaminate(corpus, bench, k=5, window=4)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_contaminated").cast("bigint")).alias("n_contaminated"),
+    )
+
+
+ORACLE_DOCS_DECONTAMINATE = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, greatest(len(ws) - 5, 0)),
+                        i -> {hash32_sql("array_to_string(array_slice(ws, i + 1, i + 5), ' ')")}) AS grams
+  FROM w
+), win AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(generate_series(0, greatest(len(grams) - 4, 0)),
+                          i -> list_min(array_slice(grams, i + 1, i + 4)))) AS fps
+  FROM g
+), fps AS (
+  SELECT doc_id, unnest(fps) AS fp FROM win
+), bench AS (
+  SELECT DISTINCT fp FROM fps WHERE doc_id % 7 = 0
+), hits AS (
+  SELECT DISTINCT f.doc_id FROM fps f JOIN bench b USING (fp)
+  WHERE f.doc_id % 7 <> 0
+)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       count(h.doc_id)::BIGINT AS n_contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 7 <> 0
+GROUP BY d.source
+"""
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-source rates (5-15%,
+    derived from the portable hash of the source name — no config
+    table needed for the differential test) applied via content-hash
+    thresholding. Map-only + one aggregate; identical row selection on
+    any engine/partitioning."""
+    from s3logs_parquet_spark.functions.hashing import hash32
+
+    d = _t(spark, sf_dir, "documents")
+    rate = F.lit(5) + F.pmod(hash32(F.col("source")), F.lit(11))
+    sampled = F.pmod(hash32(F.col("doc_id").cast("string")), F.lit(100)) < rate
+    return d.select("source", "doc_id", sampled.alias("_s")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_s").cast("bigint")).alias("n_sampled"),
+        F.min(F.when(F.col("_s"), F.col("doc_id"))).alias("min_sampled_id"),
+    )
+
+
+ORACLE_DOCS_STRATIFIED = f"""
+WITH s AS (
+  SELECT source, doc_id,
+         ({hash32_sql("doc_id::VARCHAR")} % 100
+            < 5 + ({hash32_sql("source")} % 11)) AS sampled
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(*) FILTER (WHERE sampled)::BIGINT AS n_sampled,
+       min(doc_id) FILTER (WHERE sampled) AS min_sampled_id
+FROM s GROUP BY source
+"""
+
+
+def q_docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: the corpus ordered by content
+    hash (ties by id) — the reproducible pseudo-random permutation a
+    training run reads. At scale `orderBy(hash)` is a range-partitioned
+    sort (sampled boundaries, no single-reducer); here the first 50
+    positions are returned via distributed top-k + a 50-row window."""
+    from pyspark.sql import Window as W
+
+    from s3logs_parquet_spark.functions.hashing import hash32
+
+    d = _t(spark, sf_dir, "documents")
+    top = (
+        d.select(hash32(F.col("doc_id").cast("string")).alias("_h"), "doc_id")
+        .orderBy("_h", "doc_id")
+        .limit(50)
+    )
+    pos = F.row_number().over(W.orderBy("_h", "doc_id"))
+    return top.select(pos.alias("pos"), "doc_id")
+
+
+ORACLE_DOCS_GLOBAL_SHUFFLE = f"""
+WITH h AS (
+  SELECT doc_id, {hash32_sql("doc_id::VARCHAR")} AS hh FROM documents
+)
+SELECT row_number() OVER (ORDER BY hh, doc_id)::INT AS pos, doc_id
+FROM h ORDER BY hh, doc_id LIMIT 50
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "tpch_q1_pricing_summary": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3_shipping_priority": (q_tpch_q3, ORACLE_TPCH_Q3),
@@ -1714,6 +1825,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_leakage_safe_split": (q_docs_leakage_safe_split, _oracle_leakage_split()),
     "docs_dup_rate_by_source": (q_docs_dup_rate_by_source, ORACLE_DOCS_DUP_RATE),
     "docs_curation_pipeline": (q_docs_curation_pipeline, _oracle_curation()),
+    "docs_decontaminate": (q_docs_decontaminate, ORACLE_DOCS_DECONTAMINATE),
+    "docs_stratified_sample": (q_docs_stratified_sample, ORACLE_DOCS_STRATIFIED),
+    "docs_global_shuffle": (q_docs_global_shuffle, ORACLE_DOCS_GLOBAL_SHUFFLE),
     "docs_clean_and_repetition": (q_docs_clean_and_repetition, ORACLE_DOCS_CLEAN_REP),
     "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
     "emb_lsh_topk": (q_emb_lsh_topk, _oracle_emb_lsh()),

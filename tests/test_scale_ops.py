@@ -149,3 +149,54 @@ def test_auto_salt_sizes_via_hadoop_fs(spark, tmp_path):
     assert salt_dir == 4
     # no-session fallback still works on plain local paths
     assert auto_files_per_partition(str(big), target_input_bytes_per_file=256 * 1024) == 4
+
+
+def test_decontaminate_flags_planted_copy(spark):
+    from s3logs_parquet_spark.operators.dedup import decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, bench_text + " with a tiny suffix appended"),  # shares 5-gram windows
+        (2, "completely unrelated content about spark physical plans and shuffles here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = {r["doc_id"]: r["is_contaminated"] for r in decontaminate(docs, bench).collect()}
+    assert out == {1: True, 2: False}
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    from s3logs_parquet_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} filler text goes here padding tokens more words {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = docs.limit(2)
+    plan = decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_winnowing_rows_agree_with_stats(spark):
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.functions.text_analysis import (
+        winnowing_fingerprint_rows,
+        winnowing_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{(i * 7 + j) % 13}" for j in range(30))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    stats = winnowing_stats(docs, "doc_id", "text")
+    from_rows = (
+        winnowing_fingerprint_rows(docs, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_fp"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
+    assert sorted(stats.collect()) == sorted(from_rows.collect())
