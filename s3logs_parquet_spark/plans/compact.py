@@ -11,25 +11,32 @@ below the threshold, rewrite it with files sized to
 swapped in per-partition (directory rename) so readers never see a
 partial partition — the same atomic-rename commit idea as the
 reference's `.incomplete` protocol (W4), applied at partition
-granularity.
+granularity. All filesystem traffic goes through Hadoop
+``FileSystem`` (fsutil), so the table may live on s3a://hdfs://
+as well as locally; note the swap rename is atomic on HDFS/local but
+copy+delete on object stores — on S3, schedule compaction against
+quiescent partitions (the reference's quiescence predicate F3 exists
+for the same reason).
 """
 
 from __future__ import annotations
 
-import os
-import shutil
+import posixpath
 import uuid
 
 from pyspark.sql import SparkSession
 
+from s3logs_parquet_spark.fsutil import delete, list_files, rename
 
-def _partition_dirs(root: str) -> list[str]:
+
+def _partition_dirs(spark: SparkSession, root: str) -> list[str]:
     """Leaf partition directories (those containing data files)."""
-    out = []
-    for dirpath, _dirnames, filenames in os.walk(root):
-        if any(f.endswith(".parquet") for f in filenames):
-            out.append(dirpath)
-    return sorted(out)
+    dirs = {
+        posixpath.dirname(f.path)
+        for f in list_files(spark, root, recursive=True)
+        if f.name.endswith(".parquet")
+    }
+    return sorted(dirs)
 
 
 def compact_partitions(
@@ -47,24 +54,26 @@ def compact_partitions(
     once; here sequential keeps it simple and test-friendly).
     """
     results: dict[str, tuple[int, int]] = {}
-    for pdir in _partition_dirs(table_path):
-        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    for pdir in _partition_dirs(spark, table_path):
+        files = [f for f in list_files(spark, pdir) if f.name.endswith(".parquet")]
         if len(files) < min_files_to_compact:
             continue
-        total = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        total = sum(f.size for f in files)
         n_target = max(1, (total + target_file_bytes - 1) // target_file_bytes)
         if n_target >= len(files):
             continue
         df = spark.read.parquet(pdir)
-        tmp = os.path.join(
-            os.path.dirname(pdir), f".compact-{uuid.uuid4().hex[:8]}-{os.path.basename(pdir)}"
-        )
+        parent = posixpath.dirname(pdir)
+        base = posixpath.basename(pdir)
+        tmp = posixpath.join(parent, f".compact-{uuid.uuid4().hex[:8]}-{base}")
         df.coalesce(int(n_target)).write.mode("overwrite").parquet(tmp)
         # W4-style swap: move old out, rename new in, drop old
         old = pdir + ".old"
-        os.rename(pdir, old)
-        os.rename(tmp, pdir)
-        shutil.rmtree(old)
-        after = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
+        rename(spark, pdir, old)
+        rename(spark, tmp, pdir)
+        delete(spark, old)
+        after = len(
+            [f for f in list_files(spark, pdir) if f.name.endswith(".parquet")]
+        )
         results[pdir] = (len(files), after)
     return results

@@ -58,25 +58,39 @@ def scan_stagging_dir(
     quiescence_seconds: int = 600,
     suffix: str = ".s3logs",
     now: float | None = None,
+    spark: SparkSession | None = None,
 ) -> list[str]:
     """S3/F3/F4 — the transform stage's input selection: files under
     ``root`` with a valid staging name, not mid-processing, whose mtime
     is older than the quiescence interval (is_process_target,
     utils.rs:896-909). Driver-side listing (cheap: file *names*, not
-    data); the data read stays distributed via read_log_lines."""
+    data); the data read stays distributed via read_log_lines.
+
+    With ``spark`` given, the listing goes through Hadoop
+    ``FileSystem`` so a staging tier on s3a://hdfs:// is scanned
+    correctly; plain ``os.listdir`` is the no-session local fallback."""
     import re
 
     now = now if now is not None else time.time()
-    out: list[str] = []
     pat = re.compile(STAGGING_FILE_PATTERN)
-    for name in sorted(os.listdir(root)):
-        m = pat.search(name)
-        if not m:
+
+    if spark is not None:
+        from s3logs_parquet_spark.fsutil import list_files
+
+        candidates = [(f.path, f.name, f.mtime) for f in list_files(spark, root)]
+    else:
+        candidates = []
+        for name in sorted(os.listdir(root)):
+            full = os.path.join(root, name)
+            candidates.append((full, name, os.path.getmtime(full)))
+
+    out: list[str] = []
+    for full, name, mtime in candidates:
+        if not pat.search(name):
             continue
         if not name.endswith(suffix):  # e.g. .processing files excluded
             continue
-        full = os.path.join(root, name)
-        if os.path.getmtime(full) > now - quiescence_seconds:
+        if mtime > now - quiescence_seconds:
             continue
         out.append(full)
     return out

@@ -179,3 +179,29 @@ def test_ini_stream_daemon_verbatim(tmp_path):
     ecfg = EngineConfig.from_ini(stream_ini_path=str(p))
     assert ecfg.tz_offset_seconds == 8 * 3600
     assert ecfg.threshold_lines == 1234
+
+
+def test_scan_stagging_via_hadoop_fs(spark, tmp_path):
+    # same predicates through the Hadoop FileSystem listing (the
+    # cluster path for an s3a:// staging tier) — identical selection.
+    now = time.time()
+    old = now - 1200
+
+    def mk(name, mtime):
+        p = tmp_path / name
+        p.write_text("x\n")
+        os.utime(p, (mtime, mtime))
+
+    mk("bucket-a_2024-05-12-08-00-00+0000.s3logs", old)
+    mk("bucket-b_2024-05-12-08-15-00+0000.s3logs", now)
+    mk("bucket-c_2024-05-12-08-30-00+0000.s3logs.processing", old)
+    mk("bucket-d_2024-05-12-08-45-00+0000.s3logs", old)
+
+    got = [
+        os.path.basename(p)
+        for p in scan_stagging_dir(str(tmp_path), quiescence_seconds=600, spark=spark)
+    ]
+    assert got == [
+        "bucket-a_2024-05-12-08-00-00+0000.s3logs",
+        "bucket-d_2024-05-12-08-45-00+0000.s3logs",
+    ]
