@@ -85,7 +85,14 @@ def main() -> None:
         etl_stats = {}
         for shape, ev in (("log_etl", events), ("log_etl_dense", dense_events)):
             lines_path = os.path.join(work, f"lines_{shape}")
-            _synthetic_log_lines(ev).write.mode("overwrite").text(lines_path)
+            # many input objects, like production S3 access logs (the
+            # reference consumes thousands of small objects); a 1-2
+            # file layout would cap the map stage at 1-2 input splits
+            # and benchmark the file count, not the engine
+            n_objects = int(spark.sparkContext.defaultParallelism)
+            _synthetic_log_lines(ev).repartition(n_objects).write.mode(
+                "overwrite"
+            ).text(lines_path)
             n_lines = spark.read.text(lines_path).count()
             out_path = os.path.join(work, f"out_{shape}")
             cfg = EngineConfig()
