@@ -1789,6 +1789,65 @@ FROM h ORDER BY hh, doc_id LIMIT 50
 """
 
 
+def q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each error event, the most recent click by the
+    same user at-or-before it (backward-inclusive). Spark has no ASOF
+    primitive — operators/temporal.py re-expresses it as union + one
+    keyed analytic window (single shuffle, no join explosion); DuckDB
+    runs its native ASOF JOIN as the oracle."""
+    from s3logs_parquet_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    j = asof_join(err, clk, time_col="ts", by=["user_id"], right_cols=["event_id"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("err_epoch"),
+        F.col("event_id_r").alias("click_id"),
+        F.unix_timestamp("ts_r").alias("click_epoch"),
+    )
+
+
+ORACLE_EVENTS_ASOF = """
+SELECT a.event_id, a.user_id,
+       floor(epoch(a.ts))::BIGINT AS err_epoch,
+       b.event_id AS click_id,
+       floor(epoch(b.ts))::BIGINT AS click_epoch
+FROM (SELECT * FROM events WHERE event_type = 'error') a
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
+def q_events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per-user pairs of events within a 7200 s window
+    (l.ts < r.ts <= l.ts + 7200). A raw inequality join would be
+    nested-loop at scale; operators/temporal.py bins time to
+    window-width buckets and equi-joins adjacent bins, bounding
+    candidates by per-window density."""
+    from s3logs_parquet_spark.operators.temporal import range_join_binned
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    p = range_join_binned(e, e, time_col="ts", by=["user_id"], window_seconds=7200)
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.unix_timestamp("ts_r") - F.unix_timestamp("ts")
+        ).alias("total_gap_s"),
+    )
+
+
+ORACLE_EVENTS_RANGE_PAIRS = """
+SELECT a.user_id, count(*) AS n_pairs,
+       sum(floor(epoch(b.ts))::BIGINT - floor(epoch(a.ts))::BIGINT)::BIGINT AS total_gap_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 7200 SECOND
+GROUP BY a.user_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "tpch_q1_pricing_summary": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3_shipping_priority": (q_tpch_q3, ORACLE_TPCH_Q3),
@@ -1812,6 +1871,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_sliding_means": (q_events_sliding, ORACLE_EVENTS_SLIDING),
     "events_session_windows": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_json_props": (q_events_json_props, ORACLE_EVENTS_JSON_PROPS),
+    "events_asof_click": (q_events_asof_click, ORACLE_EVENTS_ASOF),
+    "events_range_pairs": (q_events_range_pairs, ORACLE_EVENTS_RANGE_PAIRS),
     "log_schema_widening": (q_log_schema_widening, ORACLE_LOG_SCHEMA_WIDENING),
     "partition_prefix_tz": (q_partition_prefix_tz, ORACLE_PARTITION_PREFIX_TZ),
     "s3log_pipeline_roundtrip": (q_log_pipeline, ORACLE_LOG_PIPELINE),

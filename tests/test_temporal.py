@@ -1,0 +1,84 @@
+"""As-of and binned range join: ground-truth semantics + plan shape."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.operators.temporal import asof_join, range_join_binned
+
+
+def _ts(s):
+    return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(100)), (2, 1, _ts(200)), (3, 1, _ts(50)), (4, 2, _ts(100))],
+        "lid long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, _ts(90)), (11, 1, _ts(100)), (12, 1, _ts(150)), (13, 3, _ts(10))],
+        "rid long, user_id long, ts timestamp",
+    )
+    out = asof_join(left, right, by=["user_id"], right_cols=["rid"])
+    got = {r["lid"]: r["rid_r"] for r in out.collect()}
+    # lid=1 at t=100: rid=11 (equal ts IS matched, backward-inclusive)
+    # lid=2 at t=200: rid=12 (most recent <= 200)
+    # lid=3 at t=50: no right row yet -> dropped (inner)
+    # lid=4 user 2: no right rows -> dropped
+    assert got == {1: 11, 2: 12}
+
+    outer = asof_join(left, right, by=["user_id"], right_cols=["rid"], inner=False)
+    got = {r["lid"]: r["rid_r"] for r in outer.collect()}
+    assert got == {1: 11, 2: 12, 3: None, 4: None}
+
+
+def test_asof_join_single_shuffle(spark):
+    left = spark.createDataFrame([(1, 1, _ts(100))], "lid long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(10, 1, _ts(90))], "rid long, user_id long, ts timestamp")
+    plan = (
+        asof_join(left, right, by=["user_id"], right_cols=["rid"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # union + window: exactly one exchange, no join operator at all
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_range_join_matches_naive(spark):
+    rows = [(i, i % 3, _ts(1000 + 37 * i)) for i in range(120)]
+    e = spark.createDataFrame(rows, "eid long, user_id long, ts timestamp")
+    binned = range_join_binned(e, e, by=["user_id"], window_seconds=200)
+    naive = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            on=[
+                F.col("a.user_id") == F.col("b.user_id"),
+                F.col("b.ts") > F.col("a.ts"),
+                F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 200 SECOND"),
+            ],
+        )
+        .select(F.col("a.eid").alias("eid"), F.col("b.eid").alias("eid_r"))
+    )
+    got = sorted((r["eid"], r["eid_r"]) for r in binned.select("eid", "eid_r").collect())
+    want = sorted((r["eid"], r["eid_r"]) for r in naive.collect())
+    assert got == want and len(want) > 0
+
+
+def test_range_join_is_equi_join(spark):
+    e = spark.createDataFrame([(1, 1, _ts(0))], "eid long, user_id long, ts timestamp")
+    plan = (
+        range_join_binned(e, e, by=["user_id"], window_seconds=60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # candidate generation must be a hash-partitioned equi-join on
+    # (key, bin) -- never a nested-loop/cartesian over the inequality
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
