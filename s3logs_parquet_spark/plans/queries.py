@@ -1848,6 +1848,47 @@ GROUP BY a.user_id
 """
 
 
+def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event_type (users), checked
+    against its exact value AND the oracle's identical computation.
+    Unlike HLL (engine-specific registers), KMV over the portable hash
+    is a deterministic function of the data, so even the ESTIMATE is
+    value-checkable cross-engine (operators/sketches.py)."""
+    from s3logs_parquet_spark.operators.sketches import kmv_distinct
+
+    e = _t(spark, sf_dir, "events")
+    sk = kmv_distinct(e, ["event_type"], "user_id", k=64)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type")
+
+
+ORACLE_EVENTS_KMV = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {hash32_sql("user_id::VARCHAR")} AS h FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+), per_group AS (
+  SELECT event_type, count(*)::BIGINT AS n_seen, max(h) AS hk
+  FROM ranked WHERE rn <= 64 GROUP BY event_type
+), est AS (
+  SELECT event_type, n_seen,
+         round(CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
+                    ELSE 63.0 / ((hk::DOUBLE + 1.0) / 4294967296.0) END,
+               4) AS est_distinct
+  FROM per_group
+)
+SELECT e.event_type, e.n_seen, e.est_distinct, x.exact_distinct
+FROM est e JOIN (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY event_type
+) x USING (event_type)
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "tpch_q1_pricing_summary": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3_shipping_priority": (q_tpch_q3, ORACLE_TPCH_Q3),
@@ -1873,6 +1914,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_json_props": (q_events_json_props, ORACLE_EVENTS_JSON_PROPS),
     "events_asof_click": (q_events_asof_click, ORACLE_EVENTS_ASOF),
     "events_range_pairs": (q_events_range_pairs, ORACLE_EVENTS_RANGE_PAIRS),
+    "events_kmv_distinct": (q_events_kmv_distinct, ORACLE_EVENTS_KMV),
     "log_schema_widening": (q_log_schema_widening, ORACLE_LOG_SCHEMA_WIDENING),
     "partition_prefix_tz": (q_partition_prefix_tz, ORACLE_PARTITION_PREFIX_TZ),
     "s3log_pipeline_roundtrip": (q_log_pipeline, ORACLE_LOG_PIPELINE),

@@ -200,3 +200,26 @@ def test_winnowing_rows_agree_with_stats(spark):
         )
     )
     assert sorted(stats.collect()) == sorted(from_rows.collect())
+
+
+def test_kmv_estimate_accuracy_and_small_set_rule(spark):
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.operators.sketches import kmv_distinct
+
+    # group "big": 5000 distinct values (estimate, rel-err ~ 1/sqrt(k));
+    # group "small": 30 distinct (< k -> exact by the small-set rule)
+    big = spark.range(5000).select(
+        F.lit("big").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    small = spark.range(30).select(
+        F.lit("small").alias("g"), F.concat(F.lit("w"), F.col("id")).alias("v")
+    )
+    out = {
+        r["g"]: r
+        for r in kmv_distinct(big.union(small), ["g"], "v", k=256).collect()
+    }
+    assert out["small"]["n_seen"] == 30
+    assert out["small"]["est_distinct"] == 30.0
+    est = out["big"]["est_distinct"]
+    assert abs(est - 5000) / 5000 < 0.25  # 4 sigma at k=256
