@@ -100,3 +100,25 @@ def test_runtime_bloom_filter_injects_at_scale(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partitioned_table_readback_prunes(spark, tmp_path):
+    """The table the engine writes must be partition-prunable on read:
+    a year/hour predicate becomes PartitionFilters on the scan (pruned
+    at the directory level — at 100 TB this is the difference between
+    touching one hour and listing the table)."""
+    from s3logs_parquet_spark.config import EngineConfig
+    from s3logs_parquet_spark.plans.batch import run_batch_transform
+    from s3logs_parquet_spark.testing import generate_lines
+
+    inp = tmp_path / "logs.txt"
+    inp.write_text(
+        "\n".join(generate_lines(500, seed=9, span_seconds=3 * 3600)) + "\n"
+    )
+    out = str(tmp_path / "table")
+    run_batch_transform(spark, str(inp), out, EngineConfig())
+
+    df = spark.read.parquet(out).filter("hour = 8")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "hour" in plan
+    assert df.count() > 0
