@@ -82,3 +82,41 @@ def test_range_join_is_equi_join(spark):
     # (key, bin) -- never a nested-loop/cartesian over the inequality
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_times = st.integers(min_value=0, max_value=5000)
+_users = st.integers(min_value=0, max_value=2)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lefts=st.lists(st.tuples(_users, _times), min_size=1, max_size=25, unique=True),
+    rights=st.lists(st.tuples(_users, _times), min_size=1, max_size=25, unique=True),
+)
+def test_asof_matches_python_model(spark, lefts, rights):
+    left = spark.createDataFrame(
+        [(i, u, _ts(t)) for i, (u, t) in enumerate(lefts)],
+        "lid long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, u, _ts(t)) for i, (u, t) in enumerate(rights)],
+        "rid long, user_id long, ts timestamp",
+    )
+    out = asof_join(left, right, by=["user_id"], right_cols=["rid"], inner=False)
+    got = {r["lid"]: r["rid_r"] for r in out.collect()}
+
+    # python model: most recent right at-or-before, ties on ts broken
+    # toward the later-sorted right row (max rid among equal ts, since
+    # the window orders right rows by ts then stable input order is not
+    # guaranteed -- generate unique (user, ts) pairs so ties can't occur)
+    expect = {}
+    for i, (u, t) in enumerate(lefts):
+        best = None
+        for j, (v, s) in enumerate(rights):
+            if v == u and s <= t and (best is None or s > best[0]):
+                best = (s, j)
+        expect[i] = best[1] if best else None
+    assert got == expect
