@@ -1889,10 +1889,168 @@ FROM est e JOIN (
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue-change shape: pure scan→filter→agg with all
+    three predicates pushed to the parquet scan; no shuffle beyond the
+    single-row final aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: fact ⋈ three broadcast dims, group on
+    customer attributes, engine-independent top-20 (revenue desc,
+    custkey tie-break). Revenue is summed as per-item rounded CENTS —
+    an integer sum is order-independent, where round(float-sum, 2)
+    diverged between engines by one cent on a half-ulp boundary."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect shape: fact ⋈ broadcast part, conditional
+    aggregate ratio in one pass (no second scan for the numerator)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_TPCH_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer shape: aggregate-then-join — the HAVING
+    filter reduces lineitem to qualifying orderkeys BEFORE the joins
+    (semi-join reduction by hand), so only large orders' rows reach
+    the customer/orders join."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey"),
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 300
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS totalprice, sum_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "tpch_q1_pricing_summary": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3_shipping_priority": (q_tpch_q3, ORACLE_TPCH_Q3),
     "tpch_q5_local_supplier_volume": (q_tpch_q5, ORACLE_TPCH_Q5),
+    "tpch_q6_forecast_revenue": (q_tpch_q6, ORACLE_TPCH_Q6),
+    "tpch_q10_returned_items": (q_tpch_q10, ORACLE_TPCH_Q10),
+    "tpch_q14_promo_effect": (q_tpch_q14, ORACLE_TPCH_Q14),
+    "tpch_q18_large_volume": (q_tpch_q18, ORACLE_TPCH_Q18),
     "part_topk_price": (q_part_topk, ORACLE_PART_TOPK),
     "orders_distinct_agg": (q_orders_distinct, ORACLE_ORDERS_DISTINCT),
     "customer_orders_left_join": (q_customer_order_left, ORACLE_CUSTOMER_ORDER_LEFT),
