@@ -80,6 +80,10 @@ class EngineConfig:
 
     # training-data / query-layer extensions (no reference counterpart)
     shuffle_partitions: int = 32
+    # dedup BEFORE the full parse (cheap prefix-regex key) — wins on
+    # redelivery-heavy backfills; see plans/batch.py:parse_and_dedup
+    # and the PERF.md measurements. Env: SPARK_GRAFT_DEDUP_EARLY.
+    dedup_early: bool = False
 
     def __post_init__(self) -> None:
         if self.aggregate_second < self.stagging_second:
@@ -144,6 +148,7 @@ class EngineConfig:
             tz_offset_seconds=parse_posix_tz_offset(tz),
             compression=_env_str("S3LOGS_TRANSFORM_PARQUET_COMPRESSION", "gzip"),
             bulk_lines=_env_int("S3LOGS_TRANSFORM_PARQUET_WRTIER_BULK_LINES", 200_000),
+            dedup_early=_env_bool("SPARK_GRAFT_DEDUP_EARLY", False),
         )
 
 

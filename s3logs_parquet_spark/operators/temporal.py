@@ -62,31 +62,31 @@ def asof_join(
         *[F.col(c).alias(c) for c in right_cols],
     )
     rt = right.select(
-        *by, F.col(time_col), F.lit(0).alias("_side"), payload.alias("_p")
+        *by, F.col(time_col), F.lit(0).alias("__asof_side"), payload.alias("__asof_p")
     )
     left_cols = [c for c in left.columns if c not in by and c != time_col]
     lt = left.select(
         *by,
         F.col(time_col),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(rt.schema["_p"].dataType).alias("_p"),
+        F.lit(1).alias("__asof_side"),
+        F.lit(None).cast(rt.schema["__asof_p"].dataType).alias("__asof_p"),
         *left_cols,
     )
     # right rows (side 0) sort before left rows at an equal timestamp,
     # so an exactly-simultaneous right row IS matched (inclusive)
-    u = lt.unionByName(rt.select(*by, time_col, "_side", "_p"), allowMissingColumns=True)
+    u = lt.unionByName(rt.select(*by, time_col, "__asof_side", "__asof_p"), allowMissingColumns=True)
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(time_col), F.col("_side"))
+        .orderBy(F.col(time_col), F.col("__asof_side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = u.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
-    out = filled.filter(F.col("_side") == 1).drop("_side", "_p")
+    filled = u.withColumn("__asof_m", F.last("__asof_p", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__asof_side") == 1).drop("__asof_side", "__asof_p")
     if inner:
-        out = out.filter(F.col("_m").isNotNull())
+        out = out.filter(F.col("__asof_m").isNotNull())
     for c in [time_col, *right_cols]:
-        out = out.withColumn(f"{c}{suffix}", F.col("_m")[c])
-    return out.drop("_m")
+        out = out.withColumn(f"{c}{suffix}", F.col("__asof_m")[c])
+    return out.drop("__asof_m")
 
 
 def range_join_binned(
@@ -111,20 +111,20 @@ def range_join_binned(
     by = list(by)
     w_us = int(window_seconds) * 1_000_000
 
-    lt = left.withColumn("_tus", F.unix_micros(F.col(time_col)))
-    rt = right.withColumn("_tus", F.unix_micros(F.col(time_col)))
-    rt = rt.withColumn("_bin", (F.col("_tus") / w_us).cast("long"))
-    cand = lt.withColumn("_b0", (F.col("_tus") / w_us).cast("long")).withColumn(
-        "_bin", F.explode(F.array(F.col("_b0"), F.col("_b0") + 1))
+    lt = left.withColumn("__rjb_tus", F.unix_micros(F.col(time_col)))
+    rt = right.withColumn("__rjb_tus", F.unix_micros(F.col(time_col)))
+    rt = rt.withColumn("__rjb_bin", (F.col("__rjb_tus") / w_us).cast("long"))
+    cand = lt.withColumn("__rjb_b0", (F.col("__rjb_tus") / w_us).cast("long")).withColumn(
+        "__rjb_bin", F.explode(F.array(F.col("__rjb_b0"), F.col("__rjb_b0") + 1))
     )
 
     keep_r = [c for c in right.columns if c not in by]
     r = rt.select(
-        *by, "_bin", F.col("_tus").alias("_tus_r"),
+        *by, "__rjb_bin", F.col("__rjb_tus").alias("__rjb_tus_r"),
         *[F.col(c).alias(f"{c}{suffix}") for c in keep_r],
     )
-    j = cand.join(r, on=[*by, "_bin"])
+    j = cand.join(r, on=[*by, "__rjb_bin"])
     out = j.filter(
-        (F.col("_tus_r") > F.col("_tus")) & (F.col("_tus_r") <= F.col("_tus") + w_us)
+        (F.col("__rjb_tus_r") > F.col("__rjb_tus")) & (F.col("__rjb_tus_r") <= F.col("__rjb_tus") + w_us)
     )
-    return out.drop("_tus", "_tus_r", "_bin", "_b0")
+    return out.drop("__rjb_tus", "__rjb_tus_r", "__rjb_bin", "__rjb_b0")

@@ -72,7 +72,7 @@ def parse_and_dedup(
     redelivery duplication is non-trivial; the prefix extraction is
     extra map work when dup_rate ≈ 0 (measured numbers in PERF.md).
     """
-    if dedup_early and cfg.deduplication:
+    if (dedup_early or cfg.dedup_early) and cfg.deduplication:
         from s3logs_parquet_spark.config import ALLBUCKETS
         from s3logs_parquet_spark.functions.parse import extract_bucket
         from s3logs_parquet_spark.functions.timeops import window_start
