@@ -2043,6 +2043,39 @@ LIMIT 20
 """
 
 
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-rollup aggregate shape (plans/rollup.py):
+    hourly window × event_type with mergeable aggregates. Value sums
+    are per-item integer cents so the differential is order-independent
+    (same discipline as tpch_q10); the incremental-maintenance path
+    (partition-scoped merge) is pytest-gated in test_rollup.py."""
+    e = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = (epoch - F.pmod(epoch, F.lit(3600))).alias("w")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.select(w, "event_type", F.col("value"), cents.alias("_c"))
+        .groupBy("w", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_c").alias("sum_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+ORACLE_EVENTS_HOURLY_ROLLUP = """
+SELECT floor(epoch(ts))::BIGINT - floor(epoch(ts))::BIGINT % 3600 AS w,
+       event_type,
+       count(*) AS n_rows,
+       sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "tpch_q1_pricing_summary": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3_shipping_priority": (q_tpch_q3, ORACLE_TPCH_Q3),
@@ -2073,6 +2106,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_asof_click": (q_events_asof_click, ORACLE_EVENTS_ASOF),
     "events_range_pairs": (q_events_range_pairs, ORACLE_EVENTS_RANGE_PAIRS),
     "events_kmv_distinct": (q_events_kmv_distinct, ORACLE_EVENTS_KMV),
+    "events_hourly_rollup": (q_events_hourly_rollup, ORACLE_EVENTS_HOURLY_ROLLUP),
     "log_schema_widening": (q_log_schema_widening, ORACLE_LOG_SCHEMA_WIDENING),
     "partition_prefix_tz": (q_partition_prefix_tz, ORACLE_PARTITION_PREFIX_TZ),
     "s3log_pipeline_roundtrip": (q_log_pipeline, ORACLE_LOG_PIPELINE),
