@@ -164,6 +164,113 @@ def minhash_signatures(
     return mins.select(id_col, sig)
 
 
+def minhash_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    materialize: bool = True,
+    durable: bool = False,
+) -> DataFrame:
+    """(id, signature, band, band_hash) — the LSH index in long form.
+
+    This is the table you PERSIST at scale (write-side precompute,
+    bucketed by (band, band_hash)): both the corpus self-join
+    (minhash_lsh_pairs) and continuous-ingest incremental dedup
+    (incremental_neardup_pairs) are joins against it."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
+    if materialize:
+        sigs = _materialize(sigs, durable)
+    return sigs.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "signature", "bk.band", "bk.band_hash")
+
+
+def _pair_est_jaccard(pairs: DataFrame, num_hashes: int) -> Column:
+    return (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(num_hashes)
+    ).cast("double")
+
+
+def incremental_neardup_pairs(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    materialize: bool = True,
+    durable: bool = False,
+) -> DataFrame:
+    """Continuous-ingest dedup: near-dup pairs between a NEW batch and
+    the EXISTING corpus, via its persisted LSH index.
+
+    ``corpus_index`` is a minhash_banded output — typically read back
+    from a table, NOT recomputed: the incremental cost is
+    O(batch signatures + bucket-matched candidates), independent of
+    corpus size. The batch side is banded with the same parameters and
+    equi-joined on (band, band_hash); no corpus self-pairs, no batch
+    self-pairs (run minhash_lsh_pairs on the batch for those).
+
+    Returns (batch_id, corpus_id, est_jaccard) — a batch doc with any
+    row here is a near-dup of history and gets dropped/linked by the
+    caller's policy.
+    """
+    bb = minhash_banded(
+        batch, id_col, text_col, num_hashes, bands, shingle_k, seed, materialize, durable
+    )
+    l, r = bb.alias("l"), corpus_index.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("batch_id"),
+            F.col(f"r.{id_col}").alias("corpus_id"),
+            F.col("l.signature").alias("sig_a"),
+            F.col("r.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    est = _pair_est_jaccard(pairs, num_hashes)
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("batch_id", "corpus_id", "est_jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -194,29 +301,9 @@ def minhash_lsh_pairs(
     persisting signatures as a table (write-side precompute); disable
     only if you need a pure unexecuted plan.
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
-    if materialize:
-        sigs = _materialize(sigs, durable)
-
-    banded = sigs.select(
-        F.col(id_col),
-        F.col("signature"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "signature", "bk.band", "bk.band_hash")
+    banded = minhash_banded(
+        df, id_col, text_col, num_hashes, bands, shingle_k, seed, materialize, durable
+    )
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -2076,6 +2076,64 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: a NEW batch (doc_id % 5 == 0) checked
+    against the EXISTING corpus's persisted LSH index (doc_id % 5 != 0)
+    — pairs only across the two sides, never a corpus self-join. The
+    incremental cost is O(batch + bucket candidates), independent of
+    corpus size (operators/dedup.py:incremental_neardup_pairs)."""
+    from s3logs_parquet_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_banded,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    index = minhash_banded(corpus, "doc_id", "text", num_hashes=32, bands=8)
+    pairs = incremental_neardup_pairs(
+        batch, index, num_hashes=32, bands=8, shingle_k=3, jaccard_threshold=0.3
+    )
+    return pairs.select(
+        "batch_id", "corpus_id", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def _oracle_incremental_neardup(num_hashes: int = 32, bands: int = 8) -> str:
+    from s3logs_parquet_spark.functions.hashing import affine_coeffs
+
+    coeffs = affine_coeffs(num_hashes, 42)
+    rows_per_band = num_hashes // bands
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, x -> ({a} * x + {b}) % 2147483647))" for a, b in coeffs
+    )
+    band_eq = " OR ".join(
+        f"a.sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}] = b.sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}]"
+        for b in range(bands)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(ws) - 3, 0)),
+           i -> array_to_string(array_slice(ws, i + 1, i + 3), ' ')
+         )) AS grams
+  FROM d
+), h AS (
+  SELECT doc_id, list_transform(grams, s -> {hash32_sql('s')} % 2147483647) AS sh FROM g
+), s AS (
+  SELECT doc_id, [{sig_terms}] AS sig FROM h
+)
+SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+       round(len(list_filter(generate_series(1, {num_hashes}), i -> a.sig[i] = b.sig[i]))::DOUBLE / {num_hashes}, 6) AS est_jaccard
+FROM s a JOIN s b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+WHERE ({band_eq})
+  AND len(list_filter(generate_series(1, {num_hashes}), i -> a.sig[i] = b.sig[i]))::DOUBLE / {num_hashes} >= 0.3
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "tpch_q1_pricing_summary": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3_shipping_priority": (q_tpch_q3, ORACLE_TPCH_Q3),
@@ -2121,6 +2179,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_simhash": (q_docs_simhash, ORACLE_DOCS_SIMHASH),
     "docs_simhash_pairs": (q_docs_simhash_pairs, ORACLE_DOCS_SIMHASH_PAIRS),
     "docs_minhash_lsh_pairs": (q_docs_minhash_pairs, _oracle_minhash()),
+    "docs_incremental_neardup": (q_docs_incremental_neardup, _oracle_incremental_neardup()),
     "docs_neardup_clusters": (q_docs_neardup_clusters, _oracle_clusters()),
     "docs_systematic_sample": (q_docs_systematic_sample, ORACLE_DOCS_SAMPLE),
     "docs_split_assign": (q_docs_split_assign, ORACLE_DOCS_SPLIT),

@@ -198,3 +198,44 @@ def test_set_hash_impl_validates(spark):
 
     with pytest.raises(ValueError):
         set_hash_impl("murmur3")
+
+
+def test_incremental_neardup_equals_cross_side_of_full(spark):
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_banded,
+        minhash_lsh_pairs,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "spark physical plans use exchanges and codegen for scalable execution",
+        "training data pipelines deduplicate documents with minhash signatures",
+    ]
+    rows = []
+    for i in range(30):
+        t = base[i % 3]
+        if i % 5 == 0:
+            t = t + " slightly changed"  # batch docs: near-dups of corpus
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    kw = dict(num_hashes=32, bands=8, shingle_k=3)
+    index = minhash_banded(corpus, "doc_id", "text", **kw)
+    inc = {
+        (r["batch_id"], r["corpus_id"])
+        for r in incremental_neardup_pairs(
+            batch, index, jaccard_threshold=0.3, **kw
+        ).collect()
+    }
+    full = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.3, **kw)
+    cross = {
+        (a, b) if a % 5 == 0 else (b, a)
+        for a, b in ((r["id_a"], r["id_b"]) for r in full.collect())
+        if (a % 5 == 0) != (b % 5 == 0)
+    }
+    assert inc == cross and len(inc) > 0
