@@ -2134,6 +2134,46 @@ WHERE ({band_eq})
 """
 
 
+def q_emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the hyperplane-LSH path
+    against exact brute-force top-10, per query. The standard metric a
+    production ANN deployment monitors; both sides are deterministic
+    here, so even the recall VALUE differential-tests."""
+    from s3logs_parquet_spark.operators.ann import brute_force_topk, lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = brute_force_topk(emb, queries, "vec_id", "query_id", k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = lsh_topk(
+        emb, queries, "vec_id", "query_id", k=10, n_bands=12, bits_per_band=4
+    ).select("query_id", F.col("vec_id").alias("_lv"))
+    j = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.vec_id == approx._lv),
+        "left",
+    ).select(exact.query_id, "vec_id", "_lv")
+    return j.groupBy("query_id").agg(
+        F.count("_lv").alias("n_overlap"),
+        F.round(F.count("_lv") / F.lit(10.0), 6).alias("recall_at_10"),
+    )
+
+
+def _oracle_emb_lsh_recall() -> str:
+    return f"""
+SELECT e.query_id,
+       count(l.vec_id)::BIGINT AS n_overlap,
+       round(count(l.vec_id)::DOUBLE / 10.0, 6) AS recall_at_10
+FROM ({ORACLE_EMB_TOPK}) e
+LEFT JOIN ({_oracle_emb_lsh()}) l
+  ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+GROUP BY e.query_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "tpch_q1_pricing_summary": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q3_shipping_priority": (q_tpch_q3, ORACLE_TPCH_Q3),
@@ -2192,6 +2232,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_clean_and_repetition": (q_docs_clean_and_repetition, ORACLE_DOCS_CLEAN_REP),
     "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
     "emb_lsh_topk": (q_emb_lsh_topk, _oracle_emb_lsh()),
+    "emb_lsh_recall": (q_emb_lsh_recall, _oracle_emb_lsh_recall()),
     "emb_ivf_topk": (q_emb_ivf_topk, _oracle_emb_ivf()),
     "emb_ivf_trained_topk": (q_emb_ivf_trained_topk, _oracle_emb_ivf_trained()),
     "multimodal_binary_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
