@@ -51,8 +51,17 @@ def asof_join(
     Plan shape: union → single hash exchange on ``by`` → one
     analytic window. The payload travels as ONE struct column so all
     carried fields come from the same right row.
+
+    NULL ``by`` keys: join equality (and DuckDB's ASOF JOIN) never
+    matches NULL keys, but a window partition would group NULLs
+    together and match them — so null-key RIGHT rows are dropped
+    up front. Null-key left rows then can't match anything: inner
+    drops them, outer keeps them with NULL payload — exactly the
+    LEFT-join contract.
     """
     by = list(by)
+    for k in by:
+        right = right.filter(F.col(k).isNotNull())
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by and c != time_col]
     right_cols = list(right_cols)

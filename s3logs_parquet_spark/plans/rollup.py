@@ -105,6 +105,13 @@ def update_rollup(
     (partition-pruned scan), merges, and dynamic-overwrites those
     partitions. Returns the affected dt values. Cost is
     O(batch + rollup rows of affected partitions) — never the table.
+
+    Delivery contract: each batch must be folded in EXACTLY once —
+    re-running the same update double-counts (the fold is additive,
+    unlike the raw table's idempotent partition overwrite). Under
+    at-least-once ingestion, dedup batches upstream (the engine's D1
+    path already does) or rebuild affected days from the raw table
+    with materialize_rollup, which IS idempotent.
     """
     by = list(by)
     delta = rollup_events(batch, window_seconds, by, ts_col, value_col)

@@ -120,3 +120,19 @@ def test_asof_matches_python_model(spark, lefts, rights):
                 best = (s, j)
         expect[i] = best[1] if best else None
     assert got == expect
+
+
+def test_asof_null_keys_never_match(spark):
+    left = spark.createDataFrame(
+        [(1, None, _ts(100)), (2, 1, _ts(100))], "lid long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, None, _ts(50)), (11, 1, _ts(50))], "rid long, user_id long, ts timestamp"
+    )
+    outer = asof_join(left, right, by=["user_id"], right_cols=["rid"], inner=False)
+    got = {r["lid"]: r["rid_r"] for r in outer.collect()}
+    # null-key left row survives the LEFT join but matches nothing
+    # (join-equality semantics: NULL never equals NULL)
+    assert got == {1: None, 2: 11}
+    inner = asof_join(left, right, by=["user_id"], right_cols=["rid"])
+    assert {r["lid"] for r in inner.collect()} == {2}
