@@ -123,9 +123,15 @@ def make_transformer_handler(
     cfg = cfg or EngineConfig()
 
     def handler(event: dict, context=None) -> int:
+        from s3logs_parquet_spark.writer import output_has_data
+
         run_transform_staged(spark, staging_path, output_path, cfg)
         # lines processed, like the reference's log line — a parquet
-        # footer rowcount over the staging tier, no data scan
+        # footer rowcount over the staging tier, no data scan. A no-op
+        # invocation (empty/absent staging tier — legitimate from the
+        # event wiring) reports 0 instead of AnalysisException.
+        if not output_has_data(spark, staging_path):
+            return 0
         return spark.read.parquet(staging_path).count()
 
     return handler

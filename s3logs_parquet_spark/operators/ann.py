@@ -218,9 +218,19 @@ def ivf_train(
     (queries.py emb_ivf_trained_topk). Without it, the init samples via
     limit() (fine for production, not value-checkable)."""
     if id_col is not None:
-        init_rows = df.orderBy(F.col(id_col)).limit(n_cells).select(vec_col).collect()
+        # deterministic branch honors sample_fraction too — via a
+        # content-hash filter, not sample() (whose seeded RNG is
+        # partition-layout-dependent and would break the determinism
+        # this branch promises; `seed` therefore doesn't apply here)
+        src = df
+        if sample_fraction < 1.0:
+            from s3logs_parquet_spark.functions.hashing import hash32
+
+            bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(1_000_000))
+            src = df.filter(bucket < int(sample_fraction * 1_000_000))
+        init_rows = src.orderBy(F.col(id_col)).limit(n_cells).select(vec_col).collect()
         centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
-        data = df.select(F.col(vec_col).alias("v"))
+        data = src.select(F.col(vec_col).alias("v"))
     else:
         data = df.select(F.col(vec_col).alias("v"))
         if sample_fraction < 1.0:

@@ -55,19 +55,89 @@ def dedup_log_rows(
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(df: DataFrame, content_col: str, keep_order_col: str | None = None) -> DataFrame:
+def _content_digest(content_col: str) -> Column:
+    """128-bit content digest (md5 hex). Collision probability between
+    any two of N distinct documents is ~N²/2¹²⁹ — ≈2⁻⁶⁹ even at a
+    trillion docs — so grouping on the digest alone is safe for any
+    non-adversarial corpus; `content_key=True` restores byte-exact
+    comparison for adversarial-collision settings."""
+    return F.md5(F.col(content_col).cast("binary"))
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_col: str,
+    keep_order_col: str | None = None,
+    id_col: str | None = None,
+    content_key: bool = False,
+) -> DataFrame:
     """Exact dedup by content: keep the row with the smallest
     ``keep_order_col`` per distinct content (deterministic survivor —
-    required for oracle differential tests). One shuffle on a 64-bit
-    content hash + content (hash only narrows the exchange key width).
+    required for oracle differential tests).
+
+    Scale shape (the 100 TB concern is the exchange payload — document
+    text must NOT ride the dedup shuffle):
+
+    - ``id_col`` given (a unique row id): survivor selection runs on a
+      ``(digest, order, id)`` projection only — the aggregate exchange
+      moves ~50 bytes/row regardless of document size — then a
+      left-semi join on ``id_col`` brings the full surviving rows back.
+      The full-width data moves through exactly one exchange (the semi
+      join, keyed by the uniform unique id), never through the
+      aggregate.
+    - no ``id_col``: min-struct survivor keyed by the digest; content
+      rides the exchange once as aggregate payload (map-side combined
+      to one row per digest per input partition), never as the key.
+    - ``content_key=True``: legacy byte-exact grouping (content in the
+      key) for adversarial-collision settings; opt-in only.
     """
-    if keep_order_col is None:
-        return df.dropDuplicates([content_col])
-    others = [c for c in df.columns]
-    strukt = F.struct(*[F.col(keep_order_col), *[F.col(c) for c in others if c != keep_order_col]])
-    agg = df.groupBy(F.xxhash64(F.col(content_col)).alias("_h"), F.col(content_col).alias("_c")) \
-        .agg(F.min(strukt).alias("_row"))
-    return agg.select([F.col(f"_row.{c}").alias(c) for c in others])
+    others = list(df.columns)
+    if content_key:
+        if keep_order_col is None:
+            return df.dropDuplicates([content_col])
+        strukt = F.struct(
+            *[F.col(keep_order_col), *[F.col(c) for c in others if c != keep_order_col]]
+        )
+        agg = df.groupBy(
+            F.xxhash64(F.col(content_col)).alias("_h"), F.col(content_col).alias("_c")
+        ).agg(F.min(strukt).alias("_row"))
+        return agg.select([F.col(f"_row.{c}").alias(c) for c in others])
+
+    dg = _content_digest(content_col)
+    if keep_order_col is None and id_col is None:
+        return df.withColumn("__dg", dg).dropDuplicates(["__dg"]).drop("__dg")
+    if id_col is None and keep_order_col is not None:
+        # survivor = lexicographic-min row per digest; content moves once
+        # as payload (never as key), map-side combined
+        strukt = F.struct(
+            *[F.col(keep_order_col), *[F.col(c) for c in others if c != keep_order_col]]
+        )
+        agg = df.groupBy(dg.alias("__dg")).agg(F.min(strukt).alias("_row"))
+        return agg.select([F.col(f"_row.{c}").alias(c) for c in others])
+    # narrow path: unique id ⇒ content-free survivor-key aggregate
+    surv = exact_dedup_survivor_keys(df, content_col, id_col, keep_order_col)
+    return df.join(surv, on=id_col, how="left_semi")
+
+
+def exact_dedup_survivor_keys(
+    df: DataFrame, content_col: str, id_col: str, keep_order_col: str | None = None
+) -> DataFrame:
+    """The narrow survivor-id frame of :func:`exact_dedup` (one
+    ``id_col`` per distinct content) — exposed for plan tests and for
+    callers that only need the keep-list (e.g. writing a tombstone
+    table instead of materializing survivors)."""
+    order = keep_order_col if keep_order_col is not None else id_col
+    keys = df.select(
+        _content_digest(content_col).alias("__dg"),
+        F.col(order),
+        *([id_col] if id_col != order else []),
+    )
+    fields = [F.col(order)] if id_col == order else [F.col(order), F.col(id_col)]
+    return (
+        keys.groupBy("__dg")
+        .agg(F.min(F.struct(*fields)).alias("_k"))
+        .select(F.col(f"_k.{id_col}").alias(id_col))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -243,6 +313,24 @@ def incremental_neardup_pairs(
     row here is a near-dup of history and gets dropped/linked by the
     caller's policy.
     """
+    required = {id_col, "signature", "band", "band_hash"}
+    missing = required - set(corpus_index.columns)
+    if missing:
+        raise ValueError(
+            f"incremental_neardup_pairs: corpus_index is missing columns {sorted(missing)} "
+            "— expected a minhash_banded output"
+        )
+    # an index built with different num_hashes/bands yields different
+    # band hashes → zero candidates → silent "no near-dups". The array
+    # length isn't in the schema, so probe ONE row (bounded single-row
+    # job) and fail loudly on mismatch.
+    probe = corpus_index.select(F.size("signature").alias("_n")).limit(1).collect()
+    if probe and probe[0]["_n"] != num_hashes:
+        raise ValueError(
+            f"incremental_neardup_pairs: corpus_index signatures have length "
+            f"{probe[0]['_n']} but num_hashes={num_hashes} — the index was built "
+            "with different parameters; rebuild it or pass matching num_hashes/bands"
+        )
     bb = minhash_banded(
         batch, id_col, text_col, num_hashes, bands, shingle_k, seed, materialize, durable
     )
@@ -263,6 +351,24 @@ def incremental_neardup_pairs(
         )
         .dropDuplicates(["batch_id", "corpus_id"])
     )
+    # an index built with a different num_hashes would make zip_with pad
+    # with NULLs → NULL similarity → every cross-pair silently dropped
+    # ("no near-dups"). Fail loudly instead; the check runs on candidate
+    # pairs only (bounded by bucket matches), not the whole index.
+    pairs = pairs.withColumn(
+        "_sig_len_ok",
+        F.assert_true(
+            F.size("sig_b") == num_hashes,
+            F.concat(
+                F.lit(
+                    "incremental_neardup_pairs: corpus_index signature length "
+                    f"!= num_hashes={num_hashes} (index built with different "
+                    "parameters?); got "
+                ),
+                F.size("sig_b").cast("string"),
+            ),
+        ),
+    ).drop("_sig_len_ok")
     est = _pair_est_jaccard(pairs, num_hashes)
     return (
         pairs.withColumn("est_jaccard", est)

@@ -47,8 +47,14 @@ def kmv_distinct(
     standard KMV small-set rule) and ``est_distinct`` the estimate.
     """
     group_cols = list(group_cols)
+    # standard KMV semantics: the sketch estimates the NON-NULL domain.
+    # (A NULL value would hash to NULL, which Spark's ascending window
+    # sorts first — occupying rank 1 and displacing a real k-min —
+    # while DuckDB sorts NULLs last; filtering is both correct and the
+    # only cross-engine-stable choice.)
     hashed = (
-        df.select(*group_cols, hash32(F.col(value_col).cast("string")).alias("_h"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, hash32(F.col(value_col).cast("string")).alias("_h"))
         .distinct()
     )
     w = Window.partitionBy(*group_cols).orderBy("_h")
@@ -66,3 +72,36 @@ def kmv_distinct(
         F.col("n_seen"),
         F.round(est, 4).alias("est_distinct"),
     )
+
+
+def kmv_distinct_global(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
+    """Global (single-group) KMV — the two-level mergeable formulation.
+
+    The grouped :func:`kmv_distinct` funnels each group through one
+    window task; with ONE global group that is a single-task sort of
+    the whole distinct domain. Here instead:
+
+    1. distinct hashes — one exchange keyed by the uniform hash itself
+       (perfectly balanced at any scale);
+    2. ``orderBy(_h).limit(k)`` — Catalyst compiles this to
+       ``TakeOrderedAndProject``: each partition keeps its local k
+       smallest, and only ≤ k·numPartitions candidate rows reach the
+       final merge. That IS the per-partition-k-mins-then-merge
+       mergeable-sketch property of KMV; the full domain never visits
+       a single task.
+
+    Returns one row (n_seen, est_distinct) with the same small-set
+    rule and estimator as the grouped form, over the non-null domain.
+    """
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(hash32(F.col(value_col).cast("string")).alias("_h"))
+        .distinct()
+    )
+    topk = hashed.orderBy("_h").limit(k)
+    agg = topk.agg(F.count(F.lit(1)).alias("n_seen"), F.max("_h").alias("_hk"))
+    norm = (F.col("_hk").cast("double") + F.lit(1.0)) / F.lit(_HASH_SPACE)
+    est = F.when(F.col("n_seen") < k, F.col("n_seen").cast("double")).otherwise(
+        F.lit(float(k - 1)) / norm
+    )
+    return agg.select(F.col("n_seen"), F.round(est, 4).alias("est_distinct"))

@@ -37,6 +37,7 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     suffix: str = "_r",
     inner: bool = True,
+    skew_chunk_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, the most recent right row with
     ``right.time <= left.time`` within the same ``by`` group
@@ -58,7 +59,16 @@ def asof_join(
     up front. Null-key left rows then can't match anything: inner
     drops them, outer keeps them with NULL payload — exactly the
     LEFT-join contract.
+
+    Skew: ONE window partition per key means a hot key (one user with
+    10⁸ events) serializes onto one task. Pass ``skew_chunk_seconds``
+    to route through :func:`asof_join_chunked` — identical semantics,
+    parallelism = keys × time-chunks.
     """
+    if skew_chunk_seconds is not None:
+        return asof_join_chunked(
+            left, right, time_col, by, skew_chunk_seconds, right_cols, suffix, inner
+        )
     by = list(by)
     for k in by:
         right = right.filter(F.col(k).isNotNull())
@@ -91,6 +101,119 @@ def asof_join(
     )
     filled = u.withColumn("__asof_m", F.last("__asof_p", ignorenulls=True).over(w))
     out = filled.filter(F.col("__asof_side") == 1).drop("__asof_side", "__asof_p")
+    if inner:
+        out = out.filter(F.col("__asof_m").isNotNull())
+    for c in [time_col, *right_cols]:
+        out = out.withColumn(f"{c}{suffix}", F.col("__asof_m")[c])
+    return out.drop("__asof_m")
+
+
+def _chunk_col(df: DataFrame, time_col: str, chunk_seconds: int):
+    """Time-chunk id for the two-pass as-of: timestamp columns chunk in
+    wall seconds; numeric time columns chunk in their own units."""
+    if dict(df.dtypes)[time_col].startswith("timestamp"):
+        return F.floor(F.unix_micros(F.col(time_col)) / F.lit(int(chunk_seconds) * 1_000_000))
+    return F.floor(F.col(time_col).cast("long") / F.lit(int(chunk_seconds)))
+
+
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    chunk_seconds: int = 3600,
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_r",
+    inner: bool = True,
+) -> DataFrame:
+    """Skew-safe as-of join: same semantics as :func:`asof_join`, but
+    the analytic window is partitioned by (key, time-chunk), so a hot
+    key parallelizes across its chunks instead of serializing onto one
+    task.
+
+    Two passes, classic segmented-scan decomposition:
+
+    1. **within-chunk**: union → window over (key, chunk) ordered by
+       (time, side) → ``last(payload, ignorenulls)`` — each left row
+       gets the latest right row *in its own chunk* at-or-before it.
+    2. **boundary carry-forward**: per (key, chunk), the latest right
+       payload (one aggregate row per key×chunk — tiny); a running max
+       over *strictly earlier* chunks gives each chunk its carry-in,
+       which fills left rows whose within-chunk match is NULL.
+
+    The carry frame is keys × active-chunks rows — the only per-key
+    serial work, linear in the number of chunks, not events. Exchanges:
+    (key, chunk) for the window [skew-bounded by chunk width], (key)
+    over the tiny carry frame, and a (key, chunk) join of left against
+    the carry table. Exact same output as ``asof_join`` for any
+    ``chunk_seconds``; pick chunks so a hot key's densest chunk fits a
+    task (e.g. hour chunks for ~10⁵ events/key/hour).
+    """
+    by = list(by)
+    for k in by:
+        right = right.filter(F.col(k).isNotNull())
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != time_col]
+    right_cols = list(right_cols)
+
+    payload = F.struct(
+        F.col(time_col).alias(time_col),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    rt = right.select(
+        *by,
+        F.col(time_col),
+        _chunk_col(right, time_col, chunk_seconds).alias("__asof_ck"),
+        F.lit(0).alias("__asof_side"),
+        payload.alias("__asof_p"),
+    )
+    left_cols = [c for c in left.columns if c not in by and c != time_col]
+    lt = left.select(
+        *by,
+        F.col(time_col),
+        _chunk_col(left, time_col, chunk_seconds).alias("__asof_ck"),
+        F.lit(1).alias("__asof_side"),
+        F.lit(None).cast(rt.schema["__asof_p"].dataType).alias("__asof_p"),
+        *left_cols,
+    )
+
+    # pass 1 — within-chunk as-of (right rows sort first at equal ts →
+    # inclusive match, same tiebreak as asof_join)
+    u = lt.unionByName(
+        rt.select(*by, time_col, "__asof_ck", "__asof_side", "__asof_p"),
+        allowMissingColumns=True,
+    )
+    w = (
+        Window.partitionBy(*by, "__asof_ck")
+        .orderBy(F.col(time_col), F.col("__asof_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        u.withColumn("__asof_w", F.last("__asof_p", ignorenulls=True).over(w))
+        .filter(F.col("__asof_side") == 1)
+        .drop("__asof_side", "__asof_p")
+    )
+
+    # pass 2 — carry-in per (key, chunk): latest right payload of any
+    # strictly-earlier chunk. The payload struct leads with the time
+    # column, so max(struct) IS argmax-by-time.
+    chunk_last = rt.groupBy(*by, "__asof_ck").agg(F.max("__asof_p").alias("__asof_cl"))
+    left_chunks = lt.select(*by, "__asof_ck").distinct()
+    all_chunks = left_chunks.unionByName(chunk_last.select(*by, "__asof_ck")).distinct()
+    wc = (
+        Window.partitionBy(*by)
+        .orderBy("__asof_ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        all_chunks.join(chunk_last, on=[*by, "__asof_ck"], how="left")
+        .withColumn("__asof_ci", F.max("__asof_cl").over(wc))
+        .select(*by, "__asof_ck", "__asof_ci")
+    )
+
+    out = filled.join(carry, on=[*by, "__asof_ck"], how="left").withColumn(
+        "__asof_m", F.coalesce(F.col("__asof_w"), F.col("__asof_ci"))
+    ).drop("__asof_ck", "__asof_w", "__asof_ci")
     if inner:
         out = out.filter(F.col("__asof_m").isNotNull())
     for c in [time_col, *right_cols]:

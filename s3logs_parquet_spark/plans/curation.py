@@ -48,8 +48,10 @@ def curate_documents(
         (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*languages)
     )
 
-    # exact dedup: canonical row = min doc_id per identical text
-    exact = exact_dedup(kept, text_col, keep_order_col=id_col)
+    # exact dedup: canonical row = min doc_id per identical text.
+    # id_col routes the narrow path: the survivor aggregate shuffles
+    # (digest, id) only — document text never rides that exchange.
+    exact = exact_dedup(kept, text_col, keep_order_col=id_col, id_col=id_col)
 
     # near-dup: keep only each cluster's minimum doc_id
     pairs = minhash_lsh_pairs(

@@ -877,16 +877,19 @@ SELECT doc_id, len(fps)::INT AS n_fp, list_min(fps) AS min_fp, list_max(fps) AS 
 
 
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content hash-groupBy: canonical doc per distinct
-    text + multiplicity."""
+    """Exact dedup by content digest-groupBy: canonical doc per
+    distinct text + multiplicity. Groups on md5(text) — not text — so
+    the exchange key is 16 bytes regardless of document size (the
+    100 TB posture of operators/dedup.py exact_dedup); md5 is portable
+    so the oracle groups identically."""
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("_dg")).agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
     ).select("doc_id", "n_copies")
 
 
 ORACLE_DOCS_EXACT_DEDUP = """
-SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)
 """
 
 
@@ -1821,6 +1824,31 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
 """
 
 
+def q_events_asof_click_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of query through the skew-safe two-pass path
+    (operators/temporal.py asof_join_chunked, hour chunks): window
+    partitioned by (user, hour-chunk) + boundary carry-forward, so one
+    hot user parallelizes across its hours. Checked against the same
+    DuckDB native ASOF JOIN — proving chunking changes the plan, not
+    the answer."""
+    from s3logs_parquet_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    j = asof_join(
+        err, clk, time_col="ts", by=["user_id"], right_cols=["event_id"],
+        skew_chunk_seconds=3600,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("err_epoch"),
+        F.col("event_id_r").alias("click_id"),
+        F.unix_timestamp("ts_r").alias("click_epoch"),
+    )
+
+
 def q_events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: per-user pairs of events within a 7200 s window
     (l.ts < r.ts <= l.ts + 7200). A raw inequality join would be
@@ -1867,6 +1895,7 @@ def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_KMV = f"""
 WITH hashed AS (
   SELECT DISTINCT event_type, {hash32_sql("user_id::VARCHAR")} AS h FROM events
+  WHERE user_id IS NOT NULL
 ), ranked AS (
   SELECT event_type, h,
          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
@@ -1886,6 +1915,39 @@ FROM est e JOIN (
   SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
   FROM events GROUP BY event_type
 ) x USING (event_type)
+"""
+
+
+def q_events_kmv_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (single-group) KMV via the two-level mergeable
+    formulation (operators/sketches.py kmv_distinct_global): distinct
+    hashes → TakeOrderedAndProject k-min merge — the full domain never
+    funnels through one task, unlike a single-group rank window.
+    Checked against the exact global distinct AND the oracle's
+    identical deterministic computation."""
+    from s3logs_parquet_spark.operators.sketches import kmv_distinct_global
+
+    e = _t(spark, sf_dir, "events")
+    sk = kmv_distinct_global(e, "user_id", k=64)
+    exact = e.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return sk.crossJoin(exact)
+
+
+ORACLE_EVENTS_KMV_GLOBAL = f"""
+WITH hashed AS (
+  SELECT DISTINCT {hash32_sql("user_id::VARCHAR")} AS h FROM events
+  WHERE user_id IS NOT NULL
+), kmin AS (
+  SELECT h FROM hashed ORDER BY h LIMIT 64
+), agg AS (
+  SELECT count(*)::BIGINT AS n_seen, max(h) AS hk FROM kmin
+)
+SELECT n_seen,
+       round(CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
+                  ELSE 63.0 / ((hk::DOUBLE + 1.0) / 4294967296.0) END,
+             4) AS est_distinct,
+       (SELECT count(DISTINCT user_id)::BIGINT FROM events) AS exact_distinct
+FROM agg
 """
 
 
@@ -2174,15 +2236,19 @@ GROUP BY e.query_id
 """
 
 
+# Registry ORDER is part of the delivery contract: the driver's
+# correctness gate records only the FIRST 50 entries, so positions 1-50
+# carry ≥1 representative of EVERY operator family (TPC-H shapes, join
+# types, windows/sessions, temporal joins, sketches, rollups, the log
+# pipeline, every dedup/sampling/text family, all emb_* ANN paths,
+# multimodal, manifest-stream). Positions 51+ are near-duplicate
+# variants of families already represented above; tools/check_oracles.py
+# (run in CI, tests/test_oracles_full.py) still gates ALL entries.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # --- driver-recorded window (1-50): one per family ---
     "tpch_q1_pricing_summary": (q_tpch_q1, ORACLE_TPCH_Q1),
-    "tpch_q3_shipping_priority": (q_tpch_q3, ORACLE_TPCH_Q3),
     "tpch_q5_local_supplier_volume": (q_tpch_q5, ORACLE_TPCH_Q5),
-    "tpch_q6_forecast_revenue": (q_tpch_q6, ORACLE_TPCH_Q6),
-    "tpch_q10_returned_items": (q_tpch_q10, ORACLE_TPCH_Q10),
-    "tpch_q14_promo_effect": (q_tpch_q14, ORACLE_TPCH_Q14),
     "tpch_q18_large_volume": (q_tpch_q18, ORACLE_TPCH_Q18),
-    "part_topk_price": (q_part_topk, ORACLE_PART_TOPK),
     "orders_distinct_agg": (q_orders_distinct, ORACLE_ORDERS_DISTINCT),
     "customer_orders_left_join": (q_customer_order_left, ORACLE_CUSTOMER_ORDER_LEFT),
     "customers_without_orders_anti": (q_customers_no_orders, ORACLE_CUSTOMERS_NO_ORDERS),
@@ -2191,28 +2257,24 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "union_shipped_split": (q_union_shipped_split, ORACLE_UNION_SHIPPED),
     "lineitem_quantiles": (q_lineitem_quantiles, ORACLE_LINEITEM_QUANTILES),
     "lineitem_stats": (q_lineitem_stats, ORACLE_LINEITEM_STATS),
-    "lineitem_rollup": (q_lineitem_rollup, ORACLE_LINEITEM_ROLLUP),
     "events_pivot_by_type": (q_events_pivot_by_type, _oracle_events_pivot()),
     "orders_lineitem_arrays": (q_orders_lineitem_arrays, ORACLE_ORDERS_ARRAYS),
     "events_tumbling_window": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
     "events_window_dedup": (q_events_window_dedup, ORACLE_EVENTS_WINDOW_DEDUP),
-    "events_minmax_ts": (q_events_minmax, ORACLE_EVENTS_MINMAX),
-    "events_by_type": (q_events_by_type, ORACLE_EVENTS_BY_TYPE),
     "events_sliding_means": (q_events_sliding, ORACLE_EVENTS_SLIDING),
     "events_session_windows": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_json_props": (q_events_json_props, ORACLE_EVENTS_JSON_PROPS),
     "events_asof_click": (q_events_asof_click, ORACLE_EVENTS_ASOF),
+    "events_asof_click_chunked": (q_events_asof_click_chunked, ORACLE_EVENTS_ASOF),
     "events_range_pairs": (q_events_range_pairs, ORACLE_EVENTS_RANGE_PAIRS),
     "events_kmv_distinct": (q_events_kmv_distinct, ORACLE_EVENTS_KMV),
+    "events_kmv_global": (q_events_kmv_global, ORACLE_EVENTS_KMV_GLOBAL),
     "events_hourly_rollup": (q_events_hourly_rollup, ORACLE_EVENTS_HOURLY_ROLLUP),
     "log_schema_widening": (q_log_schema_widening, ORACLE_LOG_SCHEMA_WIDENING),
     "partition_prefix_tz": (q_partition_prefix_tz, ORACLE_PARTITION_PREFIX_TZ),
     "s3log_pipeline_roundtrip": (q_log_pipeline, ORACLE_LOG_PIPELINE),
     "s3log_parse_fields": (q_log_parse_fields, ORACLE_LOG_PARSE_FIELDS),
     "docs_token_stats": (q_docs_token_stats, ORACLE_DOCS_TOKEN_STATS),
-    "docs_quality_score": (q_docs_quality, _SQL_QUALITY),
-    "docs_langid": (q_docs_langid, _SQL_LANGID),
-    "docs_fingerprint": (q_docs_fingerprint, ORACLE_DOCS_FINGERPRINT),
     "docs_winnowing": (q_docs_winnowing, ORACLE_DOCS_WINNOWING),
     "docs_exact_dedup": (q_docs_exact_dedup, ORACLE_DOCS_EXACT_DEDUP),
     "docs_ngram_jaccard_pairs": (q_docs_jaccard_pairs, ORACLE_DOCS_JACCARD),
@@ -2221,10 +2283,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_minhash_lsh_pairs": (q_docs_minhash_pairs, _oracle_minhash()),
     "docs_incremental_neardup": (q_docs_incremental_neardup, _oracle_incremental_neardup()),
     "docs_neardup_clusters": (q_docs_neardup_clusters, _oracle_clusters()),
-    "docs_systematic_sample": (q_docs_systematic_sample, ORACLE_DOCS_SAMPLE),
-    "docs_split_assign": (q_docs_split_assign, ORACLE_DOCS_SPLIT),
     "docs_leakage_safe_split": (q_docs_leakage_safe_split, _oracle_leakage_split()),
-    "docs_dup_rate_by_source": (q_docs_dup_rate_by_source, ORACLE_DOCS_DUP_RATE),
     "docs_curation_pipeline": (q_docs_curation_pipeline, _oracle_curation()),
     "docs_decontaminate": (q_docs_decontaminate, ORACLE_DOCS_DECONTAMINATE),
     "docs_stratified_sample": (q_docs_stratified_sample, ORACLE_DOCS_STRATIFIED),
@@ -2237,4 +2296,19 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "emb_ivf_trained_topk": (q_emb_ivf_trained_topk, _oracle_emb_ivf_trained()),
     "multimodal_binary_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
     "manifest_events_f2": (q_manifest_events_f2, ORACLE_MANIFEST_EVENTS_F2),
+    # --- 51+: variants of families already represented above ---
+    "tpch_q3_shipping_priority": (q_tpch_q3, ORACLE_TPCH_Q3),
+    "tpch_q6_forecast_revenue": (q_tpch_q6, ORACLE_TPCH_Q6),
+    "tpch_q10_returned_items": (q_tpch_q10, ORACLE_TPCH_Q10),
+    "tpch_q14_promo_effect": (q_tpch_q14, ORACLE_TPCH_Q14),
+    "part_topk_price": (q_part_topk, ORACLE_PART_TOPK),
+    "events_minmax_ts": (q_events_minmax, ORACLE_EVENTS_MINMAX),
+    "events_by_type": (q_events_by_type, ORACLE_EVENTS_BY_TYPE),
+    "lineitem_rollup": (q_lineitem_rollup, ORACLE_LINEITEM_ROLLUP),
+    "docs_quality_score": (q_docs_quality, _SQL_QUALITY),
+    "docs_langid": (q_docs_langid, _SQL_LANGID),
+    "docs_fingerprint": (q_docs_fingerprint, ORACLE_DOCS_FINGERPRINT),
+    "docs_systematic_sample": (q_docs_systematic_sample, ORACLE_DOCS_SAMPLE),
+    "docs_split_assign": (q_docs_split_assign, ORACLE_DOCS_SPLIT),
+    "docs_dup_rate_by_source": (q_docs_dup_rate_by_source, ORACLE_DOCS_DUP_RATE),
 }

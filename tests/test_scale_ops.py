@@ -223,3 +223,53 @@ def test_kmv_estimate_accuracy_and_small_set_rule(spark):
     assert out["small"]["est_distinct"] == 30.0
     est = out["big"]["est_distinct"]
     assert abs(est - 5000) / 5000 < 0.25  # 4 sigma at k=256
+
+
+def test_kmv_excludes_nulls(spark):
+    """KMV estimates the non-null domain (ADVICE r2): a NULL value must
+    not occupy a k-min slot or inflate n_seen."""
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.operators.sketches import kmv_distinct
+
+    rows = [("g", f"v{i}") for i in range(20)] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = kmv_distinct(df, ["g"], "v", k=64).collect()
+    assert len(out) == 1
+    assert out[0]["n_seen"] == 20
+    assert out[0]["est_distinct"] == 20.0
+
+
+def test_kmv_global_two_level(spark):
+    """Global single-group KMV (VERDICT r2 #4): accuracy, small-set
+    rule, null exclusion, and the plan property that makes it scale —
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    k-mins merged), no single-task global sort."""
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.operators.sketches import kmv_distinct_global
+
+    big = spark.range(20000).select((F.col("id") % 4993).cast("string").alias("v"))
+    row = kmv_distinct_global(big, "v", k=256).collect()[0]
+    assert row["n_seen"] == 256
+    assert abs(row["est_distinct"] - 4993) / 4993 < 0.25
+
+    small = spark.range(30).select(F.col("id").cast("string").alias("v"))
+    srow = kmv_distinct_global(small.union(small), "v", k=64).collect()[0]
+    assert srow["n_seen"] == 30
+    assert srow["est_distinct"] == 30.0
+
+    withnull = spark.createDataFrame(
+        [("a",), ("b",), (None,)], "v string"
+    )
+    nrow = kmv_distinct_global(withnull, "v", k=8).collect()[0]
+    assert nrow["n_seen"] == 2
+
+    plan = (
+        kmv_distinct_global(big, "v", k=256)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan  # no rank-window funnel

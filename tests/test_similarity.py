@@ -239,3 +239,34 @@ def test_incremental_neardup_equals_cross_side_of_full(spark):
         if (a % 5 == 0) != (b % 5 == 0)
     }
     assert inc == cross and len(inc) > 0
+
+
+def test_exact_dedup_narrow_and_legacy_modes(spark):
+    """All three exact_dedup modes agree on survivors: the narrow
+    (digest + semi-join, the 100 TB path), the digest-keyed min-struct,
+    and the opt-in byte-exact legacy mode."""
+    d = _docs(spark)
+    for kwargs in (
+        {"id_col": "doc_id"},          # narrow: content-free aggregate
+        {},                            # min-struct keyed by digest
+        {"content_key": True},         # legacy byte-exact grouping
+    ):
+        out = exact_dedup(d, "text", keep_order_col="doc_id", **kwargs)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3], kwargs
+        assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_incremental_neardup_rejects_mismatched_index(spark):
+    """ADVICE r2: an index built with different num_hashes must raise,
+    not silently report 'no near-dups'."""
+    import pytest
+
+    from s3logs_parquet_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_banded,
+    )
+
+    d = _docs(spark)
+    idx = minhash_banded(d, "doc_id", "text", num_hashes=32, bands=8)
+    with pytest.raises(ValueError, match="num_hashes"):
+        incremental_neardup_pairs(d, idx, num_hashes=64, bands=16)
