@@ -44,6 +44,14 @@ HEADLINE = [
     "events_session_windows",
     "customer_orders_left_join",
     "emb_cosine_topk",
+    # round-2 operator family, tracked since round 3 (VERDICT r2 #7)
+    "events_asof_click",
+    "events_asof_click_chunked",
+    "events_range_pairs",
+    "events_kmv_distinct",
+    "events_kmv_global",
+    "events_hourly_rollup",
+    "docs_incremental_neardup",
 ]
 
 

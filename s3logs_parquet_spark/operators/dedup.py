@@ -82,14 +82,21 @@ def exact_dedup(
       ``(digest, order, id)`` projection only — the aggregate exchange
       moves ~50 bytes/row regardless of document size — then a
       left-semi join on ``id_col`` brings the full surviving rows back.
-      The full-width data moves through exactly one exchange (the semi
-      join, keyed by the uniform unique id), never through the
-      aggregate.
-    - no ``id_col``: min-struct survivor keyed by the digest; content
-      rides the exchange once as aggregate payload (map-side combined
-      to one row per digest per input partition), never as the key.
+      Trade-off (measured, PERF.md round 3): this scans the source
+      twice, and the semi join still shuffles the full rows unless the
+      survivor list is broadcastable — so it wins when the caller only
+      needs the keep-list (use :func:`exact_dedup_survivor_keys`
+      directly: zero full-width movement), when the corpus is bucketed
+      by ``id_col`` (shuffle-free join), or when dup-rate is high
+      (survivors small enough to broadcast).
+    - no ``id_col`` (default path): min-struct survivor keyed by the
+      digest; content rides the exchange once as aggregate payload
+      (map-side combined to one row per digest per input partition),
+      never as the key — one scan, one exchange, no content
+      comparisons. The best default at any scale.
     - ``content_key=True``: legacy byte-exact grouping (content in the
-      key) for adversarial-collision settings; opt-in only.
+      key — moves content twice and compares it) for
+      adversarial-collision settings; opt-in only.
     """
     others = list(df.columns)
     if content_key:

@@ -11,11 +11,13 @@ Design (the part that must be real at 100 TB):
   binary batches zero-copy to Python, batch size bounded by
   `spark.sql.execution.arrow.maxRecordsPerBatch` so executor memory is
   payload-bounded, and the operator is a map-only stage (no shuffle);
-- actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so
-  the decode kernel is pluggable: `decoder="fake"` is a deterministic
+- the decode kernel is pluggable: `decoder="fake"` is a deterministic
   stand-in (seeded by payload bytes) keeping every schema/partition/
-  batch-shape aspect real; `decoder="real"` raises NotImplementedError
-  at the clearly marked stub.
+  batch-shape aspect real; `decoder="real"` attempts a Pillow import
+  at runtime (per executor) and decodes real images when the optional
+  dependency is installed, raising NotImplementedError with guidance
+  when it isn't (this container has no PIL/ffmpeg/soundfile; the
+  audio/video codec points remain declared stubs).
 """
 
 from __future__ import annotations
@@ -96,11 +98,33 @@ def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
-def _real_decode(payload: bytes):  # pragma: no cover - stub by design
-    raise NotImplementedError(
-        "real image/audio decode requires PIL/ffmpeg/soundfile, not present "
-        "in this environment; pass decoder='fake' for the deterministic stand-in"
-    )
+def pil_available() -> bool:
+    """True when Pillow is importable — the optional real-codec dep."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _real_decode(payload: bytes) -> np.ndarray:
+    """Real image decode via Pillow when installed (attempted at
+    runtime, per executor); raises NotImplementedError with guidance
+    when the optional dependency is absent. Returns H×W×3 uint8,
+    shape-compatible with the deterministic fake."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env without PIL
+        raise NotImplementedError(
+            "decoder='real' requires Pillow (PIL), not present in this "
+            "environment; pass decoder='fake' for the deterministic stand-in "
+            "(ffmpeg/soundfile equivalents for audio/video remain stubs)"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
 
 
 DECODE_OUT_SCHEMA = StructType(
@@ -131,6 +155,7 @@ def decode_and_featurize(
                     px = _fake_pixels(bytes(payload or b""), h, w)
                 else:
                     px = _real_decode(bytes(payload or b""))
+                    h, w = int(px.shape[0]), int(px.shape[1])  # trust the codec, not meta
                 pooled = px.astype(np.float64).reshape(-1)[: feature_dim * 16]
                 pad = feature_dim * 16 - pooled.size
                 if pad > 0:
@@ -175,6 +200,7 @@ def resize_images(df: DataFrame, target_h: int, target_w: int, decoder: str = "f
                     px = _fake_pixels(bytes(payload or b""), h, w)  # decode point
                 else:
                     px = _real_decode(bytes(payload or b""))
+                    h, w = int(px.shape[0]), int(px.shape[1])
                 yi = (np.arange(target_h) * h // target_h).clip(0, h - 1)
                 xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
                 resized = px[yi][:, xi]

@@ -25,6 +25,7 @@ import posixpath
 import uuid
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from s3logs_parquet_spark.fsutil import delete, list_files, rename
 
@@ -77,3 +78,86 @@ def compact_partitions(
         )
         results[pdir] = (len(files), after)
     return results
+
+
+def fold_stream_batches(
+    spark: SparkSession,
+    table_path: str,
+    files_per_dt: int = 1,
+    final: bool = False,
+    compression: str = "zstd",
+    max_records_per_file: int | None = None,
+) -> dict[str, int]:
+    """Maintenance companion of ``streaming/job.py run_manifest_stream``:
+    fold its accumulated ``batch=<id>/dt=<d>`` commit directories into
+    dt partitions, so a long-running stream's output doesn't list one
+    directory per micro-batch forever.
+
+    The stream's exactly-once contract makes ``batch=<id>`` the commit
+    unit (a replayed micro-batch overwrites its own directory), so this
+    must run only against a DRAINED/STOPPED stream — after an
+    ``availableNow`` drain every written batch is committed in the
+    checkpoint and will never be replayed.
+
+    - ``final=False`` (default, for a stream that will resume): all
+      batches merge into the single highest committed id,
+      ``batch=<max>/dt=*`` — the table keeps its uniform two-level
+      layout, the resumed stream appends ``batch=<max+1>…`` beside it,
+      and re-folding stays idempotent.
+    - ``final=True`` (stream finished for good): the batch level is
+      dropped entirely — ``dt=*`` at the root, the published-table
+      layout. A stream restarted after this would recreate ``batch=*``
+      beside ``dt=*`` and break partition discovery, hence final.
+
+    Commit is a whole-table swap (write the folded tree to a hidden
+    sibling, two renames) — readers see the old table or the new one,
+    never a mix; like :func:`compact_partitions`, the rename pair is
+    atomic on HDFS/local and copy+delete on object stores, so on S3
+    schedule folds in the drain window. ``files_per_dt`` sizes the
+    write fan-out per dt partition (1 ⇒ exactly one file per dt at
+    test scale; raise it so 100 TB days don't funnel through one task).
+
+    Returns {"batches_before", "batches_after", "files_before",
+    "files_after"}.
+    """
+    files = [f for f in list_files(spark, table_path, recursive=True) if f.name.endswith(".parquet")]
+    ids = set()
+    for f in files:
+        for part in f.path.split("/"):
+            if part.startswith("batch="):
+                ids.add(int(part.split("=", 1)[1]))
+                break
+    if not ids or (len(ids) <= 1 and not final):
+        return {
+            "batches_before": len(ids),
+            "batches_after": len(ids),
+            "files_before": len(files),
+            "files_after": len(files),
+        }
+
+    data = spark.read.parquet(table_path).drop("batch")
+    if files_per_dt <= 1:
+        data = data.repartition("dt")
+    else:
+        data = data.repartition(
+            F.col("dt"), F.spark_partition_id() % F.lit(int(files_per_dt))
+        )
+    root = table_path.rstrip("/")
+    tmp = f"{root}.folding-{uuid.uuid4().hex[:8]}"
+    dest = tmp if final else posixpath.join(tmp, f"batch={max(ids)}")
+    w = data.write.mode("overwrite").option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.partitionBy("dt").parquet(dest)
+
+    old = f"{root}.folded-old-{uuid.uuid4().hex[:8]}"
+    rename(spark, root, old)
+    rename(spark, tmp, root)
+    delete(spark, old)
+    after = [f for f in list_files(spark, root, recursive=True) if f.name.endswith(".parquet")]
+    return {
+        "batches_before": len(ids),
+        "batches_after": 0 if final else 1,
+        "files_before": len(files),
+        "files_after": len(after),
+    }

@@ -157,6 +157,12 @@ def run_manifest_stream(
     root stays one readable parquet table (`batch` becomes a partition
     column on read).
 
+    A long-running stream accumulates one batch directory per
+    micro-batch; run ``plans/compact.py fold_stream_batches`` against
+    the output root in drain windows to fold them into dt partitions
+    (the documented maintenance companion — see its docstring for the
+    drained-stream precondition and atomicity).
+
     ``object_root`` rebases object keys for testing (bucket/key →
     object_root/bucket/key); production leaves it None with
     scheme='s3a://'.
