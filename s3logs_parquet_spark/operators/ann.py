@@ -297,3 +297,109 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-codes ANN tier
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    df: DataFrame, vec_col: str, m: int = 4, k_sub: int = 8, id_col: str = "vec_id"
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: sub-centroid i of subspace j is the
+    j-th subvector of the vector with the i-th smallest id — the same
+    reproducible-init convention as ivf_train(id_col=...), which also
+    demonstrates how Lloyd refinement would distribute; PQ reuses the
+    init-only form so the whole encode→ADC→rerank pipeline stays
+    value-checkable against a SQL oracle. Returns
+    codebooks[j][c] = list of sub_dim floats (tiny driver-side model,
+    compiled into plans as literals)."""
+    rows = df.orderBy(F.col(id_col)).limit(k_sub).select(vec_col).collect()
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    dim = len(vecs[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    return [[v[j * sub : (j + 1) * sub] for v in vecs] for j in range(m)]
+
+
+def _sub_sq_l2(vec_col: Column, offset: int, cent: list[float]) -> Column:
+    """Squared L2 between vec[offset : offset+len(cent)] and a literal
+    sub-centroid, JVM-side, fixed left-to-right summation order (the
+    property that keeps it bit-identical across engines)."""
+    sub = F.slice(vec_col, offset + 1, len(cent))
+    lits = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(sub, lits, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, codebooks: list[list[list[float]]], out_col: str = "pq_code"
+) -> DataFrame:
+    """Encode each vector as m uint8-ish codes (argmin sub-centroid per
+    subspace, first-minimum tie-break). This is the write-side
+    precompute at 100 TB: m bytes per vector instead of the full
+    embedding ride every ANN scan."""
+    sub = len(codebooks[0][0])
+    codes = []
+    for j, cents in enumerate(codebooks):
+        dists = F.array(*[_sub_sq_l2(F.col(vec_col), j * sub, c) for c in cents])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    codebooks: list[list[list[float]]],
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    k: int = 10,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """PQ search with asymmetric distance computation (ADC) + exact
+    rerank: per query, a lookup table of squared distances to every
+    sub-centroid; a candidate's approximate distance is m array lookups
+    + adds over its codes (never touches the full corpus vector); the
+    ``n_candidates`` best by ADC are reranked by exact cosine.
+
+    Scale shape: codes are map-computed (or read precomputed), the
+    query table broadcasts, the ADC scan is map-only over (id, codes),
+    and only candidate rows' full vectors feed the exact rerank —
+    the classic IVF-less PQ pipeline (Jégou et al., TPAMI'11)."""
+    sub = len(codebooks[0][0])
+    enc = pq_encode(corpus, corpus_vec, codebooks)
+
+    q = queries.select(
+        F.col(query_id),
+        F.col(query_vec).alias("_qv"),
+        *[
+            F.array(
+                *[_sub_sq_l2(F.col(query_vec), j * sub, c) for c in cents]
+            ).alias(f"_qt{j}")
+            for j, cents in enumerate(codebooks)
+        ],
+    )
+    joined = enc.crossJoin(F.broadcast(q))
+    adc = None
+    for j in range(len(codebooks)):
+        term = F.get(F.col(f"_qt{j}"), F.get(F.col("pq_code"), j))
+        adc = term if adc is None else adc + term
+    cand_w = Window.partitionBy(query_id).orderBy(F.col("_adc"), F.col(corpus_id))
+    cand = (
+        joined.withColumn("_adc", adc)
+        .withColumn("_crank", F.row_number().over(cand_w))
+        .filter(F.col("_crank") <= n_candidates)
+    )
+    rerank_w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        cand.withColumn("cosine", cosine_sim(F.col(corpus_vec), F.col("_qv")))
+        .withColumn("rank", F.row_number().over(rerank_w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

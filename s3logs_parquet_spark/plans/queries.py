@@ -1176,6 +1176,104 @@ FROM fp GROUP BY source
 """
 
 
+def q_docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/text_analysis.py pii_signals): emails,
+    SSNs, IPv4s and phone-shaped digit runs replaced with typed
+    placeholders, with per-rule match counts. The corpus carries no
+    real PII, so each doc is seeded with one deterministic instance of
+    every type (same expression in the oracle) — the gate checks the
+    full redacted TEXT value plus the counts, engine-differentially.
+    Map-only regexp chain: zero shuffles at any scale."""
+    from s3logs_parquet_spark.functions.text_analysis import pii_signals
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.withColumn(
+        "_t",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 call +1 (555) 123-4567"),
+        ),
+    )
+    sig = pii_signals(F.col("_t"))
+    return seeded.select(
+        "doc_id",
+        sig["n_email"].cast("long").alias("n_email"),
+        sig["n_ssn"].cast("long").alias("n_ssn"),
+        sig["n_ipv4"].cast("long").alias("n_ipv4"),
+        sig["n_phone"].cast("long").alias("n_phone"),
+        sig["redacted"].alias("redacted"),
+    )
+
+
+def _oracle_pii_redact() -> str:
+    from s3logs_parquet_spark.functions.text_analysis import PII_RULES
+
+    sql = """
+WITH s0 AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.'
+              || (doc_id % 256)::VARCHAR || '.7 ssn 123-45-6789 call +1 (555) 123-4567' AS t
+  FROM documents
+)"""
+    prev = "s0"
+    for i, (name, pat, repl) in enumerate(PII_RULES, 1):
+        counts = ", ".join(f"n_{n}" for n, _, _ in PII_RULES[: i - 1])
+        carry = f"{counts}, " if counts else ""
+        sql += f""", s{i} AS (
+  SELECT doc_id, {carry}len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name},
+         regexp_replace(t, '{pat}', '{repl}', 'g') AS t
+  FROM {prev}
+)"""
+        prev = f"s{i}"
+    names = ", ".join(f"n_{n}" for n, _, _ in PII_RULES)
+    sql += f"\nSELECT doc_id, {names}, t AS redacted FROM {prev}"
+    return sql
+
+
+def q_docs_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: document frequency + IDF for the
+    20 most document-frequent terms (deterministic df-desc/term-asc
+    tie-break). Scale shape: explode distinct per-doc terms → one
+    map-side-combined hash aggregate keyed by term (uniform,
+    high-cardinality) → TakeOrderedAndProject top-k; the corpus total
+    joins in as a broadcast single row. The df table is what
+    frequency-based vocabulary pruning and IDF quality filters read."""
+    from s3logs_parquet_spark.functions.text_analysis import words
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    term_df = (
+        d.select(F.explode(F.array_distinct(words(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    out = term_df.crossJoin(n_docs).select(
+        "term",
+        "df",
+        F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6).alias("idf"),
+    )
+    return out.orderBy(F.col("df").desc(), F.col("term")).limit(20)
+
+
+ORACLE_DOCS_DOC_FREQUENCY = f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_WORDS})) AS term FROM documents
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM w GROUP BY term
+), n AS (
+  SELECT count(*)::BIGINT AS n_docs FROM documents
+)
+SELECT term, df, round(ln(n_docs::DOUBLE / df), 6) AS idf
+FROM df, n
+ORDER BY df DESC, term ASC
+LIMIT 20
+"""
+
+
 
 
 def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1596,6 +1694,85 @@ WITH emb AS (
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
     return sql
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/ann.py pq_*): deterministic
+    codebooks (subvectors of the 8 smallest vec_ids, the same
+    reproducible-init convention as emb_ivf_trained_topk), argmin
+    encode, ADC candidate scan over the m-byte codes, exact-cosine
+    rerank of the top 50. The oracle recomputes the identical
+    codebooks/codes/ADC in SQL — the whole compressed-ANN pipeline is
+    value-checked, not just shape-checked."""
+    from s3logs_parquet_spark.operators.ann import pq_codebooks, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(emb, "embedding", m=4, k_sub=8, id_col="vec_id")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = pq_topk(emb, queries, "vec_id", "query_id", cbs, k=10, n_candidates=50)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _oracle_emb_pq(
+    m: int = 4, sub: int = 16, k_sub: int = 8, n_candidates: int = 50, k: int = 10
+) -> str:
+    def sq(a: str, b: str, off: int) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {sub}), "
+            f"i -> ({a}[{off} + i] - {b}[{off} + i]) * ({a}[{off} + i] - {b}[{off} + i]))), "
+            "(x, y) -> x + y)"
+        )
+
+    vdists = ", ".join(f"{sq('v.ev', 'c.cv', j * sub)} AS d{j}" for j in range(m))
+    qdists = ", ".join(f"{sq('q.qv', 'c.cv', j * sub)} AS d{j}" for j in range(m))
+    ranks = ", ".join(
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY d{j}, cid) AS r{j}" for j in range(m)
+    )
+    code_pick = ", ".join(f"max(CASE WHEN r{j} = 1 THEN cid END) AS code{j}" for j in range(m))
+    qts = ", ".join(f"list(d{j} ORDER BY cid) AS qt{j}" for j in range(m))
+    adc = " + ".join(f"t.qt{j}[k.code{j} + 1]" for j in range(m))
+    return f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {k_sub}
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), vdist AS (
+  SELECT v.vec_id, c.cid, {vdists} FROM e v CROSS JOIN c
+), vrank AS (
+  SELECT vec_id, cid, {ranks} FROM vdist
+), codes AS (
+  SELECT vec_id, {code_pick} FROM vrank GROUP BY vec_id
+), qdist AS (
+  SELECT q.query_id, c.cid, {qdists} FROM q CROSS JOIN c
+), qt AS (
+  SELECT query_id, {qts} FROM qdist GROUP BY query_id
+), scored AS (
+  SELECT t.query_id, k.vec_id, {adc} AS adc
+  FROM codes k CROSS JOIN qt t
+), cand AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS crank
+  FROM scored
+), rr AS (
+  SELECT s.query_id, s.vec_id,
+         {_SQL_DOT.format(a='e.ev', b='q.qv')}
+         / ({_SQL_NORM.format(a='e.ev')} * {_SQL_NORM.format(a='q.qv')}) AS cos_raw
+  FROM cand s
+  JOIN e ON e.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+  WHERE s.crank <= {n_candidates}
+), ranked AS (
+  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM rr
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2249,7 +2426,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tpch_q1_pricing_summary": (q_tpch_q1, ORACLE_TPCH_Q1),
     "tpch_q5_local_supplier_volume": (q_tpch_q5, ORACLE_TPCH_Q5),
     "tpch_q18_large_volume": (q_tpch_q18, ORACLE_TPCH_Q18),
-    "orders_distinct_agg": (q_orders_distinct, ORACLE_ORDERS_DISTINCT),
     "customer_orders_left_join": (q_customer_order_left, ORACLE_CUSTOMER_ORDER_LEFT),
     "customers_without_orders_anti": (q_customers_no_orders, ORACLE_CUSTOMERS_NO_ORDERS),
     "parts_with_lineitems_semi": (q_parts_with_lineitems, ORACLE_PARTS_WITH_LINEITEMS),
@@ -2260,7 +2436,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_pivot_by_type": (q_events_pivot_by_type, _oracle_events_pivot()),
     "orders_lineitem_arrays": (q_orders_lineitem_arrays, ORACLE_ORDERS_ARRAYS),
     "events_tumbling_window": (q_events_tumbling, ORACLE_EVENTS_TUMBLING),
-    "events_window_dedup": (q_events_window_dedup, ORACLE_EVENTS_WINDOW_DEDUP),
     "events_sliding_means": (q_events_sliding, ORACLE_EVENTS_SLIDING),
     "events_session_windows": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_json_props": (q_events_json_props, ORACLE_EVENTS_JSON_PROPS),
@@ -2289,6 +2464,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_stratified_sample": (q_docs_stratified_sample, ORACLE_DOCS_STRATIFIED),
     "docs_global_shuffle": (q_docs_global_shuffle, ORACLE_DOCS_GLOBAL_SHUFFLE),
     "docs_clean_and_repetition": (q_docs_clean_and_repetition, ORACLE_DOCS_CLEAN_REP),
+    "docs_pii_redact": (q_docs_pii_redact, _oracle_pii_redact()),
+    "docs_doc_frequency": (q_docs_doc_frequency, ORACLE_DOCS_DOC_FREQUENCY),
     "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
     "emb_lsh_topk": (q_emb_lsh_topk, _oracle_emb_lsh()),
     "emb_lsh_recall": (q_emb_lsh_recall, _oracle_emb_lsh_recall()),
@@ -2297,6 +2474,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_binary_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
     "manifest_events_f2": (q_manifest_events_f2, ORACLE_MANIFEST_EVENTS_F2),
     # --- 51+: variants of families already represented above ---
+    "orders_distinct_agg": (q_orders_distinct, ORACLE_ORDERS_DISTINCT),
+    "events_window_dedup": (q_events_window_dedup, ORACLE_EVENTS_WINDOW_DEDUP),
     "tpch_q3_shipping_priority": (q_tpch_q3, ORACLE_TPCH_Q3),
     "tpch_q6_forecast_revenue": (q_tpch_q6, ORACLE_TPCH_Q6),
     "tpch_q10_returned_items": (q_tpch_q10, ORACLE_TPCH_Q10),
@@ -2311,4 +2490,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_systematic_sample": (q_docs_systematic_sample, ORACLE_DOCS_SAMPLE),
     "docs_split_assign": (q_docs_split_assign, ORACLE_DOCS_SPLIT),
     "docs_dup_rate_by_source": (q_docs_dup_rate_by_source, ORACLE_DOCS_DUP_RATE),
+    "emb_pq_topk": (q_emb_pq_topk, _oracle_emb_pq()),
 }

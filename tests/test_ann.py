@@ -70,3 +70,38 @@ def test_embedding_neardup_self_duplicates(spark, sf_dir):
     pairs = embedding_neardup_pairs(corpus, "vec_id", "embedding", threshold=0.999)
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 100000) in found
+
+
+def test_pq_self_retrieval_and_recall(spark, sf_dir):
+    """PQ (codebooks → encode → ADC → exact rerank): every query is a
+    corpus member, so with 50 ADC candidates over 500 vectors the query
+    itself must surface and rerank to rank 1 (cosine 1.0); and the
+    reranked top-10 must overlap substantially with the exact top-10."""
+    from s3logs_parquet_spark.operators.ann import pq_codebooks, pq_encode, pq_topk
+
+    emb = _emb(spark, sf_dir)
+    cbs = pq_codebooks(emb, "embedding", m=4, k_sub=8, id_col="vec_id")
+    assert len(cbs) == 4 and all(len(c) == 8 for c in cbs)
+    assert all(len(cent) == 16 for c in cbs for cent in c)
+
+    codes = pq_encode(emb.limit(50), "embedding", cbs).select("pq_code").collect()
+    assert all(len(r["pq_code"]) == 4 for r in codes)
+    assert all(0 <= x < 8 for r in codes for x in r["pq_code"])
+
+    q = _queries(emb)
+    out = pq_topk(emb, q, "vec_id", "query_id", cbs, k=10, n_candidates=50).collect()
+    rank1 = {r["query_id"]: (r["vec_id"], r["cosine"]) for r in out if r["rank"] == 1}
+    for qid, (vid, cos) in rank1.items():
+        assert vid == qid and abs(cos - 1.0) < 1e-9
+
+    exact = brute_force_topk(emb, q, "vec_id", "query_id", k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    pq_sets = {}
+    for r in out:
+        pq_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(len(exact_sets[q0] & pq_sets[q0]) for q0 in exact_sets) / sum(
+        len(s) for s in exact_sets.values()
+    )
+    assert recall >= 0.5, f"PQ recall@10 collapsed: {recall}"

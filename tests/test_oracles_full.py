@@ -36,6 +36,8 @@ _MUST_BE_IN_WINDOW = [
     "docs_clean_and_repetition",
     "events_kmv_global",
     "events_asof_click_chunked",
+    "docs_pii_redact",
+    "docs_doc_frequency",
 ]
 
 

@@ -273,3 +273,49 @@ def test_kmv_global_two_level(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "windowspecdefinition" not in plan  # no rank-window funnel
+
+
+def test_bucketed_join_and_agg_have_no_exchange(spark, sf_dir, tmp_path):
+    """plans/bucketing.py: co-bucketed tables join with ZERO exchanges
+    (storage paid the shuffle once at write), and an aggregate keyed by
+    the bucket column also plans exchange-free; a path read (bucket
+    metadata lost) re-introduces the exchange — proving the catalog
+    read path is what carries the layout."""
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.plans.bucketing import read_bucketed, write_bucketed
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS t_bdocs")
+    spark.sql("DROP TABLE IF EXISTS t_bstats")
+    write_bucketed(d, "t_bdocs", ["doc_id"], 4, path=str(tmp_path / "bdocs"))
+    write_bucketed(
+        d.select("doc_id", F.length("text").alias("n_chars")),
+        "t_bstats",
+        ["doc_id"],
+        4,
+        path=str(tmp_path / "bstats"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed(spark, "t_bdocs").join(read_bucketed(spark, "t_bstats"), "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0
+        assert "SortMergeJoin" in plan
+        assert j.count() == d.count()
+
+        agg = read_bucketed(spark, "t_bdocs").groupBy("doc_id").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert aplan.count("Exchange") == 0
+
+        # path read loses the bucket layout -> the exchange comes back
+        raw = spark.read.parquet(str(tmp_path / "bdocs")).join(
+            read_bucketed(spark, "t_bstats"), "doc_id"
+        )
+        rplan = raw._jdf.queryExecution().executedPlan().toString()
+        assert rplan.count("Exchange") >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bdocs")
+        spark.sql("DROP TABLE IF EXISTS t_bstats")

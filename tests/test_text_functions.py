@@ -50,3 +50,25 @@ def test_fingerprint_order_sensitive(spark):
     b = _one(spark, fingerprint(F.lit("beta alpha gamma")))
     c = _one(spark, fingerprint(F.lit("alpha beta gamma")))
     assert a == c and a != b
+
+
+def test_pii_redaction_rules(spark):
+    """Rule order attribution: SSNs and IPs must not be eaten by the
+    greedy phone pattern; every digit-bearing PII span is replaced."""
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.functions.text_analysis import pii_signals
+
+    text = (
+        "alice@example.com wrote from 10.1.2.3 ssn 123-45-6789 "
+        "call +1 (555) 123-4567 about order 7"
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    sig = pii_signals(F.col("text"))
+    row = df.select(
+        *[sig[k].alias(k) for k in ("n_email", "n_ssn", "n_ipv4", "n_phone", "redacted")]
+    ).collect()[0]
+    assert (row["n_email"], row["n_ssn"], row["n_ipv4"], row["n_phone"]) == (1, 1, 1, 1)
+    assert row["redacted"] == (
+        "<EMAIL> wrote from <IP> ssn <SSN> call <PHONE> about order 7"
+    )
