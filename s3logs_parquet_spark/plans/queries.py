@@ -357,6 +357,54 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2² combinations of flag/status, NULL
+    subtotal markers): the lattice sibling of the ROLLUP hierarchy —
+    one pass, Spark expands to grouping sets, no re-scan per level."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+ORACLE_LINEITEM_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_events_user_halves_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type the inventory lacked):
+    per-user event counts from the month's first vs second half, users
+    present on either side only carried with NULL on the other —
+    USING-style key coalescing on both engines."""
+    e = _t(spark, sf_dir, "events")
+    early = (
+        e.filter(F.dayofmonth("ts") <= 15)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_early"))
+    )
+    late = (
+        e.filter(F.dayofmonth("ts") >= 16)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+    return early.join(late, "user_id", "full")
+
+
+ORACLE_EVENTS_FULL_OUTER = """
+WITH early AS (
+  SELECT user_id, count(*)::BIGINT AS n_early FROM events
+  WHERE date_part('day', ts) <= 15 GROUP BY user_id
+), late AS (
+  SELECT user_id, count(*)::BIGINT AS n_late FROM events
+  WHERE date_part('day', ts) >= 16 GROUP BY user_id
+)
+SELECT coalesce(e.user_id, l.user_id) AS user_id, e.n_early, l.n_late
+FROM early e FULL JOIN late l ON e.user_id = l.user_id
+"""
+
+
 def q_events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-style conditional aggregation: per user-cohort, one column
     per event type (explicit conditional sums so column naming is
@@ -2491,4 +2539,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_split_assign": (q_docs_split_assign, ORACLE_DOCS_SPLIT),
     "docs_dup_rate_by_source": (q_docs_dup_rate_by_source, ORACLE_DOCS_DUP_RATE),
     "emb_pq_topk": (q_emb_pq_topk, _oracle_emb_pq()),
+    "lineitem_cube": (q_lineitem_cube, ORACLE_LINEITEM_CUBE),
+    "events_user_halves_full_outer": (q_events_user_halves_full_outer, ORACLE_EVENTS_FULL_OUTER),
 }

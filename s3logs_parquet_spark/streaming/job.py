@@ -235,3 +235,54 @@ def run_streaming_transform(
     else:
         writer = writer.trigger(processingTime=scfg.processing_time)
     return writer.start()
+
+
+def run_stream_asof_enrich(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema,
+    dim_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    time_col: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    right_cols: list[str] | None = None,
+    scfg: StreamingJobConfig | None = None,
+) -> StreamingQuery:
+    """Streaming enrichment against a slowly-changing dimension: each
+    micro-batch of arriving fact rows is as-of joined (inner,
+    backward-inclusive — operators/temporal.py) to the most recent
+    dimension row at-or-before its event time, then committed to
+    ``batch=<id>`` exactly-once dirs like run_manifest_stream.
+
+    Composition point: streaming reuses the BATCH temporal operator
+    inside ``foreachBatch`` — correct because as-of enrichment is
+    per-row against a static right side, so micro-batch boundaries
+    can't change the answer (no cross-batch fact state). For a
+    dimension that itself streams, snapshot it per trigger upstream.
+    The dimension is re-planned per batch; persist() it for hot loops,
+    broadcast happens automatically when it's small.
+    """
+    from s3logs_parquet_spark.operators.temporal import asof_join
+
+    scfg = scfg or StreamingJobConfig()
+    stream = (
+        spark.readStream.schema(input_schema)
+        .option("maxFilesPerTrigger", scfg.max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = asof_join(
+            batch_df, dim_df, time_col=time_col, by=list(by), right_cols=right_cols
+        )
+        enriched.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if scfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=scfg.processing_time)
+    return writer.start()

@@ -351,3 +351,56 @@ def test_stream_batch_equivalence_differential(spark, tmp_path):
     srows = sorted(map(tuple, s.select(*cols).collect()))
     brows = sorted(map(tuple, b.select(*cols).collect()))
     assert srows == brows
+
+
+def test_stream_asof_enrich_matches_batch(spark, tmp_path):
+    """Streaming↔batch composition for the temporal operator: enriching
+    micro-batches via foreachBatch asof_join equals one batch as-of
+    over all facts (per-row vs static dim ⇒ batch boundaries can't
+    matter), across a restart."""
+    from s3logs_parquet_spark.operators.temporal import asof_join
+    from s3logs_parquet_spark.streaming.job import run_stream_asof_enrich
+
+    dim = spark.createDataFrame(
+        [(1, 100, "basic"), (1, 500, "pro"), (2, 50, "basic")],
+        "user_id long, ts long, plan string",
+    )
+    facts1 = spark.createDataFrame(
+        [(10, 1, 150), (11, 1, 700), (12, 2, 40), (13, 3, 10)],
+        "event_id long, user_id long, ts long",
+    )
+    facts2 = spark.createDataFrame(
+        [(14, 1, 400), (15, 2, 60)], "event_id long, user_id long, ts long"
+    )
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    scfg = StreamingJobConfig(available_now=True)
+
+    facts1.write.mode("append").parquet(inp)
+    q = run_stream_asof_enrich(
+        spark, inp, facts1.schema, dim, out, ckpt, time_col="ts",
+        by=("user_id",), right_cols=["plan"], scfg=scfg,
+    )
+    q.awaitTermination(120)
+    facts2.write.mode("append").parquet(inp)
+    q2 = run_stream_asof_enrich(
+        spark, inp, facts1.schema, dim, out, ckpt, time_col="ts",
+        by=("user_id",), right_cols=["plan"], scfg=scfg,
+    )
+    q2.awaitTermination(120)
+
+    cols = ["event_id", "user_id", "ts", "ts_r", "plan_r"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    want = sorted(
+        map(
+            tuple,
+            asof_join(
+                facts1.union(facts2), dim, time_col="ts", by=["user_id"], right_cols=["plan"]
+            )
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert got == want
+    # event 11 (t=700) carries the 'pro' upgrade, 13 (no dim user) dropped
+    by_event = {r[0]: r[4] for r in got}
+    assert by_event[11] == "pro" and 13 not in by_event
