@@ -52,6 +52,10 @@ HEADLINE = [
     "events_kmv_global",
     "events_hourly_rollup",
     "docs_incremental_neardup",
+    # round-3: the two heaviest new TPC-H shapes (8-way broadcast
+    # chain; double-correlated semi/anti probes)
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_supplier",
 ]
 
 

@@ -2542,3 +2542,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lineitem_cube": (q_lineitem_cube, ORACLE_LINEITEM_CUBE),
     "events_user_halves_full_outer": (q_events_user_halves_full_outer, ORACLE_EVENTS_FULL_OUTER),
 }
+
+# The remaining TPC-H shapes (q4/q7/q8/q12/q13/q15/q17/q19/q21/q22,
+# faithful-or-adapted per plans/tpch_extra.py's header; q2/q9/q11/q16/
+# q20 need the absent partsupp table). Registered after the driver
+# window — the TPC-H family is already represented in positions 1-50.
+from s3logs_parquet_spark.plans.tpch_extra import TPCH_EXTRA_QUERIES  # noqa: E402
+
+QUERIES.update(TPCH_EXTRA_QUERIES)

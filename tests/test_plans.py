@@ -150,3 +150,30 @@ def test_exact_dedup_aggregate_is_content_free(spark, sf_dir):
         head = b.splitlines()[0] if b else ""
         if "HashAggregate" in head:
             assert "text#" not in b, f"content rides the {head} node"
+
+
+def test_tpch_extra_join_strategies(spark, sf_dir):
+    """The 10 round-3 TPC-H shapes must stay free of cartesian /
+    nested-loop joins, and the dims must broadcast — the invariant
+    that survives a 100× scale-up (the fact side is never replicated)."""
+    from s3logs_parquet_spark.plans.tpch_extra import TPCH_EXTRA_QUERIES
+
+    for name, (fn, _) in TPCH_EXTRA_QUERIES.items():
+        plan = _plan(spark, fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        # q22's scalar-avg broadcast is the one legitimate nested-loop
+        # (1-row build side); everything else must be hash joins.
+        if name != "tpch_q22_sales_opportunity":
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan or "left_semi" in name, name
+
+
+def test_tpch_q4_semi_join_no_fact_widening(spark, sf_dir):
+    """q4's EXISTS compiles to a LeftSemi join: lineitem columns must
+    not appear in the post-join schema (no fact-side widening)."""
+    from s3logs_parquet_spark.plans.tpch_extra import q_tpch_q4
+
+    df = q_tpch_q4(spark, sf_dir)
+    plan = _plan(spark, df)
+    assert "LeftSemi" in plan
+    assert df.columns == ["o_orderpriority", "order_count"]
