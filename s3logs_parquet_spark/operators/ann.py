@@ -403,3 +403,98 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — build once, query many (the production shape)
+# ---------------------------------------------------------------------------
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Materialize the IVF index on disk: the corpus cell-assigned and
+    PARTITIONED BY cell (`<path>/corpus/cell=N/...`), plus the trained
+    centroids as a tiny companion table (`<path>/centroids`).
+
+    The partition layout is the point: a query probing n_probe of
+    n_cells cells reads n_probe/n_cells of the corpus bytes — static
+    partition pruning at the parquet scan, no index structure beyond
+    the directory tree. At 100 TB this is the difference between a
+    full-corpus scan per query batch and touching only probed cells.
+    Training is the deterministic ivf_train(id_col=...) so the index is
+    reproducible and its query results oracle-checkable."""
+    spark = corpus.sparkSession
+    centroids = ivf_train(
+        corpus, corpus_vec, n_cells=n_cells, iters=iters, id_col=corpus_id
+    )
+    assigned = ivf_assign(
+        corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv")),
+        "_cv",
+        centroids,
+        "cell",
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "cell INT, centroid ARRAY<DOUBLE>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    query_vec: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Query a persisted IVF index: load centroids (tiny), compute each
+    query's n_probe nearest cells, then scan ONLY those cell partitions
+    (a literal IN filter on the partition column → static partition
+    pruning, visible as PartitionFilters in the plan) and rank exact
+    cosine inside.
+
+    The probe-cell collect is bounded by n_queries × n_probe ints —
+    the same tiny-model discipline as the centroid literals."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(cent_rows, key=lambda r: r["cell"])
+    ]
+    q = queries.select(F.col(query_id), F.col(query_vec).alias("_qv"))
+    sims = F.array(
+        *[
+            dot(F.col("_qv"), F.array(*[F.lit(float(x)) for x in cen]))
+            / (l2_norm(F.col("_qv")) * F.lit(sum(x * x for x in cen) ** 0.5))
+            for cen in centroids
+        ]
+    )
+    probe_cells = F.slice(
+        F.array_sort(
+            F.transform(sims, lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")))
+        ),
+        1,
+        n_probe,
+    )
+    qp = q.withColumn("_probe", probe_cells).select(
+        query_id, "_qv", F.explode(F.col("_probe.cell")).alias("cell")
+    )
+    probed = sorted({r["cell"] for r in qp.select("cell").distinct().collect()})
+    corpus = spark.read.parquet(f"{path}/corpus").filter(F.col("cell").isin(probed))
+    cand = corpus.join(F.broadcast(qp), on="cell").select(
+        query_id, corpus_id, "_cv", "_qv"
+    )
+    scored = cand.select(
+        query_id, corpus_id, cosine_sim(F.col("_cv"), F.col("_qv")).alias("cosine")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

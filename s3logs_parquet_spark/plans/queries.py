@@ -2550,3 +2550,29 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 from s3logs_parquet_spark.plans.tpch_extra import TPCH_EXTRA_QUERIES  # noqa: E402
 
 QUERIES.update(TPCH_EXTRA_QUERIES)
+
+
+def q_emb_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index ANN path: ivf_index_write materializes the
+    corpus partitioned by cell + trained centroids on disk; the query
+    side reads ONLY the probed cell partitions (static partition
+    pruning — tests/test_ann.py asserts PartitionFilters). Same
+    deterministic training as emb_ivf_trained_topk, so the identical
+    oracle value-checks the whole build→persist→prune→rerank chain."""
+    import os
+    import tempfile
+
+    from s3logs_parquet_spark.operators.ann import ivf_index_topk, ivf_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_index_{tag}")
+    ivf_index_write(emb, path, "vec_id", n_cells=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = ivf_index_topk(spark, path, queries, "vec_id", "query_id", k=10, n_probe=2)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+QUERIES["emb_ivf_indexed_topk"] = (q_emb_ivf_indexed_topk, _oracle_emb_ivf_trained())

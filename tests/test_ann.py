@@ -105,3 +105,35 @@ def test_pq_self_retrieval_and_recall(spark, sf_dir):
         len(s) for s in exact_sets.values()
     )
     assert recall >= 0.5, f"PQ recall@10 collapsed: {recall}"
+
+
+def test_ivf_index_persist_prune_and_parity(spark, sf_dir, tmp_path):
+    """The persisted IVF index must (a) return exactly what the
+    in-memory trained path returns, and (b) scan only the probed cell
+    partitions — static partition pruning visible in the plan."""
+    from s3logs_parquet_spark.operators.ann import (
+        ivf_index_topk,
+        ivf_index_write,
+        ivf_topk,
+        ivf_train,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivf_index")
+    centroids = ivf_index_write(emb, path, "vec_id", n_cells=8, iters=2)
+    assert centroids == ivf_train(emb, "embedding", n_cells=8, iters=2, id_col="vec_id")
+
+    q = _queries(emb)
+    indexed = ivf_index_topk(spark, path, q, "vec_id", "query_id", k=10, n_probe=2)
+    mem = ivf_topk(emb, q, "vec_id", "query_id", centroids, k=10, n_probe=2)
+    key = lambda r: (r["query_id"], r["rank"])
+    got = sorted(((r["query_id"], r["rank"], r["vec_id"]) for r in indexed.collect()))
+    want = sorted(((r["query_id"], r["rank"], r["vec_id"]) for r in mem.collect()))
+    assert got == want and len(got) > 0
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the pruned scan must carry a cell IN (...) partition filter, not
+    # read all 8 cells
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "cell" in pf
