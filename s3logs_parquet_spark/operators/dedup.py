@@ -18,7 +18,7 @@ LSH buckets (self-join on band signature), never all-pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from s3logs_parquet_spark.config import EngineConfig
@@ -395,6 +395,8 @@ def minhash_lsh_pairs(
     seed: int = 42,
     materialize: bool = True,
     durable: bool = False,
+    max_bucket_size: int | None = None,
+    oversize_policy: str = "star",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH, then exact
     signature-similarity filter.
@@ -406,6 +408,29 @@ def minhash_lsh_pairs(
     skew, and `spark.sql.shuffle.partitions` sizing the rest. Returns
     (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
 
+    ``max_bucket_size`` guards the quadratic cliff: a boilerplate-heavy
+    corpus can put most docs into ONE bucket per band (measured: 1M
+    synthetic docs → 8 buckets of 500k-780k ≈ 1.8e12 candidate pairs,
+    which fills shuffle-spill disk long before any result). A bucket of
+    B docs costs B²/2 pairs; buckets above the cap are handled per
+    ``oversize_policy``:
+
+    - ``"star"`` (default): link every member to the bucket's min-id
+      representative — O(B) pairs computed with a window over the SAME
+      (band, band_hash) exchange the join uses (no extra shuffle, no
+      join for the hot buckets). Downstream connected-components sees
+      the same connectivity (a bucket is one clique → one star); the
+      per-pair est_jaccard filter still verifies every emitted pair.
+      Member↔member similarity *within* an oversized bucket is not
+      re-verified pairwise — for buckets that big the members are
+      band-identical boilerplate, which is exactly the cluster case.
+    - ``"drop"``: skip oversized buckets entirely (docs can still pair
+      via their other, smaller bands).
+    - ``"error"``: raise at plan time semantics — emitted as a runtime
+      assert column so the check stays distributed.
+
+    ``None`` (default) keeps the exact all-pairs behavior.
+
     ``materialize`` checkpoints the signatures before the self-join so
     they are computed once, not once per join side — 7.7x faster in
     profiling. ``durable=True`` uses a reliable checkpoint dir instead
@@ -414,9 +439,47 @@ def minhash_lsh_pairs(
     persisting signatures as a table (write-side precompute); disable
     only if you need a pure unexecuted plan.
     """
+    if oversize_policy not in ("star", "drop", "error"):
+        raise ValueError(f"oversize_policy must be star|drop|error, got {oversize_policy!r}")
     banded = minhash_banded(
         df, id_col, text_col, num_hashes, bands, shingle_k, seed, materialize, durable
     )
+
+    star_pairs = None
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_hash")
+        sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        if oversize_policy == "error":
+            # distributed guard: poison any oversized bucket's rows so the
+            # failure is loud, not a silent multi-TB spill
+            sized = sized.withColumn(
+                "_bsz",
+                F.when(
+                    F.col("_bsz") <= max_bucket_size, F.col("_bsz")
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("minhash_lsh_pairs: bucket over max_bucket_size="),
+                            F.lit(str(max_bucket_size)),
+                            F.lit(" (size "),
+                            F.col("_bsz").cast("string"),
+                            F.lit(") — boilerplate flood; use oversize_policy='star'"),
+                        )
+                    ).cast("long")
+                ),
+            )
+        elif oversize_policy == "star":
+            # representative = bucket min over (id, signature); computed in
+            # the same window exchange, so the hot path never joins
+            rep = F.min(F.struct(F.col(id_col), F.col("signature"))).over(w)
+            big = sized.filter(F.col("_bsz") > max_bucket_size).select(
+                rep[id_col].alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                rep["signature"].alias("sig_a"),
+                F.col("signature").alias("sig_b"),
+            )
+            star_pairs = big.filter(F.col("id_a") != F.col("id_b"))
+        banded = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -435,8 +498,10 @@ def minhash_lsh_pairs(
             F.col("l.signature").alias("sig_a"),
             F.col("r.signature").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
 
     est = (
         F.aggregate(

@@ -35,12 +35,23 @@ def curate_documents(
     jaccard_threshold: float = 0.3,
     num_hashes: int = 32,
     bands: int = 8,
+    lsh_max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Returns the curated frame: (doc_id, lang_pred, quality, split).
 
     Deterministic end to end — filters and survivors are pure functions
     of content — so re-runs, other engines, and resumed jobs agree row
-    for row."""
+    for row.
+
+    ``lsh_max_bucket_size`` (default 10k) bounds the LSH candidate join
+    against boilerplate floods with the 'star' policy: an oversized
+    band bucket links members to its min-id representative instead of
+    emitting B²/2 pairs. For the cluster-minimum dedup this pipeline
+    performs, star links preserve exactly what matters — bucket
+    connectivity — while a 1M-doc boilerplate corpus without the cap
+    generates ~1.8e12 candidate pairs and dies in shuffle spill. Inert
+    below the cap (test scales see identical output); pass None for the
+    unguarded exact join."""
     scored = docs.withColumn("quality", F.round(quality_score(F.col(text_col)), 6)).withColumn(
         "lang_pred", langid(F.col(text_col))
     )
@@ -62,6 +73,8 @@ def curate_documents(
         bands=bands,
         shingle_k=3,
         jaccard_threshold=jaccard_threshold,
+        max_bucket_size=lsh_max_bucket_size,
+        oversize_policy="star",
     )
     labels = connected_components_clusters(pairs, exact.select(id_col), id_col)
     canonical = labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)

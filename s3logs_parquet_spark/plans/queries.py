@@ -1045,6 +1045,79 @@ WHERE ({band_eq})
 
 
 
+def q_docs_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket-guarded LSH path: max_bucket_size=2 forces the
+    'star' oversize policy to engage at test scale (oversized buckets
+    emit member→min-id-representative links instead of all pairs). The
+    guard is what makes banded LSH survive boilerplate-heavy corpora —
+    measured on 1M synthetic docs: 8 buckets of 500k-780k docs =
+    1.8e12 candidate pairs without it. Oracle reproduces bucket sizing,
+    representative choice, and the per-pair signature filter in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=8,
+        shingle_k=3,
+        jaccard_threshold=0.3,
+        max_bucket_size=2,
+        oversize_policy="star",
+    ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _oracle_minhash_capped(num_hashes: int = 32, bands: int = 8, cap: int = 2) -> str:
+    from s3logs_parquet_spark.functions.hashing import affine_coeffs
+
+    coeffs = affine_coeffs(num_hashes, 42)
+    rows_per_band = num_hashes // bands
+    sig_terms = ", ".join(
+        f"list_min(list_transform(sh, x -> ({a} * x + {b}) % 2147483647))" for a, b in coeffs
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(ws) - 3, 0)),
+           i -> array_to_string(array_slice(ws, i + 1, i + 3), ' ')
+         )) AS grams
+  FROM d
+), h AS (
+  SELECT doc_id, list_transform(grams, s -> {hash32_sql('s')} % 2147483647) AS sh FROM g
+), s AS (
+  SELECT doc_id, [{sig_terms}] AS sig FROM h
+), bnd AS (
+  SELECT doc_id, sig, t.b AS band,
+         sig[t.b * {rows_per_band} + 1 : (t.b + 1) * {rows_per_band}] AS bkey
+  FROM s, generate_series(0, {bands - 1}) AS t(b)
+), sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz,
+         min(doc_id) OVER (PARTITION BY band, bkey) AS rep
+  FROM bnd
+), cand AS (
+  SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM sized a JOIN sized b2
+    ON a.band = b2.band AND a.bkey = b2.bkey
+   AND a.doc_id < b2.doc_id AND a.bsz <= {cap}
+  UNION
+  SELECT rep AS id_a, doc_id AS id_b FROM sized
+  WHERE bsz > {cap} AND doc_id <> rep
+)
+SELECT p.id_a, p.id_b,
+       round(len(list_filter(generate_series(1, {num_hashes}),
+                             i -> sa.sig[i] = sb.sig[i]))::DOUBLE / {num_hashes}, 6)
+         AS est_jaccard
+FROM (SELECT DISTINCT id_a, id_b FROM cand) p
+JOIN s sa ON sa.doc_id = p.id_a
+JOIN s sb ON sb.doc_id = p.id_b
+WHERE len(list_filter(generate_series(1, {num_hashes}),
+                      i -> sa.sig[i] = sb.sig[i]))::DOUBLE / {num_hashes} >= 0.3
+"""
+
+
 def q_docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash-LSH pairs unioned into connected
     components (iterative min-label propagation — the one genuinely
@@ -2538,6 +2611,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_systematic_sample": (q_docs_systematic_sample, ORACLE_DOCS_SAMPLE),
     "docs_split_assign": (q_docs_split_assign, ORACLE_DOCS_SPLIT),
     "docs_dup_rate_by_source": (q_docs_dup_rate_by_source, ORACLE_DOCS_DUP_RATE),
+    "docs_lsh_pairs_capped": (q_docs_lsh_pairs_capped, _oracle_minhash_capped()),
     "emb_pq_topk": (q_emb_pq_topk, _oracle_emb_pq()),
     "lineitem_cube": (q_lineitem_cube, ORACLE_LINEITEM_CUBE),
     "events_user_halves_full_outer": (q_events_user_halves_full_outer, ORACLE_EVENTS_FULL_OUTER),

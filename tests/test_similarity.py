@@ -270,3 +270,80 @@ def test_incremental_neardup_rejects_mismatched_index(spark):
     idx = minhash_banded(d, "doc_id", "text", num_hashes=32, bands=8)
     with pytest.raises(ValueError, match="num_hashes"):
         incremental_neardup_pairs(d, idx, num_hashes=64, bands=16)
+
+
+def test_lsh_bucket_cap_policies(spark):
+    """max_bucket_size guards the boilerplate-flood quadratic cliff
+    (measured: 1M synthetic docs put 500k-780k docs into ONE bucket per
+    band = 1.8e12 candidate pairs → shuffle-spill disk exhaustion).
+    A non-engaging cap must be a no-op; 'star' must keep every flood
+    member linked to the bucket representative; 'error' must raise."""
+    import pytest
+
+    kw = dict(num_hashes=32, bands=8, shingle_k=3, jaccard_threshold=0.3)
+    # boilerplate flood: 20 identical docs + the planted near/far docs
+    flood = [(100 + i, BASE) for i in range(20)]
+    d = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER)] + flood, ["doc_id", "text"]
+    )
+
+    base = minhash_lsh_pairs(d, "doc_id", "text", **kw)
+    noop = minhash_lsh_pairs(d, "doc_id", "text", max_bucket_size=10**6, **kw)
+    assert base.exceptAll(noop).count() == 0 and noop.exceptAll(base).count() == 0
+
+    star = minhash_lsh_pairs(
+        d, "doc_id", "text", max_bucket_size=4, oversize_policy="star", **kw
+    )
+    star_pairs = {(r["id_a"], r["id_b"]) for r in star.collect()}
+    # every emitted pair exists in the exact result
+    base_pairs = {(r["id_a"], r["id_b"]) for r in base.collect()}
+    assert star_pairs <= base_pairs
+    # the flood bucket's rep is doc 1 (min id among identical docs):
+    # every flood member stays linked -> connected-components unchanged
+    for fid, _ in flood:
+        assert (1, fid) in star_pairs
+    assert (1, 2) in star_pairs or (2, 21) in star_pairs or any(
+        2 in p for p in star_pairs
+    )  # near-dup still found via its own (small or star) buckets
+
+    drop = minhash_lsh_pairs(
+        d, "doc_id", "text", max_bucket_size=4, oversize_policy="drop", **kw
+    )
+    drop_pairs = {(r["id_a"], r["id_b"]) for r in drop.collect()}
+    assert drop_pairs <= star_pairs  # drop is strictly weaker than star
+
+    with pytest.raises(Exception, match="max_bucket_size"):
+        minhash_lsh_pairs(
+            d, "doc_id", "text", max_bucket_size=4, oversize_policy="error", **kw
+        ).count()
+
+    with pytest.raises(ValueError, match="oversize_policy"):
+        minhash_lsh_pairs(d, "doc_id", "text", max_bucket_size=4, oversize_policy="nope", **kw)
+
+
+def test_lsh_star_cap_preserves_clusters_on_flood(spark):
+    """Connected components over star-capped pairs match the uncapped
+    clustering on a boilerplate flood — the cap changes the edge set,
+    not the connectivity."""
+    from s3logs_parquet_spark.operators.dedup import connected_components_clusters
+
+    kw = dict(num_hashes=32, bands=8, shingle_k=3, jaccard_threshold=0.3)
+    flood = [(100 + i, BASE) for i in range(20)]
+    d = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER)] + flood, ["doc_id", "text"]
+    )
+    ids = d.select("doc_id")
+
+    def clusters(pairs):
+        return {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components_clusters(pairs, ids, "doc_id").collect()
+        }
+
+    exact = clusters(minhash_lsh_pairs(d, "doc_id", "text", **kw))
+    capped = clusters(
+        minhash_lsh_pairs(
+            d, "doc_id", "text", max_bucket_size=4, oversize_policy="star", **kw
+        )
+    )
+    assert exact == capped
