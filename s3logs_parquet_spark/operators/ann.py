@@ -230,12 +230,25 @@ def ivf_train(
             src = df.filter(bucket < int(sample_fraction * 1_000_000))
         init_rows = src.orderBy(F.col(id_col)).limit(n_cells).select(vec_col).collect()
         centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+        if len(centroids) < n_cells:
+            raise ValueError(
+                f"ivf_train: only {len(centroids)} rows available for init but "
+                f"n_cells={n_cells} — the corpus (after sample_fraction="
+                f"{sample_fraction} hash filtering) is too small; raise "
+                "sample_fraction or lower n_cells"
+            )
         data = src.select(F.col(vec_col).alias("v"))
     else:
         data = df.select(F.col(vec_col).alias("v"))
         if sample_fraction < 1.0:
             data = data.sample(fraction=sample_fraction, seed=seed)
         init = data.limit(n_cells * 50).toPandas()["v"].tolist()
+        if len(init) < n_cells:
+            raise ValueError(
+                f"ivf_train: only {len(init)} rows available for init but "
+                f"n_cells={n_cells} — the (sampled) corpus is too small; raise "
+                "sample_fraction or lower n_cells"
+            )
         step = max(1, len(init) // n_cells)
         centroids = [list(map(float, init[i])) for i in range(0, step * n_cells, step)][:n_cells]
     for _ in range(iters):
@@ -317,6 +330,12 @@ def pq_codebooks(
     compiled into plans as literals)."""
     rows = df.orderBy(F.col(id_col)).limit(k_sub).select(vec_col).collect()
     vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    if len(vecs) < k_sub:
+        raise ValueError(
+            f"pq_codebooks: corpus has only {len(vecs)} rows but k_sub={k_sub} "
+            "sub-centroids were requested — PQ needs at least k_sub vectors "
+            "for the deterministic init; lower k_sub or use a larger corpus"
+        )
     dim = len(vecs[0])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m

@@ -330,14 +330,25 @@ def incremental_neardup_pairs(
     # an index built with different num_hashes/bands yields different
     # band hashes → zero candidates → silent "no near-dups". The array
     # length isn't in the schema, so probe ONE row (bounded single-row
-    # job) and fail loudly on mismatch.
+    # job) and fail loudly on mismatch. F.size(NULL) is NULL (Spark 4
+    # non-legacy), so a NULL signature surfaces here too instead of a
+    # misleading parameter-mismatch message. Only one arbitrary row is
+    # probed; heterogeneous indexes are caught by the distributed check
+    # folded into est_jaccard below.
     probe = corpus_index.select(F.size("signature").alias("_n")).limit(1).collect()
-    if probe and probe[0]["_n"] != num_hashes:
-        raise ValueError(
-            f"incremental_neardup_pairs: corpus_index signatures have length "
-            f"{probe[0]['_n']} but num_hashes={num_hashes} — the index was built "
-            "with different parameters; rebuild it or pass matching num_hashes/bands"
-        )
+    if probe:
+        n = probe[0]["_n"]
+        if n is None:
+            raise ValueError(
+                "incremental_neardup_pairs: corpus_index contains a NULL "
+                "signature — the index is corrupt; rebuild it with minhash_banded"
+            )
+        if n != num_hashes:
+            raise ValueError(
+                f"incremental_neardup_pairs: corpus_index signatures have length "
+                f"{n} but num_hashes={num_hashes} — the index was built "
+                "with different parameters; rebuild it or pass matching num_hashes/bands"
+            )
     bb = minhash_banded(
         batch, id_col, text_col, num_hashes, bands, shingle_k, seed, materialize, durable
     )
@@ -361,22 +372,27 @@ def incremental_neardup_pairs(
     # an index built with a different num_hashes would make zip_with pad
     # with NULLs → NULL similarity → every cross-pair silently dropped
     # ("no near-dups"). Fail loudly instead; the check runs on candidate
-    # pairs only (bounded by bucket matches), not the whole index.
-    pairs = pairs.withColumn(
-        "_sig_len_ok",
-        F.assert_true(
-            F.size("sig_b") == num_hashes,
+    # pairs only (bounded by bucket matches), not the whole index. The
+    # guard is folded INTO the est_jaccard expression (not a dropped
+    # side column, which Catalyst would prune as unused) so every
+    # emitted row must evaluate it: a sig_b of the wrong length — or
+    # NULL, which makes the `when` condition NULL → otherwise branch —
+    # raises instead of silently yielding NULL similarity.
+    est = F.when(
+        F.size("sig_b") == num_hashes,
+        _pair_est_jaccard(pairs, num_hashes),
+    ).otherwise(
+        F.raise_error(
             F.concat(
                 F.lit(
                     "incremental_neardup_pairs: corpus_index signature length "
                     f"!= num_hashes={num_hashes} (index built with different "
                     "parameters?); got "
                 ),
-                F.size("sig_b").cast("string"),
-            ),
-        ),
-    ).drop("_sig_len_ok")
-    est = _pair_est_jaccard(pairs, num_hashes)
+                F.coalesce(F.size("sig_b").cast("string"), F.lit("NULL")),
+            )
+        ).cast("double")
+    )
     return (
         pairs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
@@ -395,7 +411,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     materialize: bool = True,
     durable: bool = False,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10_000,
     oversize_policy: str = "star",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH, then exact
@@ -418,18 +434,32 @@ def minhash_lsh_pairs(
     - ``"star"`` (default): link every member to the bucket's min-id
       representative — O(B) pairs computed with a window over the SAME
       (band, band_hash) exchange the join uses (no extra shuffle, no
-      join for the hot buckets). Downstream connected-components sees
-      the same connectivity (a bucket is one clique → one star); the
-      per-pair est_jaccard filter still verifies every emitted pair.
-      Member↔member similarity *within* an oversized bucket is not
-      re-verified pairwise — for buckets that big the members are
-      band-identical boilerplate, which is exactly the cluster case.
+      join for the hot buckets). The per-pair est_jaccard filter still
+      verifies every emitted pair. Connectivity caveat: capped
+      connectivity is a SUBSET of all-pairs connectivity. Star pairs
+      pass through the same jaccard_threshold filter, so a member whose
+      similarity to the min-id representative falls below threshold
+      loses links that member↔member pairs (or transitive chains) would
+      have kept under all-pairs — downstream connected-components can
+      split what uncapped LSH would merge. In practice buckets big
+      enough to trip the cap are band-identical boilerplate (measured:
+      the 1M-doc flood buckets were byte-similar templates), where
+      rep-similarity ≈ member-similarity and recall loss is nil; for
+      borderline-threshold corpora either raise the cap or treat
+      capped clusters as a lower bound.
     - ``"drop"``: skip oversized buckets entirely (docs can still pair
       via their other, smaller bands).
     - ``"error"``: raise at plan time semantics — emitted as a runtime
       assert column so the check stays distributed.
 
-    ``None`` (default) keeps the exact all-pairs behavior.
+    The default cap is 10_000 — matching ``curate_documents`` — because
+    the uncapped operator is a measured scale-killer (PERF.md round 3:
+    one 777k-doc bucket → 1.8e12 candidate pairs → shuffle-spill disk
+    exhaustion), and a cap of 10k is value-neutral at any corpus where
+    no single band-bucket exceeds 10k docs (5e7 pairs/bucket worst
+    case, well inside one executor's shuffle budget). Pass
+    ``max_bucket_size=None`` to explicitly opt back into exact
+    all-pairs behavior.
 
     ``materialize`` checkpoints the signatures before the self-join so
     they are computed once, not once per join side — 7.7x faster in

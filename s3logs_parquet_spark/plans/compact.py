@@ -87,6 +87,7 @@ def fold_stream_batches(
     final: bool = False,
     compression: str = "zstd",
     max_records_per_file: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> dict[str, int]:
     """Maintenance companion of ``streaming/job.py run_manifest_stream``:
     fold its accumulated ``batch=<id>/dt=<d>`` commit directories into
@@ -97,7 +98,15 @@ def fold_stream_batches(
     unit (a replayed micro-batch overwrites its own directory), so this
     must run only against a DRAINED/STOPPED stream — after an
     ``availableNow`` drain every written batch is committed in the
-    checkpoint and will never be replayed.
+    checkpoint and will never be replayed. Pass ``checkpoint_dir`` (the
+    stream's checkpointLocation) to ENFORCE that precondition instead
+    of trusting it: the fold verifies ``<checkpoint>/commits/<max id>``
+    exists and refuses otherwise. Without it, a crash mid-batch (data
+    dir written, commit marker absent) followed by a non-final fold
+    into ``batch=<max>`` would leave the resumed stream's replay of
+    batch <max> ``mode('overwrite')``-ing the ONE directory now holding
+    every folded row — total silent data loss. Always pass
+    ``checkpoint_dir`` for non-final folds of resumable streams.
 
     - ``final=False`` (default, for a stream that will resume): all
       batches merge into the single highest committed id,
@@ -127,6 +136,25 @@ def fold_stream_batches(
             if part.startswith("batch="):
                 ids.add(int(part.split("=", 1)[1]))
                 break
+    if checkpoint_dir is not None and ids:
+        # commit markers live at <checkpoint>/commits/<batchId>; a data
+        # dir with no marker is an uncommitted (crashed) batch that a
+        # resumed stream WILL replay-overwrite — refuse to fold into it.
+        commits_dir = posixpath.join(checkpoint_dir.rstrip("/"), "commits")
+        committed = {
+            int(f.name)
+            for f in list_files(spark, commits_dir)
+            if f.name.isdigit()
+        }
+        uncommitted = sorted(ids - committed)
+        if uncommitted:
+            raise ValueError(
+                f"fold_stream_batches: batch dirs {uncommitted} have no commit "
+                f"marker in {commits_dir} — the stream did not drain cleanly "
+                "(crash mid-batch?). A resumed stream would replay and "
+                "overwrite them, destroying folded data. Resume the stream "
+                "with an availableNow drain, then fold."
+            )
     if not ids or (len(ids) <= 1 and not final):
         return {
             "batches_before": len(ids),

@@ -137,3 +137,36 @@ def test_ivf_index_persist_prune_and_parity(spark, sf_dir, tmp_path):
     # read all 8 cells
     pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert "cell" in pf
+
+
+def test_ivf_train_and_pq_codebooks_validate_corpus_size(spark):
+    """ADVICE r3 #4: too-small corpora must raise clear ValueErrors,
+    not an opaque IndexError (pq) or a silently short centroid list
+    (ivf_train under aggressive sample_fraction)."""
+    import pytest
+
+    from s3logs_parquet_spark.operators.ann import pq_codebooks
+
+    def emb_df(n, dim=8):
+        return spark.createDataFrame(
+            [(i, [float(i + j) for j in range(dim)]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+
+    tiny = emb_df(4)
+
+    with pytest.raises(ValueError, match="k_sub"):
+        pq_codebooks(tiny, "embedding", m=4, k_sub=8)
+
+    with pytest.raises(ValueError, match="n_cells"):
+        ivf_train(tiny, "embedding", n_cells=8, iters=1, id_col="vec_id")
+
+    with pytest.raises(ValueError, match="n_cells"):
+        ivf_train(tiny, "embedding", n_cells=8, iters=1)
+
+    # deterministic branch + sample_fraction filtering below n_cells
+    with pytest.raises(ValueError, match="sample_fraction"):
+        ivf_train(
+            emb_df(64), "embedding", n_cells=32, iters=1,
+            sample_fraction=0.05, id_col="vec_id",
+        )

@@ -347,3 +347,78 @@ def test_lsh_star_cap_preserves_clusters_on_flood(spark):
         )
     )
     assert exact == capped
+
+
+def test_minhash_lsh_pairs_caps_by_default(spark):
+    """ADVICE/VERDICT r3: the raw operator defaults to the same 10k
+    hot-bucket cap as curate_documents (the uncapped plan is a measured
+    shuffle-spill death on boilerplate floods); None is the explicit
+    opt-out, and at sub-cap scale the default is value-neutral."""
+    import inspect
+
+    sig = inspect.signature(minhash_lsh_pairs)
+    assert sig.parameters["max_bucket_size"].default == 10_000
+    assert sig.parameters["oversize_policy"].default == "star"
+
+    d = _docs(spark)
+    kw = dict(num_hashes=32, bands=8, jaccard_threshold=0.3)
+    capped = {
+        tuple(r) for r in minhash_lsh_pairs(d, "doc_id", "text", **kw).collect()
+    }
+    uncapped = {
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", max_bucket_size=None, **kw
+        ).collect()
+    }
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_incremental_neardup_heterogeneous_index_raises(spark):
+    """ADVICE r3 #1: a corpus index with MIXED signature lengths slips
+    past the single-row driver probe; the distributed guard folded into
+    the est_jaccard expression must raise instead of silently yielding
+    NULL similarities / dropped pairs."""
+    import pytest
+
+    from s3logs_parquet_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_banded,
+    )
+
+    d = _docs(spark)
+    kw = dict(num_hashes=32, bands=8)
+    banded = minhash_banded(d, "doc_id", "text", **kw)
+    rows = banded.collect()
+    good = rows[0]
+    # first row keeps full length (the probe sees it and passes); every
+    # other row truncated to 16 hashes with band/band_hash untouched so
+    # bucket joins still produce candidate pairs against the batch
+    mixed = spark.createDataFrame(
+        [(good["doc_id"], list(good["signature"]), good["band"], good["band_hash"])]
+        + [
+            (r["doc_id"], list(r["signature"])[:16], r["band"], r["band_hash"])
+            for r in rows[1:]
+        ],
+        schema=banded.schema,
+    )
+    with pytest.raises(Exception, match="signature length"):
+        incremental_neardup_pairs(d, mixed, jaccard_threshold=0.0, **kw).collect()
+
+
+def test_incremental_neardup_null_signature_probe(spark):
+    """ADVICE r3 #5: a NULL signature in the probed row must produce a
+    'corrupt index' error, not a misleading parameter-mismatch one."""
+    import pytest
+
+    from s3logs_parquet_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_banded,
+    )
+
+    d = _docs(spark)
+    banded = minhash_banded(d, "doc_id", "text", num_hashes=32, bands=8)
+    sig_type = dict(banded.dtypes)["signature"]
+    nul = banded.withColumn("signature", F.lit(None).cast(sig_type))
+    with pytest.raises(ValueError, match="NULL"):
+        incremental_neardup_pairs(d, nul, num_hashes=32, bands=8)

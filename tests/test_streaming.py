@@ -404,3 +404,39 @@ def test_stream_asof_enrich_matches_batch(spark, tmp_path):
     # event 11 (t=700) carries the 'pro' upgrade, 13 (no dim user) dropped
     by_event = {r[0]: r[4] for r in got}
     assert by_event[11] == "pro" and 13 not in by_event
+
+
+def test_fold_refuses_uncommitted_max_batch(spark, tmp_path):
+    """ADVICE r3 #2: a non-final fold targets batch=<max(ids)> — the one
+    directory a resumed stream would replay-overwrite if that batch was
+    written but never committed (crash mid-batch). With checkpoint_dir
+    the fold must verify <ckpt>/commits/<max> and refuse otherwise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.plans.compact import fold_stream_batches
+
+    out = str(tmp_path / "table")
+    df = spark.range(30).select(
+        F.col("id"),
+        F.concat(F.lit("2024-01-0"), (F.col("id") % 3 + 1).cast("string")).alias("dt"),
+        (F.col("id") % 3).cast("int").alias("batch"),
+    )
+    df.write.partitionBy("batch", "dt").parquet(out)
+
+    commits = tmp_path / "ckpt" / "commits"
+    commits.mkdir(parents=True)
+    for b in (0, 1):  # batch 2 written but NOT committed
+        (commits / str(b)).write_text("{}")
+
+    with pytest.raises(ValueError, match="commit marker"):
+        fold_stream_batches(spark, out, checkpoint_dir=str(tmp_path / "ckpt"))
+    # table untouched by the refused fold
+    assert spark.read.parquet(out).select("batch").distinct().count() == 3
+
+    (commits / "2").write_text("{}")
+    res = fold_stream_batches(spark, out, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert res["batches_before"] == 3 and res["batches_after"] == 1
+    folded = spark.read.parquet(out)
+    assert folded.count() == 30
+    assert [r["batch"] for r in folded.select("batch").distinct().collect()] == [2]
