@@ -177,3 +177,49 @@ def test_tpch_q4_semi_join_no_fact_widening(spark, sf_dir):
     plan = _plan(spark, df)
     assert "LeftSemi" in plan
     assert df.columns == ["o_orderpriority", "order_count"]
+
+
+def test_tpch_partsupp_join_strategies(spark, sf_dir):
+    """The 5 partsupp shapes (q2/q9/q11/q16/q20): no cartesian joins
+    — q11's 1-row scalar-total crossJoin broadcasts (the q22 pattern)
+    — dims broadcast, and the q16 supplier exclusion is a broadcast
+    anti join, not a shuffled NOT IN."""
+    from s3logs_parquet_spark.plans.tpch_partsupp import TPCH_PARTSUPP_QUERIES
+
+    for name, (fn, _) in TPCH_PARTSUPP_QUERIES.items():
+        plan = _plan(spark, fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        if name != "tpch_q11_important_stock":
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+    q16_plan = _plan(
+        spark, TPCH_PARTSUPP_QUERIES["tpch_q16_parts_suppliers"][0](spark, sf_dir)
+    )
+    assert "LeftAnti" in q16_plan
+
+
+def test_partsupp_fixture_shape(spark, sf_dir):
+    """The derived partsupp fixture: one row per distinct lineitem
+    (part, supp) pair, availqty in [1, 9999], supplycost in
+    [1.00, 1000.00), cost_cents always == round(supplycost*100)."""
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.plans.tpch_partsupp import partsupp
+
+    ps = partsupp(spark, sf_dir)
+    n_pairs = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .count()
+    )
+    assert ps.count() == n_pairs
+    bad = ps.filter(
+        (F.col("ps_availqty") < 1)
+        | (F.col("ps_availqty") > 9999)
+        | (F.col("ps_supplycost") < 1.0)
+        | (F.col("ps_supplycost") >= 1000.0)
+        | (F.round(F.col("ps_supplycost") * 100).cast("long") != F.col("ps_cost_cents"))
+    ).count()
+    assert bad == 0
