@@ -90,6 +90,27 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--staged", help="staging dir from `aggregate`")
     pt.add_argument("-o", "--output", required=True)
 
+    pm = sub.add_parser(
+        "maintenance",
+        help="table upkeep: compact small files / fold stream batch dirs",
+        description=(
+            "The ops loop the reference drives from scripts/transform.sh:45-64 "
+            "(periodic cleanup passes between transforms): `compact` rewrites "
+            "partitions with many small parquet files to the target size; "
+            "`fold` merges a drained manifest stream's batch=<id> commit dirs "
+            "into dt partitions (pass -k to verify the stream checkpoint "
+            "committed every batch before folding; --final drops the batch "
+            "level entirely for a finished stream)."
+        ),
+    )
+    pm.add_argument("action", choices=["compact", "fold"])
+    pm.add_argument("table", help="parquet table root")
+    pm.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
+    pm.add_argument("--min-files", type=int, default=2)
+    pm.add_argument("-k", "--checkpoint", help="(fold) stream checkpoint dir to verify commits against")
+    pm.add_argument("--final", action="store_true", help="(fold) drop the batch= level entirely")
+    pm.add_argument("--files-per-dt", type=int, default=1)
+
     ps = sub.add_parser("stream", help="streaming transform")
     ps.add_argument("input", help="input dir watched for new files")
     ps.add_argument("-o", "--output", required=True)
@@ -126,6 +147,37 @@ def main(argv: list[str] | None = None) -> int:
         res = run_batch_transform(spark, args.inputs, args.output, cfg)
         print(
             f"rows_in={res.rows_in} rows_out={res.rows_out} extra_fields={res.extra_fields}",
+            file=sys.stderr,
+        )
+        return 0
+    if args.cmd == "maintenance":
+        if "://" not in args.table and not os.path.exists(args.table):
+            p.error(f"table path does not exist: {args.table}")
+        if args.action == "compact":
+            from s3logs_parquet_spark.plans.compact import compact_partitions
+
+            res = compact_partitions(
+                spark,
+                args.table,
+                target_file_bytes=args.target_file_bytes,
+                min_files_to_compact=args.min_files,
+            )
+            for pdir, (nb, na) in res.items():
+                print(f"compacted {pdir}: {nb} -> {na} files", file=sys.stderr)
+            print(f"partitions_compacted={len(res)}", file=sys.stderr)
+            return 0
+        from s3logs_parquet_spark.plans.compact import fold_stream_batches
+
+        res = fold_stream_batches(
+            spark,
+            args.table,
+            files_per_dt=args.files_per_dt,
+            final=args.final,
+            checkpoint_dir=args.checkpoint,
+        )
+        print(
+            f"batches={res['batches_before']}->{res['batches_after']} "
+            f"files={res['files_before']}->{res['files_after']}",
             file=sys.stderr,
         )
         return 0
