@@ -56,6 +56,13 @@ HEADLINE = [
     # chain; double-correlated semi/anti probes)
     "tpch_q8_market_share",
     "tpch_q21_waiting_supplier",
+    # round-4 (VERDICT r3 #5): the heavy ANN paths — persisted
+    # cell-partitioned IVF (build+prune+rerank) and PQ (codebooks →
+    # ADC → rerank) — and the heaviest partsupp TPC-H shape (two
+    # big equi-joins: pair-keyed partsupp and orderkey)
+    "emb_ivf_indexed_topk",
+    "emb_pq_topk",
+    "tpch_q9_product_profit",
 ]
 
 

@@ -64,6 +64,19 @@ def asof_join(
     10⁸ events) serializes onto one task. Pass ``skew_chunk_seconds``
     to route through :func:`asof_join_chunked` — identical semantics,
     parallelism = keys × time-chunks.
+
+    Sizing (measured, PERF.md round 4, 10M rows on local[32]): with
+    UNIFORM keys the base plan wins — 3.2 s vs 4.6 s for the best
+    chunked run (the chunked variant pays two extra exchanges), so
+    leave ``skew_chunk_seconds=None`` when per-key volumes are
+    balanced. With a 60%-hot key the base plan serializes and loses
+    4×: 20.3 s vs 5.1 s chunked. Crossover rule of thumb: chunk when
+    the hottest key's row count exceeds ~10× the per-task average
+    (i.e. one task's sort becomes the stage's critical path), and
+    pick ``skew_chunk_seconds`` so the hot key lands ~10⁴-10⁵ rows
+    per chunk — too coarse leaves serial runs (span/16 measured
+    9.1 s), too fine pays carry-join overhead (span/1024: 6.7 s,
+    vs span/256: 5.1 s).
     """
     if skew_chunk_seconds is not None:
         return asof_join_chunked(

@@ -19,32 +19,28 @@ from tools.check_oracles import TABLES, frame_hash
 
 DRIVER_WINDOW = 50
 
-# families whose ONLY gates once sat outside the window (VERDICT r2 #1)
-# plus this round's new deliverables — all must stay driver-recorded
-_MUST_BE_IN_WINDOW = [
-    "emb_cosine_topk",
-    "emb_lsh_topk",
-    "emb_lsh_recall",
-    "emb_ivf_topk",
-    "emb_ivf_trained_topk",
-    "multimodal_binary_meta",
-    "manifest_events_f2",
-    "docs_curation_pipeline",
-    "docs_decontaminate",
-    "docs_stratified_sample",
-    "docs_global_shuffle",
-    "docs_clean_and_repetition",
-    "events_kmv_global",
-    "events_asof_click_chunked",
-    "docs_pii_redact",
-    "docs_doc_frequency",
-]
+def test_every_gate_has_driver_row_within_two_rounds():
+    """Rotation invariant (VERDICT r3 #1): every registry entry must be
+    either inside the driver's 50-slot window THIS round, or green in
+    the PREVIOUS round's driver record — so no gate goes more than two
+    rounds without a driver-recorded correctness row. New queries must
+    therefore be added inside the first 50 positions, displacing an
+    entry that already has a previous-round row."""
+    import json
+    import pathlib
 
-
-def test_every_gate_family_inside_driver_window():
     window = set(list(QUERIES)[:DRIVER_WINDOW])
-    missing = [n for n in _MUST_BE_IN_WINDOW if n not in window]
-    assert not missing, f"gates outside the driver's 50-entry window: {missing}"
+    prev = pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r03.json"
+    recorded = {
+        name
+        for name, row in json.loads(prev.read_text()).items()
+        if row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+    }
+    uncovered = [n for n in QUERIES if n not in window and n not in recorded]
+    assert not uncovered, (
+        f"gates with no driver row this round or last: {uncovered} — "
+        "move them into the first 50 registry positions"
+    )
 
 
 @pytest.fixture(scope="module")
