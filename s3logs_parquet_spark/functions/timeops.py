@@ -13,8 +13,35 @@ expressions, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def epoch_micros(df: DataFrame, time_col: str) -> Column:
+    """Epoch microseconds for an event-time column of EITHER timestamp
+    dtype — the one sanctioned way to get numeric micros from a
+    user-supplied time column.
+
+    ``F.unix_micros`` rejects ``TIMESTAMP_NTZ`` with DATATYPE_MISMATCH,
+    and tz-less parquet (what the reference's writer and the canonical
+    testdata both produce) reads as NTZ under PySpark 4.x. The session
+    timezone is pinned to UTC (session.py), so ``cast("timestamp")``
+    reinterprets NTZ wall time as UTC — value-preserving — and the two
+    dtypes yield identical epochs. Raises for non-timestamp dtypes so a
+    silently-wrong unit (e.g. epoch seconds in a long) can't slip
+    through; callers with genuinely numeric time handle that branch
+    themselves.
+    """
+    dtype = dict(df.dtypes)[time_col]
+    col = F.col(time_col)
+    if dtype == "timestamp_ntz":
+        return F.unix_micros(col.cast("timestamp"))
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col)
+    raise TypeError(
+        f"epoch_micros: column {time_col!r} has dtype {dtype!r}; expected a "
+        "timestamp/timestamp_ntz column"
+    )
 
 # strftime directives the reference's format strings use → java.time.
 _STRFTIME_TO_JAVA = {

@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeops import epoch_micros
+
 
 def asof_join(
     left: DataFrame,
@@ -125,7 +127,7 @@ def _chunk_col(df: DataFrame, time_col: str, chunk_seconds: int):
     """Time-chunk id for the two-pass as-of: timestamp columns chunk in
     wall seconds; numeric time columns chunk in their own units."""
     if dict(df.dtypes)[time_col].startswith("timestamp"):
-        return F.floor(F.unix_micros(F.col(time_col)) / F.lit(int(chunk_seconds) * 1_000_000))
+        return F.floor(epoch_micros(df, time_col) / F.lit(int(chunk_seconds) * 1_000_000))
     return F.floor(F.col(time_col).cast("long") / F.lit(int(chunk_seconds)))
 
 
@@ -256,8 +258,8 @@ def range_join_binned(
     by = list(by)
     w_us = int(window_seconds) * 1_000_000
 
-    lt = left.withColumn("__rjb_tus", F.unix_micros(F.col(time_col)))
-    rt = right.withColumn("__rjb_tus", F.unix_micros(F.col(time_col)))
+    lt = left.withColumn("__rjb_tus", epoch_micros(left, time_col))
+    rt = right.withColumn("__rjb_tus", epoch_micros(right, time_col))
     rt = rt.withColumn("__rjb_bin", (F.col("__rjb_tus") / w_us).cast("long"))
     cand = lt.withColumn("__rjb_b0", (F.col("__rjb_tus") / w_us).cast("long")).withColumn(
         "__rjb_bin", F.explode(F.array(F.col("__rjb_b0"), F.col("__rjb_b0") + 1))

@@ -2659,58 +2659,59 @@ QUERIES.update(TPCH_PARTSUPP_QUERIES)
 # Driver-window rotation (VERDICT r3 next-round #1). The driver's
 # correctness gate records the FIRST 50 registry entries per round, so
 # ordering is evidence policy: every gate must land a driver-recorded
-# row at least every two rounds. Round-4 window =
-#   20 never-driver-recorded gates (10 tpch_extra shapes, the 5 new
-#     partsupp shapes, emb_pq_topk, emb_ivf_indexed_topk,
-#     docs_lsh_pairs_capped, lineitem_cube,
-#     events_user_halves_full_outer),
-# + 16 gates whose last driver row is r02 (rotated out during r03),
-# + 14 r03-recorded stalwarts covering the flagship pipeline and each
-#   heavy family (curation, dedup, ANN, as-of, KMV, multimodal,
-#   manifest).
-# Everything rotated out holds a green CORRECTNESS_r03 row;
-# tools/check_oracles.py still gates ALL entries in CI
-# (tests/test_oracles_full.py).
-_DRIVER_WINDOW_R04 = [
-    # never driver-recorded (judge-verified r03 / new this round)
-    "tpch_q4_order_priority",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q12_late_shipment",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_suppliers",
-    "tpch_q20_promotion_parts",
-    "emb_pq_topk",
-    "emb_ivf_indexed_topk",
-    "docs_lsh_pairs_capped",
-    "lineitem_cube",
-    "events_user_halves_full_outer",
-    # last driver row = r02
-    "orders_distinct_agg",
-    "events_window_dedup",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "part_topk_price",
-    "events_minmax_ts",
-    "events_by_type",
-    "lineitem_rollup",
-    "docs_quality_score",
-    "docs_langid",
-    "docs_fingerprint",
-    "docs_systematic_sample",
-    "docs_split_assign",
-    "docs_dup_rate_by_source",
-    # r03-recorded stalwarts kept in-window
+# row at least every two rounds (tests/test_oracles_full.py pins the
+# invariant against the latest CORRECTNESS_r*.json). Round-5 window =
+#   36 gates whose latest driver row is r03 (rotated out during r04 —
+#     including events_range_pairs, whose r03 green went stale over the
+#     NTZ breakage: exactly the staleness failure mode the rotation
+#     exists to bound),
+# + events_asof_click_chunked (RED in r04 — the NTZ bug, fixed this
+#     round; must re-record green),
+# + 13 r04-green stalwarts covering the flagship pipeline and each
+#   heavy family (curation, dedup, ANN, KMV, multimodal, manifest).
+# Everything rotated out holds a green CORRECTNESS_r04 row;
+# tools/check_oracles.py still gates ALL entries in CI.
+_DRIVER_WINDOW_R05 = [
+    # latest driver row = r03 — rotate back in
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume",
+    "customer_orders_left_join",
+    "customers_without_orders_anti",
+    "parts_with_lineitems_semi",
+    "orders_rank_window",
+    "union_shipped_split",
+    "lineitem_quantiles",
+    "lineitem_stats",
+    "events_pivot_by_type",
+    "orders_lineitem_arrays",
+    "events_tumbling_window",
+    "events_sliding_means",
+    "events_session_windows",
+    "events_json_props",
+    "events_asof_click",
+    "events_range_pairs",
+    "events_kmv_distinct",
+    "events_hourly_rollup",
+    "log_schema_widening",
+    "partition_prefix_tz",
+    "docs_token_stats",
+    "docs_winnowing",
+    "docs_ngram_jaccard_pairs",
+    "docs_simhash",
+    "docs_simhash_pairs",
+    "docs_leakage_safe_split",
+    "docs_decontaminate",
+    "docs_stratified_sample",
+    "docs_global_shuffle",
+    "docs_clean_and_repetition",
+    "docs_pii_redact",
+    "docs_doc_frequency",
+    "emb_lsh_topk",
+    "emb_ivf_topk",
+    # red in r04 (NTZ bug) — fixed, must re-record green
+    "events_asof_click_chunked",
+    # r04-green stalwarts kept in-window
     "s3log_pipeline_roundtrip",
     "s3log_parse_fields",
     "docs_curation_pipeline",
@@ -2721,16 +2722,15 @@ _DRIVER_WINDOW_R04 = [
     "emb_cosine_topk",
     "emb_ivf_trained_topk",
     "emb_lsh_recall",
-    "events_asof_click_chunked",
     "events_kmv_global",
     "multimodal_binary_meta",
     "manifest_events_f2",
 ]
 
-assert len(_DRIVER_WINDOW_R04) == 50, len(_DRIVER_WINDOW_R04)
-assert set(_DRIVER_WINDOW_R04) <= set(QUERIES), sorted(
-    set(_DRIVER_WINDOW_R04) - set(QUERIES)
+assert len(_DRIVER_WINDOW_R05) == 50, len(_DRIVER_WINDOW_R05)
+assert set(_DRIVER_WINDOW_R05) <= set(QUERIES), sorted(
+    set(_DRIVER_WINDOW_R05) - set(QUERIES)
 )
-QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R04} | {
-    name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R04
+QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R05} | {
+    name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R05
 }

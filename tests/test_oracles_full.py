@@ -30,7 +30,10 @@ def test_every_gate_has_driver_row_within_two_rounds():
     import pathlib
 
     window = set(list(QUERIES)[:DRIVER_WINDOW])
-    prev = pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r03.json"
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    records = sorted(repo.glob("CORRECTNESS_r*.json"))
+    assert records, "no driver correctness record found"
+    prev = records[-1]
     recorded = {
         name
         for name, row in json.loads(prev.read_text()).items()
