@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -178,20 +179,59 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _dlit(x: float) -> str:
+    """A double literal for a generated SQL expression. repr() round-trips
+    IEEE doubles exactly, so the parsed value is bit-identical to the
+    Python float."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite centroid component: {x}")
+    return f"{x!r}D"
+
+
+def with_centroid_sims(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str = "_sims"
+) -> DataFrame:
+    """``out_col[i]`` = cosine(vec, centroids[i]) for every row —
+    the shared kernel under IVF assignment and probe-cell selection.
+
+    The arithmetic is EXPANDED per dimension into one generated SQL
+    expression (fixed left-to-right summation — bit-identical to the
+    former zip_with/aggregate formulation and to the SQL oracles)
+    instead of higher-order array lambdas: HOF lambdas evaluate
+    interpreted per element, while the expanded form stays inside
+    whole-stage codegen. Measured at 1M×32-dim vectors × 64 cells on
+    local[32]: 16.4 s → 2.1-3.7 s per assignment pass (PERF.md round
+    5). Building the expression as ONE parsed SQL string also keeps
+    plan-construction cost flat (~1 s at 64×32 vs ~12 s for the
+    equivalent py4j Column-tree build)."""
+    dim = len(centroids[0])
+    v = "`" + vec_col.replace("`", "``") + "`"
+    vterm = " + ".join(
+        f"(CAST({v}[{i}] AS DOUBLE) * CAST({v}[{i}] AS DOUBLE))" for i in range(dim)
+    )
+    sims = []
+    for c in centroids:
+        d = " + ".join(
+            f"(CAST({v}[{i}] AS DOUBLE) * {_dlit(x)})" for i, x in enumerate(c)
+        )
+        cn = _dlit(sum(x * x for x in c) ** 0.5)
+        sims.append(f"(({d}) / (_ivf_vn * {cn}))")
+    return (
+        df.withColumn("_ivf_vn", F.expr(f"SQRT({vterm})"))
+        .withColumn(out_col, F.expr("array(" + ", ".join(sims) + ")"))
+        .drop("_ivf_vn")
+    )
+
+
 def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str = "cell") -> DataFrame:
     """IVF coarse quantizer: assign each vector to its nearest centroid
-    (argmax cosine). Centroids are a driver-side list (trained by
-    ivf_train below or supplied); compiled into the plan as literals —
-    an intentional broadcast of a tiny model."""
-    sims = F.array(
-        *[
-            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-            / (l2_norm(F.col(vec_col)) * F.lit(sum(x * x for x in c) ** 0.5))
-            for c in centroids
-        ]
-    )
+    (argmax cosine, first-maximum tie-break). Centroids are a
+    driver-side list (trained by ivf_train below or supplied); compiled
+    into the plan as literals — an intentional broadcast of a tiny
+    model. Distance kernel: see with_centroid_sims."""
     return (
-        df.withColumn("_sims", sims)
+        with_centroid_sims(df, vec_col, centroids, "_sims")
         .withColumn(out_col, (F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1).cast("int"))
         .drop("_sims")
     )
@@ -251,23 +291,110 @@ def ivf_train(
             )
         step = max(1, len(init) // n_cells)
         centroids = [list(map(float, init[i])) for i in range(0, step * n_cells, step)][:n_cells]
-    for _ in range(iters):
-        assigned = ivf_assign(data, "v", centroids, "cell")
-        dim = len(centroids[0])
-        sums = assigned.groupBy("cell").agg(
-            *[F.sum(F.col("v")[i].cast("double")).alias(f"s{i}") for i in range(dim)],
-            F.count(F.lit(1)).alias("n"),
-        )
-        rows = {r["cell"]: r for r in sums.collect()}
-        new_centroids = []
-        for ci in range(len(centroids)):
-            r = rows.get(ci)
-            if r is None or r["n"] == 0:
-                new_centroids.append(centroids[ci])
-            else:
-                new_centroids.append([r[f"s{i}"] / r["n"] for i in range(dim)])
-        centroids = new_centroids
+    # cache the training set across Lloyd iterations — each iteration
+    # re-derives assignments from `data`, and without the persist every
+    # iteration re-scans (and re-decodes) the source. Measured at 1M×32
+    # vectors / 2 iters: build 59.8 s → see PERF.md round 5. Bounded:
+    # only the projected vector column is cached, and it is released
+    # before returning.
+    cached = iters > 1
+    if cached:
+        data = data.persist()
+    try:
+        for _ in range(iters):
+            assigned = ivf_assign(data, "v", centroids, "cell")
+            dim = len(centroids[0])
+            sums = assigned.groupBy("cell").agg(
+                *[F.sum(F.col("v")[i].cast("double")).alias(f"s{i}") for i in range(dim)],
+                F.count(F.lit(1)).alias("n"),
+            )
+            rows = {r["cell"]: r for r in sums.collect()}
+            new_centroids = []
+            for ci in range(len(centroids)):
+                r = rows.get(ci)
+                if r is None or r["n"] == 0:
+                    new_centroids.append(centroids[ci])
+                else:
+                    new_centroids.append([r[f"s{i}"] / r["n"] for i in range(dim)])
+            centroids = new_centroids
+    finally:
+        if cached:
+            data.unpersist()
     return centroids
+
+
+def probe_cells_driver(
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str,
+    centroids: list[list[float]],
+    n_probe: int,
+) -> list[tuple[object, list[int]]]:
+    """Per-query top-``n_probe`` nearest cells, computed DRIVER-side.
+
+    The query batch is broadcast-small by contract (every IVF caller
+    broadcasts it into the candidate join), so collecting it is the
+    same bounded-collect discipline as the probed-cell list. Doing the
+    n_queries × n_cells probe scoring in plain Python sidesteps a real
+    cliff: the expression form of this scoring embeds n_cells × dim
+    literals, and once Catalyst inlines it through the
+    sort/slice/explode chain the optimized plan blows up multi-MB —
+    measured 11-14 s of compile/eval for EIGHT query rows at 64×32
+    (PERF.md round 5). Arithmetic is the same fixed left-to-right
+    summation as the SQL kernel (IEEE doubles both sides), ties broken
+    toward the lower cell id — probe choices are bit-identical."""
+    rows = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
+    ).collect()
+    cns = []
+    for c in centroids:
+        s = 0.0
+        for x in c:
+            s += float(x) * float(x)
+        cns.append(s**0.5)
+    out = []
+    for r in rows:
+        v = [float(x) for x in r["_qv"]]
+        vn = 0.0
+        for x in v:
+            vn += x * x
+        vn = vn**0.5
+        ranked = []
+        for ci, c in enumerate(centroids):
+            d = 0.0
+            for x, y in zip(v, c):
+                d += x * float(y)
+            ranked.append((-(d / (vn * cns[ci])), ci))
+        ranked.sort()
+        out.append((r["_qid"], [ci for _, ci in ranked[:n_probe]]))
+    return out
+
+
+def _probe_frame(
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str,
+    centroids: list[list[float]],
+    n_probe: int,
+    probes: list[tuple[object, list[int]]] | None = None,
+) -> DataFrame:
+    """(query_id, _qv, cell) — one row per probed cell per query, the
+    broadcast side of the candidate join."""
+    if probes is None:
+        probes = probe_cells_driver(queries, query_id, query_vec, centroids, n_probe)
+    spark = queries.sparkSession
+    id_field = queries.schema[query_id]
+    pf = spark.createDataFrame(
+        [(qid, c) for qid, cells in probes for c in cells],
+        T.StructType(
+            [
+                T.StructField(query_id, id_field.dataType),
+                T.StructField("cell", T.IntegerType()),
+            ]
+        ),
+    )
+    q = queries.select(F.col(query_id), F.col(query_vec).alias("_qv"))
+    return q.join(F.broadcast(pf), on=query_id).select(query_id, "_qv", "cell")
 
 
 def ivf_topk(
@@ -284,26 +411,7 @@ def ivf_topk(
     """IVF search: corpus rows pre-assigned to cells; each query probes
     its ``n_probe`` nearest cells; exact cosine inside probed cells."""
     c = ivf_assign(corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv")), "_cv", centroids, "cell")
-    q = queries.select(F.col(query_id), F.col(query_vec).alias("_qv"))
-    sims = F.array(
-        *[
-            dot(F.col("_qv"), F.array(*[F.lit(float(x)) for x in cen]))
-            / (l2_norm(F.col("_qv")) * F.lit(sum(x * x for x in cen) ** 0.5))
-            for cen in centroids
-        ]
-    )
-    probe_cells = F.slice(
-        F.array_sort(
-            F.transform(
-                sims, lambda s, i: F.struct((-s).alias("neg"), i.alias("cell"))
-            )
-        ),
-        1,
-        n_probe,
-    )
-    qp = q.withColumn("_probe", probe_cells).select(
-        query_id, "_qv", F.explode(F.col("_probe.cell")).alias("cell")
-    )
+    qp = _probe_frame(queries, query_id, query_vec, centroids, n_probe)
     cand = c.join(F.broadcast(qp), on="cell").select(query_id, corpus_id, "_cv", "_qv")
     scored = cand.select(
         query_id, corpus_id, cosine_sim(F.col("_cv"), F.col("_qv")).alias("cosine")
@@ -489,25 +597,9 @@ def ivf_index_topk(
         [float(x) for x in r["centroid"]]
         for r in sorted(cent_rows, key=lambda r: r["cell"])
     ]
-    q = queries.select(F.col(query_id), F.col(query_vec).alias("_qv"))
-    sims = F.array(
-        *[
-            dot(F.col("_qv"), F.array(*[F.lit(float(x)) for x in cen]))
-            / (l2_norm(F.col("_qv")) * F.lit(sum(x * x for x in cen) ** 0.5))
-            for cen in centroids
-        ]
-    )
-    probe_cells = F.slice(
-        F.array_sort(
-            F.transform(sims, lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")))
-        ),
-        1,
-        n_probe,
-    )
-    qp = q.withColumn("_probe", probe_cells).select(
-        query_id, "_qv", F.explode(F.col("_probe.cell")).alias("cell")
-    )
-    probed = sorted({r["cell"] for r in qp.select("cell").distinct().collect()})
+    probes = probe_cells_driver(queries, query_id, query_vec, centroids, n_probe)
+    qp = _probe_frame(queries, query_id, query_vec, centroids, n_probe, probes=probes)
+    probed = sorted({c for _qid, cells in probes for c in cells})
     corpus = spark.read.parquet(f"{path}/corpus").filter(F.col("cell").isin(probed))
     cand = corpus.join(F.broadcast(qp), on="cell").select(
         query_id, corpus_id, "_cv", "_qv"
