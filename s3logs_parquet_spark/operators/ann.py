@@ -43,6 +43,27 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_sim_expanded(a: str, b: str, dim: int) -> Column:
+    """cosine_sim between two array COLUMNS (by name) with the
+    arithmetic expanded per dimension — for hot candidate-scoring loops
+    where ``dim`` is known (e.g. from the trained centroids). Same
+    fixed left-to-right summation as the HOF form, so values are
+    bit-identical; unlike the HOF form it stays inside whole-stage
+    codegen instead of interpreted per-element lambda evaluation."""
+    qa = "`" + a.replace("`", "``") + "`"
+    qb = "`" + b.replace("`", "``") + "`"
+    d = " + ".join(
+        f"(CAST({qa}[{i}] AS DOUBLE) * CAST({qb}[{i}] AS DOUBLE))" for i in range(dim)
+    )
+    na = " + ".join(
+        f"(CAST({qa}[{i}] AS DOUBLE) * CAST({qa}[{i}] AS DOUBLE))" for i in range(dim)
+    )
+    nb = " + ".join(
+        f"(CAST({qb}[{i}] AS DOUBLE) * CAST({qb}[{i}] AS DOUBLE))" for i in range(dim)
+    )
+    return F.expr(f"({d}) / (SQRT({na}) * SQRT({nb}))")
+
+
 def with_unit_vector(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> DataFrame:
     norm = l2_norm(F.col(vec_col))
     return df.withColumn(
@@ -414,7 +435,9 @@ def ivf_topk(
     qp = _probe_frame(queries, query_id, query_vec, centroids, n_probe)
     cand = c.join(F.broadcast(qp), on="cell").select(query_id, corpus_id, "_cv", "_qv")
     scored = cand.select(
-        query_id, corpus_id, cosine_sim(F.col("_cv"), F.col("_qv")).alias("cosine")
+        query_id,
+        corpus_id,
+        cosine_sim_expanded("_cv", "_qv", len(centroids[0])).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -605,7 +628,9 @@ def ivf_index_topk(
         query_id, corpus_id, "_cv", "_qv"
     )
     scored = cand.select(
-        query_id, corpus_id, cosine_sim(F.col("_cv"), F.col("_qv")).alias("cosine")
+        query_id,
+        corpus_id,
+        cosine_sim_expanded("_cv", "_qv", len(centroids[0])).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
