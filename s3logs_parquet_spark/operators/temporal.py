@@ -40,6 +40,8 @@ def asof_join(
     suffix: str = "_r",
     inner: bool = True,
     skew_chunk_seconds: int | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, the most recent right row with
     ``right.time <= left.time`` within the same ``by`` group
@@ -79,10 +81,31 @@ def asof_join(
     per chunk — too coarse leaves serial runs (span/16 measured
     9.1 s), too fine pays carry-join overhead (span/1024: 6.7 s,
     vs span/256: 5.1 s).
+
+    ``direction`` (pandas ``merge_asof`` surface): "backward" (default,
+    most recent right at-or-before), "forward" (earliest right
+    at-or-after), or "nearest" (smaller absolute gap; ties →
+    backward). ``tolerance_seconds`` rejects matches further than the
+    given gap (in seconds for timestamp time columns, in the column's
+    own units for numeric time) — beyond-tolerance left rows behave as
+    unmatched. Both run in the same union → one-exchange → analytic
+    window plan ("nearest" evaluates two frames over the one
+    exchange). The skew-chunked route supports backward only.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     if skew_chunk_seconds is not None:
+        if direction != "backward" or tolerance_seconds is not None:
+            raise NotImplementedError(
+                "asof_join: skew_chunk_seconds currently composes only with "
+                "direction='backward' and no tolerance"
+            )
         return asof_join_chunked(
             left, right, time_col, by, skew_chunk_seconds, right_cols, suffix, inner
+        )
+    if direction != "backward" or tolerance_seconds is not None:
+        return _asof_general(
+            left, right, time_col, by, right_cols, suffix, inner, direction, tolerance_seconds
         )
     by = list(by)
     for k in by:
@@ -116,6 +139,121 @@ def asof_join(
     )
     filled = u.withColumn("__asof_m", F.last("__asof_p", ignorenulls=True).over(w))
     out = filled.filter(F.col("__asof_side") == 1).drop("__asof_side", "__asof_p")
+    if inner:
+        out = out.filter(F.col("__asof_m").isNotNull())
+    for c in [time_col, *right_cols]:
+        out = out.withColumn(f"{c}{suffix}", F.col("__asof_m")[c])
+    return out.drop("__asof_m")
+
+
+def _asof_general(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    by: Sequence[str],
+    right_cols: Sequence[str] | None,
+    suffix: str,
+    inner: bool,
+    direction: str,
+    tolerance_seconds: float | None,
+) -> DataFrame:
+    """Directional/tolerant as-of: same union → single keyed exchange →
+    analytic-window shape as the backward fast path, generalized.
+
+    A numeric time key ``__asof_t`` (epoch micros for timestamp dtypes
+    via the NTZ-safe policy, the raw value for numeric time) rides the
+    union once; the payload struct carries it so gap arithmetic needs
+    no re-derivation. Backward match = ``last(payload)`` over
+    [-∞, current] ordered (t, right-first); forward match =
+    ``first(payload)`` over [current, +∞] ordered (t, left-first) — the
+    side tiebreak makes both directions inclusive of exactly-equal
+    timestamps. "nearest" evaluates both frames over the SAME exchange
+    (two in-partition sorts, zero extra shuffles) and picks the smaller
+    gap, ties toward backward (pandas semantics)."""
+    by = list(by)
+    for k in by:
+        right = right.filter(F.col(k).isNotNull())
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != time_col]
+    right_cols = list(right_cols)
+
+    dtype = dict(left.dtypes)[time_col]
+
+    def t_num(df: DataFrame) -> F.Column:
+        if dtype.startswith("timestamp"):
+            return epoch_micros(df, time_col)
+        return F.col(time_col).cast("long")
+
+    tol = None
+    if tolerance_seconds is not None:
+        tol = (
+            int(tolerance_seconds * 1_000_000)
+            if dtype.startswith("timestamp")
+            else tolerance_seconds
+        )
+
+    payload = F.struct(
+        F.col("__asof_t").alias("_t"),
+        F.col(time_col).alias(time_col),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    rt = right.withColumn("__asof_t", t_num(right)).select(
+        *by,
+        F.col(time_col),
+        "__asof_t",
+        F.lit(0).alias("__asof_side"),
+        payload.alias("__asof_p"),
+    )
+    left_cols = [c for c in left.columns if c not in by and c != time_col]
+    lt = left.withColumn("__asof_t", t_num(left)).select(
+        *by,
+        F.col(time_col),
+        "__asof_t",
+        F.lit(1).alias("__asof_side"),
+        F.lit(None).cast(rt.schema["__asof_p"].dataType).alias("__asof_p"),
+        *left_cols,
+    )
+    u = lt.unionByName(rt, allowMissingColumns=True)
+
+    cols = []
+    if direction in ("backward", "nearest"):
+        wb = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__asof_t"), F.col("__asof_side"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cols.append(F.last("__asof_p", ignorenulls=True).over(wb).alias("__asof_mb"))
+    if direction in ("forward", "nearest"):
+        wf = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__asof_t"), F.col("__asof_side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        cols.append(F.first("__asof_p", ignorenulls=True).over(wf).alias("__asof_mf"))
+
+    filled = u.select("*", *cols).filter(F.col("__asof_side") == 1).drop(
+        "__asof_side", "__asof_p"
+    )
+
+    mb = F.col("__asof_mb") if direction in ("backward", "nearest") else None
+    mf = F.col("__asof_mf") if direction in ("forward", "nearest") else None
+    if tol is not None:
+        if mb is not None:
+            mb = F.when(F.col("__asof_t") - mb["_t"] <= F.lit(tol), mb)
+        if mf is not None:
+            mf = F.when(mf["_t"] - F.col("__asof_t") <= F.lit(tol), mf)
+    if direction == "backward":
+        m = mb
+    elif direction == "forward":
+        m = mf
+    else:
+        gap_b = F.col("__asof_t") - mb["_t"]
+        gap_f = mf["_t"] - F.col("__asof_t")
+        m = F.when(
+            mb.isNotNull() & (mf.isNull() | (gap_b <= gap_f)), mb
+        ).otherwise(mf)
+
+    out = filled.withColumn("__asof_m", m).drop("__asof_mb", "__asof_mf", "__asof_t")
     if inner:
         out = out.filter(F.col("__asof_m").isNotNull())
     for c in [time_col, *right_cols]:

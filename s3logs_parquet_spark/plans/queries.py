@@ -2147,6 +2147,85 @@ def q_events_asof_click_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance: for each error, the EARLIEST click
+    by the same user at-or-after it, but only within 30 minutes —
+    beyond-tolerance errors drop (inner semantics). Same union → one
+    keyed window plan as backward; the oracle is a DuckDB lateral
+    top-1 probe with the identical tie/tolerance rules."""
+    from s3logs_parquet_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    j = asof_join(
+        err, clk, time_col="ts", by=["user_id"], right_cols=["event_id"],
+        direction="forward", tolerance_seconds=1800,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("err_epoch"),
+        F.col("event_id_r").alias("click_id"),
+        F.unix_timestamp("ts_r").alias("click_epoch"),
+    )
+
+
+ORACLE_EVENTS_ASOF_NEXT = """
+SELECT a.event_id, a.user_id,
+       floor(epoch(a.ts))::BIGINT AS err_epoch,
+       m.event_id AS click_id,
+       floor(epoch(m.ts))::BIGINT AS click_epoch
+FROM (SELECT * FROM events WHERE event_type = 'error') a
+JOIN LATERAL (
+  SELECT b.event_id, b.ts
+  FROM (SELECT * FROM events WHERE event_type = 'click') b
+  WHERE b.user_id = a.user_id AND b.ts >= a.ts
+    AND b.ts <= a.ts + INTERVAL 1800 SECOND
+  ORDER BY b.ts LIMIT 1
+) m ON true
+"""
+
+
+def q_events_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of: for each error, the click by the same user with
+    the smallest absolute time gap, ties to the backward (at-or-before)
+    side — pandas merge_asof(direction='nearest') semantics. One keyed
+    exchange; both direction frames evaluate over the same sort
+    partition."""
+    from s3logs_parquet_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    j = asof_join(
+        err, clk, time_col="ts", by=["user_id"], right_cols=["event_id"],
+        direction="nearest",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("err_epoch"),
+        F.col("event_id_r").alias("click_id"),
+        F.unix_timestamp("ts_r").alias("click_epoch"),
+    )
+
+
+ORACLE_EVENTS_ASOF_NEAREST = """
+SELECT a.event_id, a.user_id,
+       floor(epoch(a.ts))::BIGINT AS err_epoch,
+       m.event_id AS click_id,
+       floor(epoch(m.ts))::BIGINT AS click_epoch
+FROM (SELECT * FROM events WHERE event_type = 'error') a
+JOIN LATERAL (
+  SELECT b.event_id, b.ts
+  FROM (SELECT * FROM events WHERE event_type = 'click') b
+  WHERE b.user_id = a.user_id
+  ORDER BY abs(epoch_us(b.ts) - epoch_us(a.ts)), (b.ts > a.ts) LIMIT 1
+) m ON true
+"""
+
+
 def q_events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: per-user pairs of events within a 7200 s window
     (l.ts < r.ts <= l.ts + 7200). A raw inequality join would be
@@ -2560,6 +2639,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_json_props": (q_events_json_props, ORACLE_EVENTS_JSON_PROPS),
     "events_asof_click": (q_events_asof_click, ORACLE_EVENTS_ASOF),
     "events_asof_click_chunked": (q_events_asof_click_chunked, ORACLE_EVENTS_ASOF),
+    "events_asof_next_click": (q_events_asof_next_click, ORACLE_EVENTS_ASOF_NEXT),
+    "events_asof_nearest_click": (q_events_asof_nearest_click, ORACLE_EVENTS_ASOF_NEAREST),
     "events_range_pairs": (q_events_range_pairs, ORACLE_EVENTS_RANGE_PAIRS),
     "events_kmv_distinct": (q_events_kmv_distinct, ORACLE_EVENTS_KMV),
     "events_kmv_global": (q_events_kmv_global, ORACLE_EVENTS_KMV_GLOBAL),
@@ -2711,9 +2792,15 @@ _DRIVER_WINDOW_R05 = [
     "emb_ivf_topk",
     # red in r04 (NTZ bug) — fixed, must re-record green
     "events_asof_click_chunked",
+    # NEW this round (forward/nearest + tolerance as-of) — a new gate
+    # must enter inside the window for its first driver row; displaces
+    # s3log_parse_fields + events_kmv_global (both r04-green; their
+    # families stay covered by s3log_pipeline_roundtrip and
+    # events_kmv_distinct in this window)
+    "events_asof_next_click",
+    "events_asof_nearest_click",
     # r04-green stalwarts kept in-window
     "s3log_pipeline_roundtrip",
-    "s3log_parse_fields",
     "docs_curation_pipeline",
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
@@ -2722,7 +2809,6 @@ _DRIVER_WINDOW_R05 = [
     "emb_cosine_topk",
     "emb_ivf_trained_topk",
     "emb_lsh_recall",
-    "events_kmv_global",
     "multimodal_binary_meta",
     "manifest_events_f2",
 ]

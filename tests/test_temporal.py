@@ -209,3 +209,99 @@ def test_asof_chunked_routes_via_skew_param(spark):
     )
     # lid=2 at t=8000 matches rid=11 (t=7200, an EARLIER chunk) via carry
     assert {r["lid"]: r["rid_r"] for r in out.collect()} == {1: 10, 2: 11}
+
+
+def test_asof_direction_and_tolerance_match_python_model(spark):
+    """Differential over all (direction, tolerance) combinations against
+    a brute-force Python model, numeric time, unique (key, ts) pairs."""
+    import random
+
+    from s3logs_parquet_spark.operators.temporal import asof_join
+
+    rnd = random.Random(7)
+    lefts = [(i, rnd.randrange(3), rnd.randrange(0, 2000)) for i in range(80)]
+    rights_raw = {(rnd.randrange(3), rnd.randrange(0, 2000)) for _ in range(60)}
+    rights = [(1000 + j, k, t) for j, (k, t) in enumerate(sorted(rights_raw))]
+    left = spark.createDataFrame(lefts, "lid long, user_id long, ts long")
+    right = spark.createDataFrame(rights, "rid long, user_id long, ts long")
+
+    def model(direction, tol):
+        out = {}
+        for lid, k, t in lefts:
+            back = [(t - s, -s, j) for j, v, s in rights if v == k and s <= t and (tol is None or t - s <= tol)]
+            fwd = [(s - t, s, j) for j, v, s in rights if v == k and s >= t and (tol is None or s - t <= tol)]
+            b = min(back) if back else None
+            f = min(fwd) if fwd else None
+            if direction == "backward":
+                pick = b
+            elif direction == "forward":
+                pick = f
+            else:
+                if b is None:
+                    pick = f
+                elif f is None:
+                    pick = b
+                else:
+                    pick = b if b[0] <= f[0] else f
+            out[lid] = pick[2] if pick else None
+        return out
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 100, 0):
+            got_df = asof_join(
+                left, right, by=["user_id"], right_cols=["rid"], inner=False,
+                direction=direction, tolerance_seconds=tol,
+            )
+            got = {r["lid"]: r["rid_r"] for r in got_df.collect()}
+            assert got == model(direction, tol), (direction, tol)
+
+
+def test_asof_forward_inclusive_equal_ts_and_single_shuffle(spark):
+    from s3logs_parquet_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 1, _ts(100))], "lid long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, 1, _ts(100)), (11, 1, _ts(90))], "rid long, user_id long, ts timestamp"
+    )
+    out = asof_join(left, right, by=["user_id"], right_cols=["rid"], direction="forward")
+    assert {r["lid"]: r["rid_r"] for r in out.collect()} == {1: 10}
+    plan = (
+        asof_join(left, right, by=["user_id"], right_cols=["rid"], direction="nearest")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # nearest evaluates two frames but still over ONE keyed exchange
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_asof_tolerance_on_ntz_timestamps(spark, tmp_path):
+    """Tolerance in wall seconds over a parquet-backed NTZ time column
+    (the canonical testdata dtype)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s3logs_parquet_spark.operators.temporal import asof_join
+
+    lt = pa.table({
+        "lid": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([_ts(1000), _ts(5000)], pa.timestamp("us")),
+    })
+    rt = pa.table({
+        "rid": pa.array([10, 11], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([_ts(950), _ts(1500)], pa.timestamp("us")),
+    })
+    pq.write_table(lt, str(tmp_path / "l.parquet"))
+    pq.write_table(rt, str(tmp_path / "r.parquet"))
+    left = spark.read.parquet(str(tmp_path / "l.parquet"))
+    right = spark.read.parquet(str(tmp_path / "r.parquet"))
+    assert dict(left.dtypes)["ts"] == "timestamp_ntz"
+    out = asof_join(
+        left, right, by=["user_id"], right_cols=["rid"], inner=False,
+        tolerance_seconds=60,
+    )
+    # lid=1: rid=10 is 50s stale (within 60s); lid=2: rid=11 is 3500s stale -> no match
+    assert {r["lid"]: r["rid_r"] for r in out.collect()} == {1: 10, 2: None}

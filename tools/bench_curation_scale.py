@@ -58,25 +58,29 @@ def synth_docs(spark, n: int):
         tpl, F.lit(" edition "), F.pmod(F.xxhash64("id", F.lit(2)), F.lit(50)).cast("string")
     )
 
+    # salads interleave en-only stopwords so they PASS the curation
+    # quality/langid gates — otherwise everything but the ~200 distinct
+    # boilerplate strings dies at the filter and the downstream
+    # dedup/CC stages run on a broadcast-trivial survivor set (the
+    # original 10M run's failure to exercise them; PERF.md round 5)
+    stoplit = F.array(*[F.lit(w) for w in ["the", "and", "to", "with", "for", "was", "that"]])
     wordlit = F.array(*[F.lit(w) for w in WORDS])
-    salad = F.concat_ws(
-        " ",
-        *[
-            wordlit[F.pmod(F.xxhash64("id", F.lit(10 + i)), F.lit(len(WORDS))).cast("int")]
-            for i in range(14)
-        ],
-        F.col("id").cast("string"),
-    )
+
+    def _salad(src):
+        parts = []
+        for i in range(14):
+            parts.append(
+                wordlit[F.pmod(F.xxhash64(src, F.lit(10 + i)), F.lit(len(WORDS))).cast("int")]
+            )
+            if i % 2 == 1:
+                parts.append(
+                    stoplit[F.pmod(F.xxhash64(src, F.lit(100 + i)), F.lit(7)).cast("int")]
+                )
+        return F.concat_ws(" ", *parts, src.cast("string"))
+
+    salad = _salad(F.col("id"))
     # exact dup: regenerate the salad of doc (id % 1000) — verbatim copy
-    src = F.pmod(F.col("id"), F.lit(1000))
-    dup = F.concat_ws(
-        " ",
-        *[
-            wordlit[F.pmod(F.xxhash64(src, F.lit(10 + i)), F.lit(len(WORDS))).cast("int")]
-            for i in range(14)
-        ],
-        src.cast("string"),
-    )
+    dup = _salad(F.pmod(F.col("id"), F.lit(1000)))
 
     text = (
         F.when(kind <= 3, boiler).when(kind == 4, dup).otherwise(salad)
