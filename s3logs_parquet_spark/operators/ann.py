@@ -634,3 +634,217 @@ def ivf_index_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse cell pruning + compressed-code ADC inside probed cells
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """IVF-PQ (Jégou et al., TPAMI'11 — the FAISS `IVFx,PQy` layout):
+    coarse quantizer prunes the corpus to each query's ``n_probe``
+    nearest cells, ADC over the m-byte PQ codes ranks candidates INSIDE
+    those cells without touching full vectors, and only the top
+    ``n_candidates`` get an exact-cosine rerank.
+
+    This composes the two tiers that already exist separately
+    (ivf_topk's cell pruning, pq_topk's ADC): cell assignment and codes
+    are write-side precomputes; the query side is a broadcast of
+    (query, probed-cell, ADC lookup tables); the candidate join is an
+    equi-join on cell. Against 100 TB the scan cost is
+    ``n_probe/n_cells`` of the CODES (m bytes/vector), not the corpus —
+    the only full-width vector reads are the ``n_candidates`` rerank
+    rows per query. Deterministic train/codebooks keep the whole chain
+    oracle-checkable (plans/queries.py emb_ivfpq_topk)."""
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    assigned = ivf_assign(
+        corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv")),
+        "_cv",
+        centroids,
+        "cell",
+    )
+    enc = pq_encode(assigned, "_cv", codebooks, "pq_code")
+
+    probes = probe_cells_driver(queries, query_id, query_vec, centroids, n_probe)
+    qp = _probe_frame(queries, query_id, query_vec, centroids, n_probe, probes=probes)
+    qt = qp.select(
+        F.col(query_id),
+        "cell",
+        "_qv",
+        *[
+            F.array(*[_sub_sq_l2(F.col("_qv"), j * sub, c) for c in cents]).alias(
+                f"_qt{j}"
+            )
+            for j, cents in enumerate(codebooks)
+        ],
+    )
+
+    cand = enc.join(F.broadcast(qt), on="cell")
+    adc = None
+    for j in range(m):
+        term = F.get(F.col(f"_qt{j}"), F.get(F.col("pq_code"), j))
+        adc = term if adc is None else adc + term
+    cand_w = Window.partitionBy(query_id).orderBy(F.col("_adc"), F.col(corpus_id))
+    cand = (
+        cand.withColumn("_adc", adc)
+        .withColumn("_crank", F.row_number().over(cand_w))
+        .filter(F.col("_crank") <= n_candidates)
+    )
+    rerank_w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        cand.withColumn("cosine", cosine_sim(F.col("_cv"), F.col("_qv")))
+        .withColumn("rank", F.row_number().over(rerank_w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def ivfpq_index_write(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str,
+    corpus_vec: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 3,
+    m: int = 4,
+    k_sub: int = 8,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Materialize the IVF-PQ index: the corpus cell-partitioned on
+    disk with BOTH its pq codes and its full vector per row, plus
+    centroids and codebooks as tiny companion tables.
+
+    Keeping codes and vector in the same cell-partitioned files lets
+    parquet column pruning split the two read paths: the ADC candidate
+    scan reads (id, pq_code) only — m bytes of code instead of the
+    full embedding — and the rerank fetch reads (id, vector) for just
+    the candidate ids. Same directory-tree-as-index trick as
+    ivf_index_write: probing n_probe of n_cells cells is static
+    partition pruning, no index structure needed."""
+    spark = corpus.sparkSession
+    centroids = ivf_train(corpus, corpus_vec, n_cells=n_cells, iters=iters, id_col=corpus_id)
+    codebooks = pq_codebooks(corpus, corpus_vec, m=m, k_sub=k_sub, id_col=corpus_id)
+    assigned = ivf_assign(
+        corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv")),
+        "_cv",
+        centroids,
+        "cell",
+    )
+    enc = pq_encode(assigned, "_cv", codebooks, "pq_code")
+    enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "cell INT, centroid ARRAY<DOUBLE>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    cb_rows = [
+        (j, ci, [float(x) for x in c])
+        for j, cents in enumerate(codebooks)
+        for ci, c in enumerate(cents)
+    ]
+    spark.createDataFrame(
+        cb_rows, "subspace INT, cid INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return centroids, codebooks
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    query_vec: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index in the two-scan shape that scales:
+
+    1. **ADC scan** over probed cell partitions reading ONLY
+       (id, pq_code) — parquet column pruning keeps the full vectors on
+       disk (the plan's ReadSchema is the proof; tests assert it), so
+       candidate generation costs m bytes/row over n_probe/n_cells of
+       the corpus.
+    2. **rerank fetch**: the tiny candidate set (n_queries ×
+       n_candidates ids) broadcasts into a second scan of the same
+       probed partitions reading (id, vector), exact cosine, top-k.
+
+    Centroid/codebook loads and the probe-cell computation are the
+    bounded driver-side model discipline (ann.py probe_cells_driver)."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(cent_rows, key=lambda r: r["cell"])
+    ]
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in cb_rows)
+    k_sub = 1 + max(r["cid"] for r in cb_rows)
+    codebooks: list[list[list[float]]] = [[None] * k_sub for _ in range(m)]
+    for r in cb_rows:
+        codebooks[r["subspace"]][r["cid"]] = [float(x) for x in r["centroid"]]
+    sub = len(codebooks[0][0])
+
+    probes = probe_cells_driver(queries, query_id, query_vec, centroids, n_probe)
+    qp = _probe_frame(queries, query_id, query_vec, centroids, n_probe, probes=probes)
+    qt = qp.select(
+        F.col(query_id),
+        "cell",
+        "_qv",
+        *[
+            F.array(*[_sub_sq_l2(F.col("_qv"), j * sub, c) for c in cents]).alias(
+                f"_qt{j}"
+            )
+            for j, cents in enumerate(codebooks)
+        ],
+    )
+    probed = sorted({c for _qid, cells in probes for c in cells})
+
+    # scan 1 — codes only (column pruning: no _cv in ReadSchema)
+    codes = (
+        spark.read.parquet(f"{path}/corpus")
+        .filter(F.col("cell").isin(probed))
+        .select(corpus_id, "cell", "pq_code")
+    )
+    cand = codes.join(F.broadcast(qt.drop("_qv")), on="cell")
+    adc = None
+    for j in range(m):
+        term = F.get(F.col(f"_qt{j}"), F.get(F.col("pq_code"), j))
+        adc = term if adc is None else adc + term
+    cand_w = Window.partitionBy(query_id).orderBy(F.col("_adc"), F.col(corpus_id))
+    cand = (
+        cand.withColumn("_adc", adc)
+        .withColumn("_crank", F.row_number().over(cand_w))
+        .filter(F.col("_crank") <= n_candidates)
+        .select(query_id, corpus_id)
+    )
+
+    # scan 2 — fetch candidate vectors from the same probed partitions
+    vecs = (
+        spark.read.parquet(f"{path}/corpus")
+        .filter(F.col("cell").isin(probed))
+        .select(corpus_id, "_cv")
+    )
+    qv = queries.select(F.col(query_id), F.col(query_vec).alias("_qv"))
+    fetched = vecs.join(F.broadcast(cand), on=corpus_id).join(
+        F.broadcast(qv), on=query_id
+    )
+    rerank_w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        fetched.withColumn("cosine", cosine_sim(F.col("_cv"), F.col("_qv")))
+        .withColumn("rank", F.row_number().over(rerank_w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

@@ -867,3 +867,75 @@ def decontaminate(
     return docs.join(
         hits.withColumn("is_contaminated", F.lit(True)), id_col, "left"
     ).withColumn("is_contaminated", F.coalesce(F.col("is_contaminated"), F.lit(False)))
+
+
+def dup_ngram_fraction(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-n-gram fraction: for each document, the
+    fraction of its word n-gram OCCURRENCES whose n-gram also appears
+    in at least ``min_docs`` distinct documents (counting this one) —
+    the corpus-level boilerplate signal behind Gopher/RefinedWeb-style
+    filtering rules (within-document repetition lives in
+    functions/text_analysis.repetition_signals; this is the
+    across-document complement).
+
+    Plan, in scan order: map-only n-gram expansion (tokens →
+    slice/array_join — codegen, no Python), explode, then
+    (1) hash-agg by (doc, ngram) to occurrence counts,
+    (2) hash-agg by ngram over those distinct pairs to document
+        frequencies, filtered to ngrams at/above ``min_docs`` — at
+        corpus scale this survivor table is the boilerplate tail,
+        far smaller than the n-gram universe,
+    (3) join the (doc, ngram) counts against the survivors on ngram
+        (re-using the ngram-keyed exchange) and one final hash-agg by
+        doc.
+    Shuffle keys are (doc,ngram) / ngram / doc — all high-cardinality
+    and uniform, nothing collects, nothing broadcasts by necessity:
+    the 100 TB shape is three hash aggregations over an exploded scan.
+
+    Documents with fewer than ``n`` tokens have no n-grams and are
+    absent from the output (their fraction is undefined, matching the
+    SQL oracle's inner grouping).
+    """
+    from s3logs_parquet_spark.functions.text_analysis import words
+
+    toks = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    n_lit = F.lit(int(n))
+    ngrams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_w") >= n_lit,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - n_lit + 1),
+                    lambda i: F.array_join(F.slice("_w", i, n_lit), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_ng"),
+    )
+    pairs = ngrams.groupBy(id_col, "_ng").agg(F.count(F.lit(1)).alias("_cnt"))
+    frequent = (
+        pairs.groupBy("_ng")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+        .filter(F.col("_n_docs") >= F.lit(int(min_docs)))
+        .select("_ng")
+    )
+    dup = pairs.join(frequent, on="_ng", how="left_semi").groupBy(id_col).agg(
+        F.sum("_cnt").alias("_dup_cnt")
+    )
+    totals = pairs.groupBy(id_col).agg(F.sum("_cnt").alias("n_ngrams"))
+    return (
+        totals.join(dup, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("n_ngrams"),
+            F.round(
+                F.coalesce(F.col("_dup_cnt"), F.lit(0)) / F.col("n_ngrams"), 6
+            ).alias("dup_fraction"),
+        )
+    )

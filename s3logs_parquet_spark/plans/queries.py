@@ -2613,6 +2613,218 @@ GROUP BY e.query_id
 """
 
 
+def q_orders_bloom_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join prefilter (operators/bloom.py): a
+    selective customer cut builds a 16 KiB bloom over its keys; the
+    orders scan probes it MAP-ONLY (no exchange, no broadcast join)
+    before the real join, so at 100 TB the join's shuffle only ever
+    sees fact rows that can match (plus a ~1% false-positive tail).
+    The exact join after the probe makes false positives harmless —
+    the oracle is the PLAIN join, which the probed plan must equal
+    row-for-row."""
+    from s3logs_parquet_spark.operators.bloom import bloom_build, bloom_probe
+
+    c = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)
+    )
+    o = _t(spark, sf_dir, "orders")
+    bits = bloom_build(c, "c_custkey")
+    probed = bloom_probe(o, "o_custkey", bits)
+    return (
+        probed.join(F.broadcast(c), probed.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDERS_BLOOM = """
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (operators/ann.py ivfpq_topk): trained
+    coarse quantizer (same deterministic 2-iteration Lloyd as
+    emb_ivf_trained_topk) prunes to each query's 2 nearest cells, ADC
+    over 4-byte PQ codes ranks candidates inside those cells, exact
+    cosine reranks the top 50. The oracle unrolls train + assign +
+    probe + codebooks + codes + ADC + rerank in SQL — the full FAISS
+    `IVF8,PQ4` pipeline value-checked end to end."""
+    from s3logs_parquet_spark.operators.ann import ivf_train, ivfpq_topk, pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, "embedding", n_cells=8, iters=2, id_col="vec_id")
+    cbs = pq_codebooks(emb, "embedding", m=4, k_sub=8, id_col="vec_id")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = ivfpq_topk(
+        emb, queries, "vec_id", "query_id", cents, cbs, k=10, n_probe=2, n_candidates=50
+    )
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _oracle_emb_ivfpq(
+    n_cells: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    m: int = 4,
+    sub: int = 16,
+    k_sub: int = 8,
+    n_candidates: int = 50,
+    k: int = 10,
+    dim: int = 64,
+) -> str:
+    """Train/assign/probe CTEs from _oracle_emb_ivf_trained composed
+    with the codebook/code/ADC CTEs from _oracle_emb_pq, candidates
+    restricted to probed cells."""
+
+    def cos(a: str, b: str) -> str:
+        return f"{_SQL_DOT.format(a=a, b=b)} / ({_SQL_NORM.format(a=a)} * {_SQL_NORM.format(a=b)})"
+
+    def sq(a: str, b: str, off: int) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {sub}), "
+            f"i -> ({a}[{off} + i] - {b}[{off} + i]) * ({a}[{off} + i] - {b}[{off} + i]))), "
+            "(x, y) -> x + y)"
+        )
+
+    sql = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cell, v AS cv FROM emb WHERE vec_id < {n_cells}
+)"""
+    prev = "c0"
+    for t in range(1, iters + 1):
+        sql += f""", a{t} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+    FROM emb e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), m{t} AS (
+  SELECT cell, list(a ORDER BY i) AS cv FROM (
+    SELECT cell, i, avg(v[i]) AS a
+    FROM a{t} CROSS JOIN generate_series(1, {dim}) t(i)
+    GROUP BY cell, i
+  ) GROUP BY cell
+), c{t} AS (
+  SELECT p.cell, coalesce(m.cv, p.cv) AS cv FROM {prev} p LEFT JOIN m{t} m USING (cell)
+)"""
+        prev = f"c{t}"
+
+    vdists = ", ".join(f"{sq('v.ev', 'c.cv', j * sub)} AS d{j}" for j in range(m))
+    qdists = ", ".join(f"{sq('q.qv', 'c.cv', j * sub)} AS d{j}" for j in range(m))
+    ranks = ", ".join(
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY d{j}, cid) AS r{j}" for j in range(m)
+    )
+    code_pick = ", ".join(f"max(CASE WHEN r{j} = 1 THEN cid END) AS code{j}" for j in range(m))
+    qts = ", ".join(f"list(d{j} ORDER BY cid) AS qt{j}" for j in range(m))
+    adc = " + ".join(f"t.qt{j}[kk.code{j} + 1]" for j in range(m))
+    sql += f""", assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos('e.v', 'c.cv')} DESC, c.cell) AS rn
+    FROM emb e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {cos('q.qv', 'c.cv')} DESC, c.cell) AS rn
+    FROM q CROSS JOIN {prev} c
+  ) WHERE rn <= {n_probe}
+), cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {k_sub}
+), e2 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), vdist AS (
+  SELECT v.vec_id, c.cid, {vdists} FROM e2 v CROSS JOIN cb c
+), vrank AS (
+  SELECT vec_id, cid, {ranks} FROM vdist
+), codes AS (
+  SELECT vec_id, {code_pick} FROM vrank GROUP BY vec_id
+), qdist AS (
+  SELECT q.query_id, c.cid, {qdists} FROM (SELECT query_id, qv FROM q) q CROSS JOIN cb c
+), qt AS (
+  SELECT query_id, {qts} FROM qdist GROUP BY query_id
+), cellcand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+), scored AS (
+  SELECT cc.query_id, cc.vec_id, {adc} AS adc
+  FROM cellcand cc
+  JOIN codes kk ON kk.vec_id = cc.vec_id
+  JOIN qt t ON t.query_id = cc.query_id
+), cand AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS crank
+  FROM scored
+), rr AS (
+  SELECT s.query_id, s.vec_id,
+         {_SQL_DOT.format(a='e.ev', b='q.qv')}
+         / ({_SQL_NORM.format(a='e.ev')} * {_SQL_NORM.format(a='q.qv')}) AS cos_raw
+  FROM cand s
+  JOIN e2 e ON e.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+  WHERE s.crank <= {n_candidates}
+), ranked AS (
+  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM rr
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+    return sql
+
+
+def q_docs_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-trigram fraction
+    (operators/dedup.py dup_ngram_fraction): the Gopher/RefinedWeb-style
+    boilerplate signal — per doc, the share of its trigram occurrences
+    whose trigram appears in ≥2 distinct docs."""
+    from s3logs_parquet_spark.operators.dedup import dup_ngram_fraction
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_ngram_fraction(d, "doc_id", "text", n=3, min_docs=2)
+
+
+ORACLE_DOCS_DUP_NGRAM = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), ngr AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS ng
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM toks)
+), pairs AS (
+  SELECT doc_id, ng, count(*) AS cnt FROM ngr GROUP BY 1, 2
+), nd AS (
+  SELECT ng, count(*) AS n_docs FROM pairs GROUP BY 1
+)
+SELECT p.doc_id,
+       sum(p.cnt)::BIGINT AS n_ngrams,
+       round(sum(CASE WHEN d.n_docs >= 2 THEN p.cnt ELSE 0 END)::DOUBLE
+             / sum(p.cnt), 6) AS dup_fraction
+FROM pairs p JOIN nd d USING (ng)
+GROUP BY p.doc_id
+"""
+
+
 # Registry ORDER is part of the delivery contract: the driver's
 # correctness gate records only the FIRST 50 entries. The literal order
 # below is historical (round-3 window); the ACTUAL driver window is set
@@ -2736,6 +2948,13 @@ from s3logs_parquet_spark.plans.tpch_partsupp import TPCH_PARTSUPP_QUERIES  # no
 
 QUERIES.update(TPCH_PARTSUPP_QUERIES)
 
+QUERIES["orders_bloom_customer_revenue"] = (
+    q_orders_bloom_customer_revenue,
+    ORACLE_ORDERS_BLOOM,
+)
+QUERIES["emb_ivfpq_topk"] = (q_emb_ivfpq_topk, _oracle_emb_ivfpq())
+QUERIES["docs_dup_ngram_fraction"] = (q_docs_dup_ngram_fraction, ORACLE_DOCS_DUP_NGRAM)
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (VERDICT r3 next-round #1). The driver's
 # correctness gate records the FIRST 50 registry entries per round, so
@@ -2792,21 +3011,25 @@ _DRIVER_WINDOW_R05 = [
     "emb_ivf_topk",
     # red in r04 (NTZ bug) — fixed, must re-record green
     "events_asof_click_chunked",
-    # NEW this round (forward/nearest + tolerance as-of) — a new gate
-    # must enter inside the window for its first driver row; displaces
-    # s3log_parse_fields + events_kmv_global (both r04-green; their
-    # families stay covered by s3log_pipeline_roundtrip and
-    # events_kmv_distinct in this window)
+    # NEW this round — a new gate must enter inside the window for its
+    # first driver row; together these displace five r04-green
+    # stalwarts (s3log_parse_fields, events_kmv_global,
+    # docs_exact_dedup, emb_cosine_topk, docs_minhash_lsh_pairs),
+    # whose families stay covered in-window by
+    # s3log_pipeline_roundtrip, events_kmv_distinct,
+    # docs_curation_pipeline (exact dedup inside),
+    # emb_ivf_trained_topk/emb_lsh_recall, and
+    # docs_incremental_neardup/docs_neardup_clusters
     "events_asof_next_click",
     "events_asof_nearest_click",
+    "orders_bloom_customer_revenue",
+    "emb_ivfpq_topk",
+    "docs_dup_ngram_fraction",
     # r04-green stalwarts kept in-window
     "s3log_pipeline_roundtrip",
     "docs_curation_pipeline",
-    "docs_exact_dedup",
-    "docs_minhash_lsh_pairs",
     "docs_incremental_neardup",
     "docs_neardup_clusters",
-    "emb_cosine_topk",
     "emb_ivf_trained_topk",
     "emb_lsh_recall",
     "multimodal_binary_meta",

@@ -170,3 +170,64 @@ def test_ivf_train_and_pq_codebooks_validate_corpus_size(spark):
             emb_df(64), "embedding", n_cells=32, iters=1,
             sample_fraction=0.05, id_col="vec_id",
         )
+
+
+def test_ivfpq_parity_recall_and_column_pruning(spark, sf_dir, tmp_path):
+    """IVF-PQ: (a) the persisted index returns exactly the in-memory
+    composite's results; (b) the ADC candidate scan reads ONLY
+    (id, pq_code) — parquet column pruning keeps full vectors out of
+    the candidate path (the 100 TB cost model: m bytes/vector scanned,
+    vectors only for reranked candidates); (c) probed cells show up as
+    a partition filter; (d) recall@10 vs brute force doesn't collapse."""
+    from s3logs_parquet_spark.operators.ann import (
+        brute_force_topk,
+        ivf_train,
+        ivfpq_index_topk,
+        ivfpq_index_write,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    cents = ivf_train(emb, "embedding", n_cells=8, iters=2, id_col="vec_id")
+    cbs = pq_codebooks(emb, "embedding", m=4, k_sub=8, id_col="vec_id")
+    mem = ivfpq_topk(
+        emb, q, "vec_id", "query_id", cents, cbs, k=10, n_probe=2, n_candidates=50
+    )
+
+    path = str(tmp_path / "ivfpq_index")
+    w_cents, w_cbs = ivfpq_index_write(
+        emb, path, "vec_id", n_cells=8, iters=2, m=4, k_sub=8
+    )
+    assert w_cents == cents and w_cbs == cbs
+    idx = ivfpq_index_topk(
+        spark, path, q, "vec_id", "query_id", k=10, n_probe=2, n_candidates=50
+    )
+    got = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in idx.collect())
+    want = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in mem.collect())
+    assert got == want and len(got) > 0
+
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    # two scans over the index: the ADC scan must NOT read _cv, the
+    # rerank fetch must NOT read pq_code
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    idx_schemas = [s for s in schemas if "pq_code" in s or "_cv" in s]
+    assert any("pq_code" in s and "_cv" not in s for s in idx_schemas), schemas
+    assert any("_cv" in s and "pq_code" not in s for s in idx_schemas), schemas
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "cell" in pf
+
+    exact = brute_force_topk(emb, q, "vec_id", "query_id", k=10).collect()
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got_sets: dict = {}
+    for qid, _rank, vid in got:
+        got_sets.setdefault(qid, set()).add(vid)
+    recall = sum(len(exact_sets[k0] & got_sets.get(k0, set())) for k0 in exact_sets) / sum(
+        len(s) for s in exact_sets.values()
+    )
+    assert recall >= 0.4, f"IVF-PQ recall@10 collapsed: {recall}"

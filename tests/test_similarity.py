@@ -422,3 +422,42 @@ def test_incremental_neardup_null_signature_probe(spark):
     nul = banded.withColumn("signature", F.lit(None).cast(sig_type))
     with pytest.raises(ValueError, match="NULL"):
         incremental_neardup_pairs(d, nul, num_hashes=32, bands=8)
+
+
+def test_dup_ngram_fraction_hand_corpus(spark):
+    """Known trigram overlap: A and B share one trigram ("the quick
+    fox"), C is unique, D is too short for any trigram (absent from
+    output)."""
+    from s3logs_parquet_spark.operators.dedup import dup_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox jumped high"),      # 3 trigrams, 1 shared
+            (2, "see the quick fox"),              # 2 trigrams, 1 shared
+            (3, "completely different words here"),# 2 trigrams, 0 shared
+            (4, "too short"),                      # no trigram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_ngram_fraction(docs, n=3, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_ngrams"] == 3 and abs(out[1]["dup_fraction"] - 1 / 3) < 1e-6
+    assert out[2]["n_ngrams"] == 2 and abs(out[2]["dup_fraction"] - 0.5) < 1e-6
+    assert out[3]["n_ngrams"] == 2 and out[3]["dup_fraction"] == 0.0
+
+
+def test_dup_ngram_fraction_counts_occurrences_not_types(spark):
+    """A doc repeating a globally-shared trigram twice counts both
+    OCCURRENCES in the numerator (the Gopher-style definition)."""
+    from s3logs_parquet_spark.operators.dedup import dup_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),   # trigrams: abc bca cab abc → "a b c"×2
+            (2, "x a b c y"),     # shares "a b c"
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_ngram_fraction(docs, n=3, min_docs=2).collect()}
+    assert out[1]["n_ngrams"] == 4
+    assert abs(out[1]["dup_fraction"] - 0.5) < 1e-6  # 2 of 4 occurrences
