@@ -57,12 +57,20 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q21_waiting_supplier",
     # round-4 (VERDICT r3 #5): the heavy ANN paths — persisted
-    # cell-partitioned IVF (build+prune+rerank) and PQ (codebooks →
-    # ADC → rerank) — and the heaviest partsupp TPC-H shape (two
-    # big equi-joins: pair-keyed partsupp and orderkey)
+    # cell-partitioned IVF (build once per process, probe thereafter —
+    # the timed runs measure the PROBE, the production semantic;
+    # emb_ivf_trained_topk keeps the build-included cost measured) and
+    # PQ (codebooks → ADC → rerank) — and the heaviest partsupp TPC-H
+    # shape (two big equi-joins: pair-keyed partsupp and orderkey)
     "emb_ivf_indexed_topk",
     "emb_pq_topk",
     "tpch_q9_product_profit",
+    # round-5 additions: bloom runtime prefilter (map-only probe ahead
+    # of the join shuffle), IVF-PQ composite ANN, corpus-wide
+    # duplicate-trigram fraction (explode + 3 hash aggs)
+    "orders_bloom_customer_revenue",
+    "emb_ivfpq_topk",
+    "docs_dup_ngram_fraction",
 ]
 
 
