@@ -779,6 +779,7 @@ def embedding_neardup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     n_bands: int = 8,
+    bits_per_band: int = 8,
     materialize: bool = True,
     durable: bool = False,
 ) -> DataFrame:
@@ -787,12 +788,16 @@ def embedding_neardup_pairs(
     Candidate generation by random-hyperplane LSH (sign bits of dot
     products with fixed pseudo-random planes, grouped into bands), then
     exact cosine on candidates. Deterministic planes derived from the
-    vector index via a hash — no RNG at runtime.
+    vector index via a hash — no RNG at runtime. Tune the band shape to
+    the threshold: per-band collision probability is
+    ``(1 - θ/π)^bits_per_band`` (θ = target angle), so lower thresholds
+    want fewer bits per band / more bands for recall, higher thresholds
+    more bits for precision of the candidate set.
     """
     from s3logs_parquet_spark.operators.ann import cosine_sim, with_unit_vector, hyperplane_band_keys
 
     unit = with_unit_vector(df, vec_col, "_unit")
-    banded = hyperplane_band_keys(unit, "_unit", n_bands=n_bands, bits_per_band=8)
+    banded = hyperplane_band_keys(unit, "_unit", n_bands=n_bands, bits_per_band=bits_per_band)
     if materialize:
         banded = _materialize(banded, durable)
     l, r = banded.alias("l"), banded.alias("r")

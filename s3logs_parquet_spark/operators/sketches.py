@@ -105,3 +105,59 @@ def kmv_distinct_global(df: DataFrame, value_col: str, k: int = 64) -> DataFrame
         F.lit(float(k - 1)) / norm
     )
     return agg.select(F.col("n_seen"), F.round(est, 4).alias("est_distinct"))
+
+
+def bottomk_sample(df: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Deterministic uniform sample without replacement: the k rows
+    whose hashed id is smallest (the sample half of KMV — same bottom-k
+    principle, keeping the rows instead of just the hashes).
+
+    Mergeable by construction: bottom-k of a union is the bottom-k of
+    the two bottom-k's, which is also exactly what Catalyst's
+    ``TakeOrderedAndProject`` executes for ``orderBy(h, id).limit(k)``
+    — per-partition k-mins, then a ≤ k·numPartitions merge; the corpus
+    never funnels through one task. Hash-deterministic → the same rows
+    on any engine/partitioning (ties impossible: id breaks them).
+    """
+    h = hash32(F.col(id_col).cast("string"))
+    return df.withColumn("_bk_h", h).orderBy("_bk_h", id_col).limit(k).drop("_bk_h")
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable quantile estimation: exact quantiles of a
+    deterministic :func:`bottomk_sample` of size k — the classic
+    bounded-memory percentile estimator (sample error O(1/sqrt(k))),
+    and unlike `percentile_approx`'s engine-specific digest, a pure
+    function of the data that a SQL oracle reproduces bit-for-bit.
+
+    NULL values are excluded (a NULL can't order). The estimate for
+    probability p is the sample's order statistic at index
+    ``1 + floor(p·(n-1))`` (lower empirical quantile, n = actual
+    sample size). The final ordering window runs on ≤ k rows — bounded
+    single-partition work by construction, like the KMV merge.
+
+    Returns (p, est_value) per requested probability.
+    """
+    s = bottomk_sample(
+        df.filter(F.col(value_col).isNotNull()), id_col, k
+    ).select(F.col(value_col).alias("_sq_v"))
+    w = Window.orderBy("_sq_v")
+    ranked = s.select(
+        "_sq_v",
+        F.row_number().over(w).alias("_sq_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_sq_n"),
+    )
+    probs_df = df.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    target = F.lit(1) + F.floor(F.col("p") * (F.col("_sq_n") - F.lit(1)).cast("double"))
+    return (
+        ranked.join(F.broadcast(probs_df), target == F.col("_sq_rn"))
+        .select("p", F.col("_sq_v").alias("est_value"))
+    )

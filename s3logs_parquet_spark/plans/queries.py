@@ -2857,6 +2857,189 @@ FROM (
 """
 
 
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS systematic sampling (operators/sampling.py): ~50 docs drawn
+    with probability proportional to n_chars — the deterministic
+    quality/length-weighted corpus draw. Selection is pure integer
+    arithmetic over the portable hash (binned prefix sum, no global
+    window), so the oracle replicates it bit-for-bit with a SQL window
+    cumsum."""
+    from s3logs_parquet_spark.operators.sampling import weighted_systematic_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = weighted_systematic_sample(d, "n_chars", k=50, id_col="doc_id")
+    return out.select(
+        "doc_id", "source", F.col("n_chars").alias("weight"), "n_copies"
+    )
+
+
+ORACLE_DOCS_WEIGHTED_SAMPLE = f"""
+WITH w AS (
+  SELECT doc_id, source, n_chars::BIGINT AS w,
+         {hash32_sql("doc_id::VARCHAR")} AS h
+  FROM documents
+), tot AS (
+  SELECT sum(w)::BIGINT AS tw FROM w
+), par AS (
+  SELECT greatest(tw // 50, 1)::BIGINT AS step,
+         (greatest(tw // 50, 1) // 2)::BIGINT AS off
+  FROM tot
+), c AS (
+  SELECT doc_id, source, w,
+         coalesce(sum(w) OVER (ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cs
+  FROM w
+), sel AS (
+  SELECT doc_id, source, w,
+         (least(50, greatest(0, (cs + w - off + step - 1) // step))
+        - least(50, greatest(0, (cs - off + step - 1) // step)))::BIGINT AS n_copies
+  FROM c CROSS JOIN par
+)
+SELECT doc_id, source, w AS weight, n_copies FROM sel WHERE n_copies >= 1
+"""
+
+
+def q_docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced mixture sampling (operators/sampling.py):
+    per-source quotas ∝ sqrt(count) (alpha = 0.5 — the multilingual
+    corpus-mixing rule), filled by hash-of-id rank. sqrt is IEEE
+    correctly-rounded, so the integer quota math is engine-exact."""
+    from s3logs_parquet_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = mixture_sample(d, "source", "doc_id", k_total=60, alpha=0.5)
+    return out.select("source", "doc_id", "sample_rank", "quota")
+
+
+ORACLE_DOCS_MIXTURE_SAMPLE = f"""
+WITH n AS (
+  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+), w AS (
+  SELECT source, floor(sqrt(n::DOUBLE))::BIGINT AS w FROM n
+), t AS (
+  SELECT sum(w)::BIGINT AS tw FROM w
+), q AS (
+  SELECT source, greatest(1, (60 * w) // tw)::BIGINT AS quota
+  FROM w CROSS JOIN t
+), r AS (
+  SELECT d.source, d.doc_id,
+         row_number() OVER (PARTITION BY d.source
+           ORDER BY {hash32_sql("d.doc_id::VARCHAR")}, d.doc_id)::INT AS sample_rank
+  FROM documents d
+)
+SELECT r.source, r.doc_id, r.sample_rank, q.quota
+FROM r JOIN q USING (source)
+WHERE r.sample_rank <= q.quota
+"""
+
+
+def q_events_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation (operators/sketches.py): exact
+    order statistics of a deterministic 256-row bottom-k-hash sample —
+    percentile_approx's job, but as a pure function of the data the
+    oracle reproduces exactly (the estimates are raw value
+    passthroughs, so no float arithmetic at all crosses engines)."""
+    from s3logs_parquet_spark.operators.sketches import sampled_quantiles
+
+    e = _t(spark, sf_dir, "events")
+    return sampled_quantiles(
+        e, "value", "event_id", k=256, probs=(0.25, 0.5, 0.9, 0.99)
+    )
+
+
+ORACLE_EVENTS_SAMPLED_QUANTILES = f"""
+WITH s AS (
+  SELECT value AS v FROM (
+    SELECT value, {hash32_sql("event_id::VARCHAR")} AS h, event_id
+    FROM events WHERE value IS NOT NULL
+    ORDER BY h, event_id LIMIT 256
+  )
+), r AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n FROM s
+)
+SELECT pr.p, r.v AS est_value
+FROM (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) pr(p)
+JOIN r ON r.rn = 1 + floor(pr.p * (r.n - 1))::BIGINT
+"""
+
+
+def q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (operators/dedup.py
+    embedding_neardup_pairs): hyperplane-LSH banded candidates (12
+    bands × 6 bits — shaped for the 0.45 threshold per the
+    (1-θ/π)^bits band-collision rule), exact cosine on candidates. The
+    oracle regenerates the same ±1 planes and unit-vector arithmetic,
+    value-checking candidate generation AND verification end-to-end."""
+    from s3logs_parquet_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.45,
+        n_bands=12,
+        bits_per_band=6,
+        materialize=False,
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _oracle_emb_neardup(
+    threshold: float = 0.45, n_bands: int = 12, bits_per_band: int = 6, dim: int = 64
+) -> str:
+    """Replicates embedding_neardup_pairs exactly: unit vectors first
+    (the operator bands and scores NORMALIZED vectors), plane literals
+    from the same seeded LCG, left-to-right folds."""
+    from s3logs_parquet_spark.operators.ann import plane_signs
+
+    planes = plane_signs(n_bands * bits_per_band, dim, 42)
+
+    def dot_sql(plane: list[float]) -> str:
+        lits = "[" + ", ".join(str(x) for x in plane) + "]"
+        return (
+            "list_reduce(list_prepend(0.0, list_transform(generate_series(1, "
+            f"{dim}), i -> u[i] * ({lits}::DOUBLE[])[i])), (a, b) -> a + b)"
+        )
+
+    band_keys = []
+    for b in range(n_bands):
+        bits = [
+            f"(CASE WHEN {dot_sql(planes[b * bits_per_band + j])} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits_per_band)
+        ]
+        band_keys.append(" + ".join(bits))
+    bks = "[" + ", ".join(band_keys) + "]"
+    norm_u = "sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), (x, y) -> x + y))"
+    dot_uu = (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
+        "i -> ua[i] * ub[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), u0 AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_reduce(list_prepend(0.0,
+           list_transform(v, y -> y * y)), (a, b) -> a + b))) AS u
+  FROM c
+), keys AS (
+  SELECT vec_id, u, {bks} AS bks FROM u0
+), cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b, l.u AS ua, r.u AS ub
+  FROM keys l JOIN keys r ON l.vec_id < r.vec_id
+  CROSS JOIN generate_series(1, {n_bands}) t(b)
+  WHERE l.bks[b] = r.bks[b]
+), scored AS (
+  SELECT id_a, id_b,
+         {dot_uu} / ({norm_u.format(a="ua")} * {norm_u.format(a="ub")}) AS cos_raw
+  FROM cand
+)
+SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+FROM scored WHERE cos_raw >= {threshold}
+"""
+
+
 # Registry ORDER is part of the delivery contract: the driver's
 # correctness gate records only the FIRST 50 entries. The literal order
 # below is historical (round-3 window); the ACTUAL driver window is set
@@ -2938,6 +3121,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "emb_pq_topk": (q_emb_pq_topk, _oracle_emb_pq()),
     "lineitem_cube": (q_lineitem_cube, ORACLE_LINEITEM_CUBE),
     "events_user_halves_full_outer": (q_events_user_halves_full_outer, ORACLE_EVENTS_FULL_OUTER),
+    # round 5: deterministic sampling family + embedding near-dup gate
+    "docs_weighted_sample": (q_docs_weighted_sample, ORACLE_DOCS_WEIGHTED_SAMPLE),
+    "docs_mixture_sample": (q_docs_mixture_sample, ORACLE_DOCS_MIXTURE_SAMPLE),
+    "events_sampled_quantiles": (q_events_sampled_quantiles, ORACLE_EVENTS_SAMPLED_QUANTILES),
+    "emb_neardup_pairs": (q_emb_neardup_pairs, _oracle_emb_neardup()),
 }
 
 # The remaining TPC-H shapes (q4/q7/q8/q12/q13/q15/q17/q19/q21/q22,
@@ -3074,12 +3262,20 @@ _DRIVER_WINDOW_R05 = [
     "emb_ivfpq_topk",
     "docs_dup_ngram_fraction",
     "events_zorder_key",
+    # NEW in the second round-5 session: deterministic sampling family
+    # (PPS systematic, temperature mixture, bottom-k quantile sketch)
+    # and the dedicated embedding-near-dup gate. These displace four
+    # r04-green stalwarts (docs_curation_pipeline,
+    # docs_incremental_neardup, docs_neardup_clusters,
+    # emb_ivf_trained_topk) whose families remain covered in-window by
+    # docs_dup_ngram_fraction/emb_ivfpq_topk and by the sampling gates'
+    # shared machinery; rotate them back in r06
+    "docs_weighted_sample",
+    "docs_mixture_sample",
+    "events_sampled_quantiles",
+    "emb_neardup_pairs",
     # r04-green stalwarts kept in-window
     "s3log_pipeline_roundtrip",
-    "docs_curation_pipeline",
-    "docs_incremental_neardup",
-    "docs_neardup_clusters",
-    "emb_ivf_trained_topk",
     "multimodal_binary_meta",
     "manifest_events_f2",
 ]
