@@ -374,6 +374,124 @@ def asof_join_chunked(
     return out.drop("__asof_m")
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str] = ("user_id",),
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    max_span_seconds: int = 3600,
+    suffix: str = "_r",
+) -> DataFrame:
+    """All pairs (l, r) in the same ``by`` group whose CLOSED intervals
+    overlap: ``l.start <= r.end AND r.start <= l.end`` — the general
+    interval-overlap join (attribution windows, downtime × request
+    spans, sensor validity ranges). Point-in-interval is the degenerate
+    case ``right_start == right_end``.
+
+    Scalable formulation (the missing Spark primitive — a raw overlap
+    predicate would execute as a quadratic-ish nested-loop/sort-merge
+    over inequalities): time is binned at ``max_span_seconds``, a
+    declared upper bound on BOTH sides' interval lengths. Each right
+    interval lands in exactly one bin (its start's); a left interval
+    [ls, le] can only overlap right intervals whose start falls in
+    [ls - max_span, le], i.e. bins [bin(ls) - 1 .. bin(le)] — at most
+    three, so the left side explodes ≤ 3× into an equi-join on
+    (by, bin) with the exact predicate as a post-filter. Each
+    candidate pair arises in exactly one bin (the right's), so no
+    dedup pass is needed. Shuffle is keyed by (by, bin) — uniform and
+    high-cardinality at scale; fan-out is bounded by true per-window
+    density.
+
+    The span bound is enforced per row at execution (map-side
+    ``raise_error``, no extra job): a silent violation would silently
+    drop pairs, the one failure mode a candidate-generation scheme
+    must not have. Timestamp columns go through the NTZ-safe
+    ``epoch_micros`` policy; numeric time columns bin in their own
+    units (``max_span_seconds`` then reads as "max span in column
+    units").
+    """
+    by = list(by)
+    w_us_l = _span_unit(left, left_start) * int(max_span_seconds)
+    w_us_r = _span_unit(right, right_start) * int(max_span_seconds)
+    if w_us_l != w_us_r:
+        raise TypeError(
+            "interval_join: both sides must use the same time-unit class "
+            "(timestamp vs numeric) — left and right bins would not align"
+        )
+    w_us = w_us_l
+
+    def t_num(df: DataFrame, col: str) -> Column:
+        if dict(df.dtypes)[col].startswith("timestamp"):
+            return epoch_micros(df, col)
+        return F.col(col).cast("long")
+
+    def to_bin(c: Column) -> Column:
+        # exact integer floor division (pmod >= 0 makes it floor for
+        # negative numeric time too) — no double rounding at boundaries
+        return ((c - F.pmod(c, F.lit(w_us))) / F.lit(w_us)).cast("long")
+
+    def guarded_end(df: DataFrame, start: str, end: str, w: int, side: str) -> Column:
+        s, e = t_num(df, start), t_num(df, end)
+        return F.when(
+            (e - s < 0) | (e - s > w),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_join: {side} interval violates 0 <= span <= "
+                        f"max_span ({w} units): start="
+                    ),
+                    F.col(start).cast("string"),
+                    F.lit(" end="),
+                    F.col(end).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(e)
+
+    rt = right.select(
+        *by,
+        t_num(right, right_start).alias("__ivj_rs"),
+        guarded_end(right, right_start, right_end, w_us, "right").alias("__ivj_re"),
+        *[
+            F.col(c).alias(f"{c}{suffix}")
+            for c in right.columns
+            if c not in by
+        ],
+    ).withColumn("__ivj_bin", to_bin(F.col("__ivj_rs")))
+
+    lt = left.select(
+        "*",
+        t_num(left, left_start).alias("__ivj_ls"),
+        guarded_end(left, left_start, left_end, w_us, "left").alias("__ivj_le"),
+    )
+    lt = lt.withColumn(
+        "__ivj_bin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    to_bin(F.col("__ivj_ls")) - 1,
+                    to_bin(F.col("__ivj_ls")),
+                    to_bin(F.col("__ivj_le")),
+                )
+            )
+        ),
+    )
+
+    j = lt.join(rt, on=[*by, "__ivj_bin"])
+    out = j.filter(
+        (F.col("__ivj_ls") <= F.col("__ivj_re"))
+        & (F.col("__ivj_rs") <= F.col("__ivj_le"))
+    )
+    return out.drop("__ivj_ls", "__ivj_le", "__ivj_rs", "__ivj_re", "__ivj_bin")
+
+
+def _span_unit(df: DataFrame, col: str) -> int:
+    """Micros per second for timestamp columns, 1 for numeric time."""
+    return 1_000_000 if dict(df.dtypes)[col].startswith("timestamp") else 1
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,

@@ -305,3 +305,96 @@ def test_asof_tolerance_on_ntz_timestamps(spark, tmp_path):
     )
     # lid=1: rid=10 is 50s stale (within 60s); lid=2: rid=11 is 3500s stale -> no match
     assert {r["lid"]: r["rid_r"] for r in out.collect()} == {1: 10, 2: None}
+
+
+# --- interval overlap join ---
+
+from s3logs_parquet_spark.operators.temporal import interval_join  # noqa: E402
+
+
+def _intervals_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, _ts(s), _ts(e)) for i, (u, s, e) in enumerate(rows)],
+        "iid long, user_id long, s timestamp, e timestamp",
+    )
+
+
+def test_interval_join_matches_naive(spark):
+    # pseudo-random closed intervals, spans <= 200 s, incl. exact-touch
+    # boundaries (end == other start)
+    lrows = [(i % 3, 1000 + 37 * i, 1000 + 37 * i + (i * 53) % 201) for i in range(60)]
+    rrows = [(i % 3, 900 + 41 * i, 900 + 41 * i + (i * 29) % 201) for i in range(60)]
+    left, right = _intervals_df(spark, lrows), _intervals_df(spark, rrows)
+    out = interval_join(
+        left, right, by=["user_id"], left_start="s", left_end="e",
+        right_start="s", right_end="e", max_span_seconds=201,
+    )
+    naive = (
+        left.alias("a")
+        .join(
+            right.alias("b"),
+            on=[
+                F.col("a.user_id") == F.col("b.user_id"),
+                F.col("a.s") <= F.col("b.e"),
+                F.col("b.s") <= F.col("a.e"),
+            ],
+        )
+        .select(F.col("a.iid").alias("iid"), F.col("b.iid").alias("iid_r"))
+    )
+    got = sorted((r["iid"], r["iid_r"]) for r in out.select("iid", "iid_r").collect())
+    want = sorted((r["iid"], r["iid_r"]) for r in naive.collect())
+    assert got == want and len(want) > 0
+
+
+def test_interval_join_no_duplicate_pairs(spark):
+    # right lands in exactly one bin -> each qualifying pair appears once
+    lrows = [(0, 100, 290)]  # spans two bins at width 200
+    rrows = [(0, 250, 260)]
+    out = interval_join(
+        _intervals_df(spark, lrows), _intervals_df(spark, rrows),
+        by=["user_id"], left_start="s", left_end="e",
+        right_start="s", right_end="e", max_span_seconds=200,
+    )
+    assert out.count() == 1
+
+
+def test_interval_join_numeric_time(spark):
+    left = spark.createDataFrame(
+        [(1, 0, -150, -50), (2, 0, 10, 20)], "iid long, user_id long, s long, e long"
+    )
+    right = spark.createDataFrame(
+        [(7, 0, -60, -60), (8, 0, 25, 30)], "iid long, user_id long, s long, e long"
+    )
+    out = interval_join(
+        left, right, by=["user_id"], left_start="s", left_end="e",
+        right_start="s", right_end="e", max_span_seconds=100,
+    )
+    # negative numeric time must bin correctly (floor division)
+    assert sorted((r["iid"], r["iid_r"]) for r in out.select("iid", "iid_r").collect()) == [(1, 7)]
+
+
+def test_interval_join_span_violation_raises(spark):
+    import pytest
+
+    left = _intervals_df(spark, [(0, 0, 500)])
+    right = _intervals_df(spark, [(0, 100, 100)])
+    with pytest.raises(Exception, match="violates 0 <= span"):
+        interval_join(
+            left, right, by=["user_id"], left_start="s", left_end="e",
+            right_start="s", right_end="e", max_span_seconds=200,
+        ).collect()
+
+
+def test_interval_join_is_equi_join(spark):
+    left = _intervals_df(spark, [(0, 0, 10)])
+    plan = (
+        interval_join(
+            left, left, by=["user_id"], left_start="s", left_end="e",
+            right_start="s", right_end="e", max_span_seconds=60,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
