@@ -71,6 +71,13 @@ HEADLINE = [
     "orders_bloom_customer_revenue",
     "emb_ivfpq_topk",
     "docs_dup_ngram_fraction",
+    # round-5 second session: the new plan shapes worth tracking — the
+    # interval-overlap join (≤3× exploded equi-join), PPS weighted
+    # sampling (binned prefix sum, two-pass), embedding near-dup
+    # (hyperplane-LSH band self-join)
+    "events_interval_pairs",
+    "docs_weighted_sample",
+    "emb_neardup_pairs",
 ]
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from s3logs_parquet_spark.config import EngineConfig
 from s3logs_parquet_spark.schema import DEDUP_FIELD
 from s3logs_parquet_spark.session import materialize as _materialize
+from s3logs_parquet_spark.session import release as _release
 
 # ---------------------------------------------------------------------------
 # D1 — reference-parity window-scoped dedup
@@ -603,6 +604,11 @@ def connected_components_clusters(
             durable,
         )
         new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        # the new generation is eagerly materialized — free the old
+        # one's blocks NOW, or rounds accumulate dead 10M-row
+        # generations until the heap dies (measured: the 10M curation
+        # bench OOM'd exactly here before this release; PERF.md r5)
+        _release(labels)
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
@@ -614,6 +620,9 @@ def connected_components_clusters(
             "(component diameter > 2^rounds is implausible — likely a data or "
             "fingerprint-overflow issue); refusing to return wrong cluster ids"
         )
+    # the result only reads the final labels generation; the edge list
+    # is done with
+    _release(edges)
     return labels.select(F.col("src").alias(id_col), "cluster_id")
 
 

@@ -40,6 +40,35 @@ def materialize(df, durable: bool = False):
     return df.checkpoint(eager=True)
 
 
+def release(df) -> None:
+    """Free the storage blocks of a frame returned by :func:`materialize`.
+
+    Iterative operators (connected components) materialize a new
+    generation every round; without an explicit release the dead
+    generations accumulate until the heap dies — the exact OOM the 10M
+    curation bench hit (PERF.md round 5). ``Dataset.unpersist()``
+    cannot do it: checkpoint blocks aren't registered with the cache
+    manager (verified — storage info unchanged after unpersist). A
+    checkpointed frame's analyzed plan IS a ``LogicalRDD`` though, so
+    we drop its cached RDD directly via the context.
+
+    The frame is DEAD afterwards — localCheckpoint severed its lineage,
+    so the blocks cannot be recomputed. Only release a generation after
+    the next one has been eagerly materialized. Quietly does nothing
+    for frames that aren't checkpoint-backed (durable checkpoints keep
+    their files; only residual memory blocks are dropped).
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        rdd_id = plan.rdd().id()
+    except Exception:
+        return
+    sc = df.sparkSession.sparkContext
+    # private[spark] in Scala = public in bytecode; removes blocks on
+    # every executor, blocking so the memory is back before we return
+    sc._jsc.sc().unpersistRDD(rdd_id, True)
+
+
 def get_spark(
     app_name: str = "s3logs-parquet-spark",
     master: str | None = None,
@@ -57,7 +86,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM hosts all executor threads, so it
+        # IS the executor heap. 8g starved 32 threads at the 10M-doc
+        # scale bench (GCLocker churn, then OOM); 48g of the box's 128
+        # leaves room for Python workers and page cache.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

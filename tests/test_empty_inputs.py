@@ -1,0 +1,118 @@
+"""Empty-input robustness: every operator family must return an empty
+(or correctly degenerate) result on empty inputs, not crash. At 100 TB
+empty slices are routine — an empty partition day, a filter that
+matches nothing, a cold-start index batch — and driver-side model
+derivation (sampling totals, probe-cell selection) is where hidden
+assumptions about non-emptiness live."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from s3logs_parquet_spark.operators.dedup import (
+    connected_components_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from s3logs_parquet_spark.operators.sampling import (
+    mixture_sample,
+    weighted_systematic_sample,
+)
+from s3logs_parquet_spark.operators.sketches import (
+    bottomk_sample,
+    kmv_distinct_global,
+    sampled_quantiles,
+)
+from s3logs_parquet_spark.operators.temporal import (
+    asof_join,
+    asof_join_chunked,
+    interval_join,
+    range_join_binned,
+)
+
+
+def _ts(s):
+    return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, _ts(t)) for i, (u, t) in enumerate(rows)],
+        "eid long, user_id long, ts timestamp",
+    )
+
+
+def test_asof_empty_right_and_left(spark):
+    left = _events(spark, [(1, 100), (1, 200)])
+    empty = _events(spark, [])
+    assert asof_join(left, empty, by=["user_id"], right_cols=["eid"]).count() == 0
+    outer = asof_join(left, empty, by=["user_id"], right_cols=["eid"], inner=False)
+    assert outer.count() == 2  # left preserved with NULL payload
+    assert asof_join(empty, left, by=["user_id"], right_cols=["eid"]).count() == 0
+    assert asof_join(empty, empty, by=["user_id"], right_cols=["eid"]).count() == 0
+
+
+def test_asof_chunked_empty_sides(spark):
+    left = _events(spark, [(1, 100)])
+    empty = _events(spark, [])
+    assert (
+        asof_join_chunked(left, empty, by=["user_id"], right_cols=["eid"]).count() == 0
+    )
+    assert (
+        asof_join_chunked(empty, left, by=["user_id"], right_cols=["eid"]).count() == 0
+    )
+
+
+def test_range_and_interval_join_empty(spark):
+    e = _events(spark, [(1, 100)])
+    empty = _events(spark, [])
+    assert range_join_binned(e, empty, by=["user_id"], window_seconds=60).count() == 0
+    assert range_join_binned(empty, e, by=["user_id"], window_seconds=60).count() == 0
+    iv = spark.createDataFrame([], "iid long, user_id long, s timestamp, e timestamp")
+    full = spark.createDataFrame(
+        [(1, 0, _ts(0), _ts(10))], "iid long, user_id long, s timestamp, e timestamp"
+    )
+    for l, r in ((iv, full), (full, iv), (iv, iv)):
+        out = interval_join(
+            l, r, by=["user_id"], left_start="s", left_end="e",
+            right_start="s", right_end="e", max_span_seconds=60,
+        )
+        assert out.count() == 0
+
+
+def test_sampling_empty_corpus(spark):
+    empty = spark.createDataFrame([], "id long, w long, source string")
+    assert weighted_systematic_sample(empty, "w", k=10, id_col="id").count() == 0
+    assert mixture_sample(empty, "source", "id", k_total=10).count() == 0
+
+
+def test_sketches_empty(spark):
+    empty = spark.createDataFrame([], "event_id long, value double")
+    assert bottomk_sample(empty, "event_id", 16).count() == 0
+    assert sampled_quantiles(empty, "value", "event_id", k=16).count() == 0
+    # KMV on an empty domain: one row, exact count 0
+    row = kmv_distinct_global(empty, "value").first()
+    assert row["n_seen"] == 0 and row["est_distinct"] == 0.0
+
+
+def test_dedup_empty(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(empty, "text", keep_order_col="doc_id", id_col="doc_id").count() == 0
+    assert (
+        minhash_lsh_pairs(
+            empty, "doc_id", "text", num_hashes=8, bands=4, jaccard_threshold=0.5
+        ).count()
+        == 0
+    )
+
+
+def test_connected_components_no_edges(spark):
+    nodes = spark.range(5).select(F.col("id").alias("doc_id"))
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = connected_components_clusters(empty_pairs, nodes, "doc_id")
+    # no edges -> every node is its own cluster representative
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["cluster_id"] == r["doc_id"] for r in rows)
