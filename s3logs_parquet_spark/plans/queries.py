@@ -3060,8 +3060,12 @@ FROM scored WHERE cos_raw >= {threshold}
 
 def q_events_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (operators/temporal.py interval_join):
-    each click opens an attribution window [ts, ts + floor(value)·60 s];
-    pair it with every same-user error inside that window
+    each click opens an attribution window [ts, ts + min(floor(value),
+    480)·60 s] — capped at 8 h, the declared span bound, so the query
+    is well-defined at ANY scale factor (`value` is unbounded in the
+    testdata; an uncapped window breached the bound at sf0.1 and
+    tripped the operator's span guard — exactly what the guard is
+    for). Pair each window with every same-user error inside it
     (point-in-interval, the degenerate right side). Binned equi-join
     candidates with the exact predicate as post-filter — the oracle is
     DuckDB's plain inequality join, which the binned plan must equal
@@ -3074,7 +3078,9 @@ def q_events_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("c_start"),
         F.timestamp_add(
-            "SECOND", (F.floor("value") * 60).cast("int"), F.col("ts")
+            "SECOND",
+            (F.least(F.floor("value"), F.lit(480)) * 60).cast("int"),
+            F.col("ts"),
         ).alias("c_end"),
     )
     errs = e.filter(F.col("event_type") == "error").select(
@@ -3088,7 +3094,7 @@ def q_events_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_end="c_end",
         right_start="e_ts",
         right_end="e_ts",
-        max_span_seconds=30_000,
+        max_span_seconds=480 * 60,
     )
     return j.select(
         "user_id",
@@ -3102,7 +3108,7 @@ def q_events_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_INTERVAL_PAIRS = """
 WITH c AS (
   SELECT event_id AS click_id, user_id, ts AS cs,
-         ts + floor(value)::BIGINT * 60 * INTERVAL 1 SECOND AS ce
+         ts + least(floor(value)::BIGINT, 480) * 60 * INTERVAL 1 SECOND AS ce
   FROM events WHERE event_type = 'click'
 ), e AS (
   SELECT event_id AS err_id, user_id, ts AS es
