@@ -137,33 +137,55 @@ def hyperplane_band_keys(
         dim = int(first["d"]) if first else 0
     planes = plane_signs(n_bands * bits_per_band, dim, seed)
 
-    def _proj(plane: int) -> Column:
-        lits = F.array(*[F.lit(x) for x in planes[plane]])
-        return F.aggregate(
-            F.zip_with(F.col(vec_col), lits, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    # Kernel choice, third iteration (the first two are worth recording
+    # because each hit a different Spark cliff at 72 planes × 64 dims):
+    #   1. zip_with/aggregate HOF lambdas — interpreted per element
+    #      (≈4,600 lambda frames/row) plus seconds of py4j tree build
+    #      per plan: 29 s at sf0.1.
+    #   2. one expanded-arithmetic SQL string (the with_centroid_sims
+    #      trick) — parses fast and runs fine in a standalone stage,
+    #      but whole-stage codegen of the ~4,600-term expression costs
+    #      35-90 s of janino compile, re-paid EVERY call because fresh
+    #      expr IDs change the generated source and miss the codegen
+    #      cache; interpreted fallback is ~20 ms/row. Fine at ≤2,048
+    #      terms (the centroid kernel), a cliff above it.
+    # So this kernel is the one place the engine drops to Python: an
+    # Arrow-batched pandas UDF over an INTEGER-quantized projection.
+    # Each component is quantized per element q[i] = floor(v[i]·2^20)
+    # (order-independent, bit-identical in any engine), and the ±1
+    # plane projection is an exact int64 sum — so numpy's matmul order
+    # doesn't matter and a SQL oracle can replicate the band keys
+    # exactly: sign(Σ ±q[i]) is an integer comparison. Quantization at
+    # 2^-20 granularity is far below embedding noise; it only shifts
+    # sign decisions for |proj| < dim·2^-20, where the bit is
+    # LSH-noise anyway. Map-only, no shuffle, BLAS-grade throughput —
+    # the actual 100 TB shape for signature computation.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    def band_key(b: int) -> Column:
-        bits = []
-        for j in range(bits_per_band):
-            proj = _proj(b * bits_per_band + j)
-            bits.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        key = bits[0]
-        for bcol in bits[1:]:
-            key = key + bcol
-        return key.cast("int")
+    P = np.array(planes, dtype=np.int64).T  # (dim, n_planes)
+    n_bands_l, bits_l = n_bands, bits_per_band
+    weights = (1 << np.arange(bits_l, dtype=np.int64))
 
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_key(b).alias("band_key"))
-            for b in range(n_bands)
-        ]
-    )
-    return df.select("*", F.explode(bands).alias("_bk")).select(
-        *df.columns, F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key")
-    )
+    # no type hints: PEP-563 string annotations from `from __future__
+    # import annotations` break pandas_udf signature inference
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _band_keys(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(vs.to_numpy()).astype(np.float64)
+        Q = np.floor(V * float(1 << 20)).astype(np.int64)
+        bits = (Q @ P) >= 0  # (n, n_planes) exact int64 sums
+        keys = (
+            bits.reshape(len(V), n_bands_l, bits_l).astype(np.int64) * weights
+        ).sum(axis=2)
+        return pd.Series(list(keys.astype(np.int32)))
+
+    keyed = df.withColumn("_bks", _band_keys(F.col(vec_col)))
+    return keyed.select(
+        "*", F.posexplode(F.col("_bks")).alias("band", "band_key")
+    ).drop("_bks")
 
 
 def lsh_topk(
@@ -473,16 +495,27 @@ def pq_codebooks(
     return [[v[j * sub : (j + 1) * sub] for v in vecs] for j in range(m)]
 
 
-def _sub_sq_l2(vec_col: Column, offset: int, cent: list[float]) -> Column:
+def _sub_sq_l2_sql(vec_col: str, offset: int, cent: list[float]) -> str:
     """Squared L2 between vec[offset : offset+len(cent)] and a literal
-    sub-centroid, JVM-side, fixed left-to-right summation order (the
-    property that keeps it bit-identical across engines)."""
-    sub = F.slice(vec_col, offset + 1, len(cent))
-    lits = F.array(*[F.lit(float(x)) for x in cent])
-    return F.aggregate(
-        F.zip_with(sub, lits, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    sub-centroid as generated SQL with the arithmetic expanded per
+    dimension — fixed left-to-right summation order (the property that
+    keeps it bit-identical across engines AND to the zip_with/aggregate
+    formulation it replaces; the HOF form evaluated interpreted
+    per-element and cost seconds of py4j tree construction per plan —
+    see with_centroid_sims)."""
+    v = "`" + vec_col.replace("`", "``") + "`"
+    return " + ".join(
+        f"((CAST({v}[{offset + i}] AS DOUBLE) - {_dlit(x)}) * "
+        f"(CAST({v}[{offset + i}] AS DOUBLE) - {_dlit(x)}))"
+        for i, x in enumerate(cent)
+    )
+
+
+def _sub_dists_sql(vec_col: str, j: int, sub: int, cents: list[list[float]]) -> str:
+    """ADC table for subspace ``j``: array of squared L2 distances from
+    vec's j-th subvector to each of the k_sub sub-centroids."""
+    return (
+        "array(" + ", ".join(f"({_sub_sq_l2_sql(vec_col, j * sub, c)})" for c in cents) + ")"
     )
 
 
@@ -494,11 +527,22 @@ def pq_encode(
     precompute at 100 TB: m bytes per vector instead of the full
     embedding ride every ANN scan."""
     sub = len(codebooks[0][0])
-    codes = []
+    # distance tables as intermediate columns so each is computed once
+    # (argmin reads the array twice: array_position + array_min)
+    tmp = df
     for j, cents in enumerate(codebooks):
-        dists = F.array(*[_sub_sq_l2(F.col(vec_col), j * sub, c) for c in cents])
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return df.withColumn(out_col, F.array(*codes))
+        tmp = tmp.withColumn(f"_pqd{j}", F.expr(_sub_dists_sql(vec_col, j, sub, cents)))
+    codes = F.expr(
+        "array("
+        + ", ".join(
+            f"CAST(array_position(_pqd{j}, array_min(_pqd{j})) - 1 AS INT)"
+            for j in range(len(codebooks))
+        )
+        + ")"
+    )
+    return tmp.withColumn(out_col, codes).drop(
+        *[f"_pqd{j}" for j in range(len(codebooks))]
+    )
 
 
 def pq_topk(
@@ -529,9 +573,7 @@ def pq_topk(
         F.col(query_id),
         F.col(query_vec).alias("_qv"),
         *[
-            F.array(
-                *[_sub_sq_l2(F.col(query_vec), j * sub, c) for c in cents]
-            ).alias(f"_qt{j}")
+            F.expr(_sub_dists_sql(query_vec, j, sub, cents)).alias(f"_qt{j}")
             for j, cents in enumerate(codebooks)
         ],
     )
@@ -641,6 +683,28 @@ def ivf_index_topk(
 # ---------------------------------------------------------------------------
 
 
+def ivfpq_encode_corpus(
+    corpus: DataFrame,
+    corpus_id: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ write-side precompute: (id, _cv, cell, pq_code) for
+    every corpus row — cell from the coarse quantizer, code from the
+    PQ codebooks. In production this is materialized once per corpus
+    (see ivfpq_index_write for the on-disk form); callers that query
+    repeatedly should checkpoint/persist the result and pass it to
+    ivfpq_topk(encoded=...)."""
+    assigned = ivf_assign(
+        corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv")),
+        "_cv",
+        centroids,
+        "cell",
+    )
+    return pq_encode(assigned, "_cv", codebooks, "pq_code")
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -653,6 +717,7 @@ def ivfpq_topk(
     k: int = 10,
     n_probe: int = 2,
     n_candidates: int = 50,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ (Jégou et al., TPAMI'11 — the FAISS `IVFx,PQy` layout):
     coarse quantizer prunes the corpus to each query's ``n_probe``
@@ -668,16 +733,21 @@ def ivfpq_topk(
     ``n_probe/n_cells`` of the CODES (m bytes/vector), not the corpus —
     the only full-width vector reads are the ``n_candidates`` rerank
     rows per query. Deterministic train/codebooks keep the whole chain
-    oracle-checkable (plans/queries.py emb_ivfpq_topk)."""
+    oracle-checkable (plans/queries.py emb_ivfpq_topk).
+
+    ``encoded`` short-circuits the write-side precompute: a frame with
+    columns (corpus_id, _cv, cell, pq_code) — e.g. the output of
+    ivfpq_encode_corpus, computed once and checkpointed/persisted —
+    so repeated query batches pay only the probe+ADC+rerank path, the
+    production cost model."""
     sub = len(codebooks[0][0])
     m = len(codebooks)
-    assigned = ivf_assign(
-        corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv")),
-        "_cv",
-        centroids,
-        "cell",
-    )
-    enc = pq_encode(assigned, "_cv", codebooks, "pq_code")
+    if encoded is not None:
+        enc = encoded
+    else:
+        enc = ivfpq_encode_corpus(
+            corpus, corpus_id, centroids, codebooks, corpus_vec
+        )
 
     probes = probe_cells_driver(queries, query_id, query_vec, centroids, n_probe)
     qp = _probe_frame(queries, query_id, query_vec, centroids, n_probe, probes=probes)
@@ -686,9 +756,7 @@ def ivfpq_topk(
         "cell",
         "_qv",
         *[
-            F.array(*[_sub_sq_l2(F.col("_qv"), j * sub, c) for c in cents]).alias(
-                f"_qt{j}"
-            )
+            F.expr(_sub_dists_sql("_qv", j, sub, cents)).alias(f"_qt{j}")
             for j, cents in enumerate(codebooks)
         ],
     )
@@ -804,9 +872,7 @@ def ivfpq_index_topk(
         "cell",
         "_qv",
         *[
-            F.array(*[_sub_sq_l2(F.col("_qv"), j * sub, c) for c in cents]).alias(
-                f"_qt{j}"
-            )
+            F.expr(_sub_dists_sql("_qv", j, sub, cents)).alias(f"_qt{j}")
             for j, cents in enumerate(codebooks)
         ],
     )

@@ -805,8 +805,14 @@ def embedding_neardup_pairs(
     """
     from s3logs_parquet_spark.operators.ann import cosine_sim, with_unit_vector, hyperplane_band_keys
 
+    # Band on the RAW vector: sign(<v, p>) is invariant under the
+    # positive scaling that normalization applies, so banding raw and
+    # banding normalized generate the same candidates — and the raw
+    # column is what the SQL oracle replicates (integer-quantized
+    # projection, exact cross-engine — see hyperplane_band_keys).
+    # Normalized vectors are still what the exact verification scores.
     unit = with_unit_vector(df, vec_col, "_unit")
-    banded = hyperplane_band_keys(unit, "_unit", n_bands=n_bands, bits_per_band=bits_per_band)
+    banded = hyperplane_band_keys(unit, vec_col, n_bands=n_bands, bits_per_band=bits_per_band)
     if materialize:
         banded = _materialize(banded, durable)
     l, r = banded.alias("l"), banded.alias("r")
