@@ -571,7 +571,19 @@ def connected_components_clusters(
         .distinct(),
         durable,
     )
-    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id"))
+    # Only nodes incident to an edge can ever change label — a
+    # singleton's cluster_id is its own id at every round, so carrying
+    # it through the loop is pure overhead. At dedup-realistic edge
+    # densities that overhead DOMINATES: the 10M-doc curation bench had
+    # 5M surviving nodes but only 74k near-dup pairs, and looping all
+    # 5M cost 1,941 s (each round re-joined, re-materialized and
+    # re-fingerprinted a 5M-row generation); looping only the ~100k
+    # touched nodes and left-anti-unioning the singletons afterwards
+    # is the same answer from frames 50x smaller (PERF.md round 5).
+    touched = ids.select(F.col(id_col).alias("src")).join(
+        edges.select("src").distinct(), on="src", how="semi"
+    )
+    labels = touched.select("src", F.col("src").alias("cluster_id"))
     labels = _materialize(labels, durable)
     # Convergence: labels only ever decrease (least() below and the
     # shortcut both replace a label with a ≤ one), so the label sum is
@@ -623,7 +635,14 @@ def connected_components_clusters(
     # the result only reads the final labels generation; the edge list
     # is done with
     _release(edges)
-    return labels.select(F.col("src").alias(id_col), "cluster_id")
+    # singletons (no incident edge) are their own cluster — one
+    # left-anti against the touched set, never in the loop
+    singletons = ids.select(F.col(id_col).alias("src")).join(
+        labels.select("src"), on="src", how="left_anti"
+    ).select("src", F.col("src").alias("cluster_id"))
+    return labels.unionByName(singletons).select(
+        F.col("src").alias(id_col), "cluster_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -838,6 +857,85 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def tfidf_similar_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_df: int = 1000,
+    idf_scale: int = 1 << 14,
+    tf_cap: int = 255,
+) -> DataFrame:
+    """Weighted lexical similarity pairs: cosine over tf-idf-style
+    term vectors ≥ ``threshold`` — the frequency-weighted complement
+    to MinHash/SimHash (which see only set overlap): shared RARE
+    vocabulary scores high, shared boilerplate scores ~0.
+
+    Weighting is integer-quantized for cross-engine determinism, the
+    same discipline as the hyperplane-banding kernel: per (doc, term)
+    weight w = min(tf, tf_cap) · (idf_scale DIV df) — every operand an
+    exact integer, so dot products and squared norms are exact BIGINT
+    sums whose value is independent of aggregation order, and the
+    DuckDB oracle reproduces cosines bit-for-bit (float log-idf would
+    be ±1 ulp across libm implementations and flip rounded digits).
+    ``idf_scale DIV df`` is a calibrated reciprocal-df weight: df = 1
+    → idf_scale, df > idf_scale → 0 (auto-dropping ubiquitous terms).
+
+    Plan shape (the sparse-vector inverted-index join): explode terms
+    → tf hash-agg (map-side combined) → df hash-agg → postings
+    self-join keyed by TERM → pair hash-agg for the dot → two id-keyed
+    joins for norms. ``max_df`` bounds the per-term join fan-out
+    (≤ max_df² candidate pairs per term) — the standard df-pruning
+    that makes inverted-index similarity tractable; terms above it
+    carry near-zero weight anyway. At 100 TB the term-keyed exchanges
+    are uniform/high-cardinality; the postings table is the write-side
+    precompute candidate.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b.
+    """
+    from s3logs_parquet_spark.functions.text_analysis import words
+
+    w_tf = (
+        docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.least(F.count(F.lit(1)), F.lit(tf_cap)).cast("long").alias("tf"))
+    )
+    w_df = w_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = (
+        w_tf.join(w_df, "term")
+        .filter(F.col("df") <= F.lit(int(max_df)))
+        .select(
+            F.col(id_col),
+            "term",
+            (F.col("tf") * F.expr(f"{int(idf_scale)} div df")).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    norms = postings.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+
+    a = postings.select(
+        F.col(id_col).alias("id_a"), "term", F.col("w").alias("wa")
+    )
+    b = postings.select(
+        F.col(id_col).alias("id_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("n2a")), "id_a")
+        .join(norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("n2b")), "id_b")
+        .withColumn(
+            "cosine",
+            F.col("dot") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 
 def decontaminate(

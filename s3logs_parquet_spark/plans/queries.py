@@ -1397,6 +1397,48 @@ LIMIT 20
 
 
 
+def q_docs_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted lexical similarity (operators/dedup.py
+    tfidf_similar_pairs): inverted-index cosine over integer-quantized
+    tf·(2^14 DIV df) term weights — exact BIGINT dots/norms make the
+    cosine bit-reproducible in DuckDB regardless of aggregation
+    order. The frequency-weighted complement to the MinHash/SimHash
+    set-overlap near-dup gates."""
+    from s3logs_parquet_spark.operators.dedup import tfidf_similar_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = tfidf_similar_pairs(d, "doc_id", "text", threshold=0.8, max_df=1000)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+ORACLE_DOCS_TFIDF_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, least(count(*), 255)::BIGINT AS tf
+  FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * (16384 // df.df) AS w
+  FROM tf JOIN df USING (term)
+  WHERE df.df <= 1000 AND (16384 // df.df) > 0
+), n2 AS (
+  SELECT doc_id, sum(w * w)::BIGINT AS n2 FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w)::BIGINT AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+FROM dots
+JOIN n2 na ON dots.id_a = na.doc_id
+JOIN n2 nb ON dots.id_b = nb.doc_id
+WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.8
+"""
+
+
 def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composition: the full curation pipeline (quality filter
     → exact dedup → near-dup cluster filter → language filter →
@@ -3299,6 +3341,7 @@ QUERIES["orders_bloom_customer_revenue"] = (
 )
 QUERIES["emb_ivfpq_topk"] = (q_emb_ivfpq_topk, _oracle_emb_ivfpq())
 QUERIES["docs_dup_ngram_fraction"] = (q_docs_dup_ngram_fraction, ORACLE_DOCS_DUP_NGRAM)
+QUERIES["docs_tfidf_similar_pairs"] = (q_docs_tfidf_similar_pairs, ORACLE_DOCS_TFIDF_PAIRS)
 QUERIES["events_zorder_key"] = (q_events_zorder_key, _oracle_events_zorder())
 
 # ---------------------------------------------------------------------------

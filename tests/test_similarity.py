@@ -461,3 +461,44 @@ def test_dup_ngram_fraction_counts_occurrences_not_types(spark):
     out = {r["doc_id"]: r for r in dup_ngram_fraction(docs, n=3, min_docs=2).collect()}
     assert out[1]["n_ngrams"] == 4
     assert abs(out[1]["dup_fraction"] - 0.5) < 1e-6  # 2 of 4 occurrences
+
+
+def test_tfidf_similar_pairs_hand_corpus(spark):
+    """Near-identical docs (one rare-word edit) score high; docs
+    sharing only ubiquitous terms score ~0 and never pair. Weights are
+    integer-quantized, so the cosine of an exact duplicate pair is
+    exactly 1.0."""
+    from s3logs_parquet_spark.operators.dedup import tfidf_similar_pairs
+
+    rows = [
+        (1, BASE),
+        (2, BASE),          # verbatim duplicate of 1 → cosine exactly 1.0
+        (3, NEAR),          # one-word edit → high but < 1
+        (4, OTHER),         # disjoint topic; shares only 'and' with BASE
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_similar_pairs(d, "doc_id", "text", threshold=0.5, max_df=1000)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert (2, 3) in got and got[(2, 3)] == got[(1, 3)]
+    # note: no corpus-level stopword knowledge exists in a 4-doc corpus
+    # (df('the') = 3 of 4 is a 'rare' term here) — the judge of
+    # weighting quality is the sf-scale oracle gate, not this corpus
+    assert not any(4 in pair for pair in got)
+
+
+def test_tfidf_similar_pairs_df_pruning_bounds_fanout(spark):
+    """A term above max_df never generates candidates: two docs whose
+    only shared term is ubiquitous produce no pair even at threshold
+    0, and the df cap drops the term from the postings join."""
+    from s3logs_parquet_spark.operators.dedup import tfidf_similar_pairs
+
+    # 30 docs all share 'common'; docs 1/2 also share rare terms
+    rows = [(i, f"common filler{i}") for i in range(10, 40)]
+    rows += [(1, "common rareword specialterm"), (2, "common rareword specialterm")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_similar_pairs(d, "doc_id", "text", threshold=0.0, max_df=5)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # 'common' (df=32 > 5) is pruned → only the rare-term pair remains
+    assert pairs == {(1, 2)}
