@@ -131,7 +131,11 @@ def test_connected_components_nonconvergence_raises(spark):
     ids = spark.createDataFrame([(i,) for i in range(20)], ["doc_id"])
     pairs = spark.createDataFrame([(i, i + 1) for i in range(19)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components_clusters(pairs, ids, "doc_id", max_rounds=1)
+        # driver_edge_limit=0 forces the distributed loop (the fast
+        # union-find path has no rounds to run out of)
+        connected_components_clusters(
+            pairs, ids, "doc_id", max_rounds=1, driver_edge_limit=0
+        )
 
 
 def test_connected_components_durable_checkpoint(spark, tmp_path):
@@ -502,3 +506,31 @@ def test_tfidf_similar_pairs_df_pruning_bounds_fanout(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     # 'common' (df=32 > 5) is pruned → only the rare-term pair remains
     assert pairs == {(1, 2)}
+
+
+def test_cc_driver_union_find_matches_distributed_loop(spark):
+    """The two connected-components strategies (driver union-find under
+    the edge budget, distributed min-label + pointer doubling above
+    it) are one contract: identical (id, cluster_id) labels, with
+    cluster_id = min id of the component. Exercises a long chain (the
+    shape that needs pointer doubling), a clique, and singletons."""
+    from s3logs_parquet_spark.operators.dedup import connected_components_clusters
+
+    ids = spark.range(200).selectExpr("id AS doc_id")
+    pairs = [(i, i + 1) for i in range(49)]  # chain: diameter 49
+    pairs += [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]  # clique
+    p = spark.createDataFrame(pairs, ["id_a", "id_b"])
+
+    fast = connected_components_clusters(p, ids, "doc_id")
+    dist = connected_components_clusters(p, ids, "doc_id", driver_edge_limit=0)
+    diffs = (
+        fast.join(dist.withColumnRenamed("cluster_id", "c2"), "doc_id")
+        .filter("cluster_id != c2")
+        .count()
+    )
+    assert diffs == 0
+    got = {r["doc_id"]: r["cluster_id"] for r in fast.collect()}
+    assert len(got) == 200
+    assert all(got[i] == 0 for i in range(50))        # chain labels = min id 0
+    assert all(got[i] == 100 for i in range(100, 105))  # clique labels = 100
+    assert got[60] == 60 and got[199] == 199          # singletons untouched
