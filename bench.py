@@ -78,6 +78,9 @@ HEADLINE = [
     "events_interval_pairs",
     "docs_weighted_sample",
     "emb_neardup_pairs",
+    # round-5 third session: inverted-index tf-idf cosine (term-keyed
+    # self-join, df-pruned fan-out, integer-exact weights)
+    "docs_tfidf_similar_pairs",
 ]
 
 
