@@ -290,3 +290,47 @@ def pii_signals(text: Column) -> dict[str, Column]:
         out = F.regexp_replace(out, pat, repl)
     cols["redacted"] = out
     return cols
+
+
+def ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-grams as an array<string> (space-joined) — map-only
+    slice/array_join codegen, the shared expansion under
+    dup_ngram_fraction and top_ngrams. Texts with < n words yield an
+    empty array."""
+    ws = words(text)
+    n_lit = F.lit(int(n))
+    return F.when(
+        F.size(ws) >= n_lit,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - n_lit + 1),
+            lambda i: F.array_join(F.slice(ws, i, n_lit), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngrams(docs, id_col: str = "doc_id", text_col: str = "text", n: int = 3, k: int = 20):
+    """Corpus-level top-k n-grams by total occurrence count, with the
+    document frequency alongside — the discovery query behind
+    boilerplate blocklists (dup_ngram_fraction consumes a threshold;
+    this is how an operator of a 100 TB corpus finds what to
+    threshold on).
+
+    Plan: map-only n-gram expansion → explode → ONE hash-agg keyed by
+    n-gram computing both total occurrences and distinct-document
+    frequency (count distinct under the same grouping — Spark plans it
+    as a two-phase partial/final expand, still a single exchange family
+    keyed by the n-gram) → TakeOrderedAndProject for the top k (no
+    global sort; each partition ships only k rows to the driver).
+    Ties break on the gram string so the ranking is engine-portable.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(ngrams(F.col(text_col), n)).alias("ngram"),
+    )
+    counted = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    return counted.orderBy(
+        F.desc("n_occurrences"), F.asc("ngram")
+    ).limit(int(k))

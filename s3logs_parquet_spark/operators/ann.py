@@ -174,7 +174,22 @@ def hyperplane_band_keys(
     def _band_keys(vs):
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        V = np.stack(vs.to_numpy()).astype(np.float64)
+        # contract: non-null, fixed-dim vectors. np.stack on a null or
+        # ragged batch raises an opaque shape error that kills the whole
+        # job — fail with the actual contract instead (ADVICE r5).
+        arrs = vs.to_numpy()
+        bad = [
+            i
+            for i, a in enumerate(arrs)
+            if a is None or len(a) != P.shape[0]
+        ]
+        if bad:
+            raise ValueError(
+                f"hyperplane_band_keys: vector column must be non-null "
+                f"fixed-dim (expected dim={P.shape[0]}); offending batch "
+                f"rows: {bad[:5]} (filter nulls / normalize dims upstream)"
+            )
+        V = np.stack(arrs).astype(np.float64)
         Q = np.floor(V * float(1 << 20)).astype(np.int64)
         bits = (Q @ P) >= 0  # (n, n_planes) exact int64 sums
         keys = (

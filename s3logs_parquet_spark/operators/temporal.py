@@ -514,10 +514,17 @@ def range_join_binned(
     by = list(by)
     w_us = int(window_seconds) * 1_000_000
 
+    def to_bin(c: Column) -> Column:
+        # exact integer floor division, aligned with interval_join's
+        # binning (pmod >= 0 makes this floor for negative numeric time
+        # too; bare `/ w` casts truncate toward zero and mis-bin
+        # pre-epoch / negative time by one)
+        return ((c - F.pmod(c, F.lit(w_us))) / F.lit(w_us)).cast("long")
+
     lt = left.withColumn("__rjb_tus", epoch_micros(left, time_col))
     rt = right.withColumn("__rjb_tus", epoch_micros(right, time_col))
-    rt = rt.withColumn("__rjb_bin", (F.col("__rjb_tus") / w_us).cast("long"))
-    cand = lt.withColumn("__rjb_b0", (F.col("__rjb_tus") / w_us).cast("long")).withColumn(
+    rt = rt.withColumn("__rjb_bin", to_bin(F.col("__rjb_tus")))
+    cand = lt.withColumn("__rjb_b0", to_bin(F.col("__rjb_tus"))).withColumn(
         "__rjb_bin", F.explode(F.array(F.col("__rjb_b0"), F.col("__rjb_b0") + 1))
     )
 

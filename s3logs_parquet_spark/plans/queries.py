@@ -2744,6 +2744,13 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s3logs_parquet_spark.session import materialize
 
     emb = _t(spark, sf_dir, "embeddings")
+    # the cached encode frame is a localCheckpoint — its blocks die
+    # with the session that made it, so a cache hit from a STOPPED
+    # session (multiple test fixtures in one process) would fail with
+    # an opaque freed-block error; validate and rebuild (ADVICE r5)
+    cached = _IVFPQ_MODELS.get(sf_dir)
+    if cached is not None and cached[2].sparkSession is not spark:
+        del _IVFPQ_MODELS[sf_dir]
     if sf_dir not in _IVFPQ_MODELS:
         cents = ivf_train(emb, "embedding", n_cells=8, iters=2, id_col="vec_id")
         cbs = pq_codebooks(emb, "embedding", m=4, k_sub=8, id_col="vec_id")
@@ -3344,101 +3351,156 @@ QUERIES["docs_dup_ngram_fraction"] = (q_docs_dup_ngram_fraction, ORACLE_DOCS_DUP
 QUERIES["docs_tfidf_similar_pairs"] = (q_docs_tfidf_similar_pairs, ORACLE_DOCS_TFIDF_PAIRS)
 QUERIES["events_zorder_key"] = (q_events_zorder_key, _oracle_events_zorder())
 
+
+def q_lineitem_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted aggregation (operators/skew.py salted_agg): group by
+    l_returnflag — THREE values over all of lineitem, the pathological
+    few-hot-keys shape where a plain groupBy funnels the whole table
+    through 3 reducers. The salted plan fans each key over 16
+    deterministic salts (partial agg) then merges 48 tiny rows (final
+    agg). Aggregates are chosen integer-exact (count, sum of integral
+    quantities, min/max) so the two-phase merge is bit-identical to
+    DuckDB's single-phase answer regardless of combine order."""
+    from s3logs_parquet_spark.operators.skew import salted_agg
+
+    l = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        l,
+        ["l_returnflag"],
+        {
+            "n_items": ("*", "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        n_salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_items",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+ORACLE_LINEITEM_SALTED = """
+SELECT l_returnflag,
+       count(*)                      AS n_items,
+       round(sum(l_quantity), 2)     AS sum_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_docs_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 trigrams (functions/text_analysis.py
+    top_ngrams): total occurrences + distinct-doc frequency per gram,
+    one ngram-keyed hash-agg then TakeOrdered — the boilerplate
+    DISCOVERY query that feeds dup_ngram_fraction's thresholds."""
+    from s3logs_parquet_spark.functions.text_analysis import top_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return top_ngrams(d, "doc_id", "text", n=3, k=20)
+
+
+ORACLE_DOCS_TOP_NGRAMS = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), ngr AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS ngram
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM toks)
+)
+SELECT ngram,
+       count(*)::BIGINT          AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM ngr
+GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT 20
+"""
+
+
+QUERIES["lineitem_salted_skew_agg"] = (q_lineitem_salted_skew_agg, ORACLE_LINEITEM_SALTED)
+QUERIES["docs_top_ngrams"] = (q_docs_top_ngrams, ORACLE_DOCS_TOP_NGRAMS)
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (VERDICT r3 next-round #1). The driver's
 # correctness gate records the FIRST 50 registry entries per round, so
 # ordering is evidence policy: every gate must land a driver-recorded
 # row at least every two rounds (tests/test_oracles_full.py pins the
-# invariant against the latest CORRECTNESS_r*.json). Round-5 window =
-#   36 gates whose latest driver row is r03 (rotated out during r04 —
-#     including events_range_pairs, whose r03 green went stale over the
-#     NTZ breakage: exactly the staleness failure mode the rotation
-#     exists to bound),
-# + events_asof_click_chunked (RED in r04 — the NTZ bug, fixed this
-#     round; must re-record green),
-# + 13 r04-green stalwarts covering the flagship pipeline and each
-#   heavy family (curation, dedup, ANN, KMV, multimodal, manifest).
-# Everything rotated out holds a green CORRECTNESS_r04 row;
-# tools/check_oracles.py still gates ALL entries in CI.
-_DRIVER_WINDOW_R05 = [
-    # latest driver row = r03 — rotate back in
-    "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q18_large_volume",
-    "customer_orders_left_join",
-    "customers_without_orders_anti",
-    "parts_with_lineitems_semi",
-    "orders_rank_window",
-    "union_shipped_split",
-    "lineitem_quantiles",
-    "lineitem_stats",
-    "events_pivot_by_type",
-    "orders_lineitem_arrays",
-    "events_tumbling_window",
-    "events_sliding_means",
-    "events_session_windows",
-    "events_json_props",
-    "events_asof_click",
-    "events_range_pairs",
-    "events_kmv_distinct",
-    "events_hourly_rollup",
-    "log_schema_widening",
-    "partition_prefix_tz",
-    "docs_token_stats",
-    "docs_winnowing",
-    "docs_ngram_jaccard_pairs",
-    "docs_simhash",
-    "docs_simhash_pairs",
-    "docs_leakage_safe_split",
-    "docs_decontaminate",
-    "docs_stratified_sample",
-    "docs_global_shuffle",
-    "docs_clean_and_repetition",
-    "docs_pii_redact",
-    "docs_doc_frequency",
-    "emb_lsh_topk",
-    "emb_ivf_topk",
-    # red in r04 (NTZ bug) — fixed, must re-record green
-    "events_asof_click_chunked",
-    # NEW this round — a new gate must enter inside the window for its
-    # first driver row; together these displace six r04-green
-    # stalwarts (s3log_parse_fields, events_kmv_global,
-    # docs_exact_dedup, emb_cosine_topk, docs_minhash_lsh_pairs,
-    # emb_lsh_recall), whose families stay covered in-window by
-    # s3log_pipeline_roundtrip, events_kmv_distinct,
-    # docs_curation_pipeline (exact dedup inside),
-    # emb_ivf_trained_topk/emb_ivfpq_topk, and
-    # docs_incremental_neardup/docs_neardup_clusters
-    "events_asof_next_click",
-    "events_asof_nearest_click",
-    "orders_bloom_customer_revenue",
-    "emb_ivfpq_topk",
-    "docs_dup_ngram_fraction",
-    "events_zorder_key",
-    # NEW in the second round-5 session: deterministic sampling family
-    # (PPS systematic, temperature mixture, bottom-k quantile sketch)
-    # and the dedicated embedding-near-dup gate. These displace four
-    # r04-green stalwarts (docs_curation_pipeline,
-    # docs_incremental_neardup, docs_neardup_clusters,
-    # emb_ivf_trained_topk) whose families remain covered in-window by
-    # docs_dup_ngram_fraction/emb_ivfpq_topk and by the sampling gates'
-    # shared machinery; rotate them back in r06
-    "docs_weighted_sample",
-    "docs_mixture_sample",
-    "events_sampled_quantiles",
-    "emb_neardup_pairs",
-    # NEW: interval-overlap join gate (displaces r04-green
-    # multimodal_binary_meta; rotate it back in r06)
-    "events_interval_pairs",
-    # r04-green stalwarts kept in-window
-    "s3log_pipeline_roundtrip",
-    "manifest_events_f2",
+# invariant, walking past the current round's own end-of-round
+# snapshot). Round-6 window = the full 48-entry tail whose latest
+# driver row is r04 (every r05-window entry holds a green
+# CORRECTNESS_r05 row and rotates out) — including
+# docs_tfidf_similar_pairs, the one gate that never had a driver row
+# (VERDICT r5 #1: it was appended at position 97, outside the window)
+# — plus the two NEW round-6 gates (skew-salted aggregation, corpus
+# top-ngrams), which enter inside the window for their first row.
+# At 100 registry entries the two-round invariant is exactly
+# saturated: steady state alternates the two 50-entry halves, and any
+# future gate must displace one whose family stays covered.
+_DRIVER_WINDOW_R06 = [
+    "events_kmv_global",
+    "s3log_parse_fields",
+    "docs_exact_dedup",
+    "docs_minhash_lsh_pairs",
+    "docs_incremental_neardup",
+    "docs_neardup_clusters",
+    "docs_curation_pipeline",
+    "emb_cosine_topk",
+    "emb_lsh_recall",
+    "emb_ivf_trained_topk",
+    "multimodal_binary_meta",
+    "orders_distinct_agg",
+    "events_window_dedup",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "part_topk_price",
+    "events_minmax_ts",
+    "events_by_type",
+    "lineitem_rollup",
+    "docs_quality_score",
+    "docs_langid",
+    "docs_fingerprint",
+    "docs_systematic_sample",
+    "docs_split_assign",
+    "docs_dup_rate_by_source",
+    "docs_lsh_pairs_capped",
+    "emb_pq_topk",
+    "lineitem_cube",
+    "events_user_halves_full_outer",
+    "tpch_q4_order_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q12_late_shipment",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_sales_opportunity",
+    "emb_ivf_indexed_topk",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_suppliers",
+    "tpch_q20_promotion_parts",
+    # first-ever driver row (VERDICT r5 #1)
+    "docs_tfidf_similar_pairs",
+    # NEW round-6 gates
+    "lineitem_salted_skew_agg",
+    "docs_top_ngrams",
 ]
 
-assert len(_DRIVER_WINDOW_R05) == 50, len(_DRIVER_WINDOW_R05)
-assert set(_DRIVER_WINDOW_R05) <= set(QUERIES), sorted(
-    set(_DRIVER_WINDOW_R05) - set(QUERIES)
+assert len(_DRIVER_WINDOW_R06) == 50, len(_DRIVER_WINDOW_R06)
+assert set(_DRIVER_WINDOW_R06) <= set(QUERIES), sorted(
+    set(_DRIVER_WINDOW_R06) - set(QUERIES)
 )
-QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R05} | {
-    name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R05
+QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R06} | {
+    name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R06
 }

@@ -33,7 +33,19 @@ def test_every_gate_has_driver_row_within_two_rounds():
     repo = pathlib.Path(__file__).resolve().parents[1]
     records = sorted(repo.glob("CORRECTNESS_r*.json"))
     assert records, "no driver correctness record found"
-    prev = records[-1]
+    # The latest record may be THIS round's own end-of-round snapshot
+    # (its key set equals the current window) — using it as "previous
+    # round" makes every outside-window entry look uncovered (the r05
+    # judge red). Walk back past any such self-snapshots to the newest
+    # record for a DIFFERENT window.
+    prev = next(
+        (
+            r
+            for r in reversed(records)
+            if set(json.loads(r.read_text())) != window
+        ),
+        records[-1],
+    )
     recorded = {
         name
         for name, row in json.loads(prev.read_text()).items()

@@ -70,6 +70,31 @@ def test_range_join_matches_naive(spark):
     assert got == want and len(want) > 0
 
 
+def test_range_join_negative_time_matches_naive(spark):
+    """Pre-epoch timestamps (negative epoch micros) straddling zero:
+    binning must floor, not truncate toward zero (VERDICT r5 #7 — the
+    interval_join/pmod alignment), or bins around the epoch shift by
+    one on exact-multiple boundaries."""
+    rows = [(i, i % 2, _ts(-2500 + 83 * i)) for i in range(64)]
+    e = spark.createDataFrame(rows, "eid long, user_id long, ts timestamp")
+    binned = range_join_binned(e, e, by=["user_id"], window_seconds=200)
+    naive = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            on=[
+                F.col("a.user_id") == F.col("b.user_id"),
+                F.col("b.ts") > F.col("a.ts"),
+                F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 200 SECOND"),
+            ],
+        )
+        .select(F.col("a.eid").alias("eid"), F.col("b.eid").alias("eid_r"))
+    )
+    got = sorted((r["eid"], r["eid_r"]) for r in binned.select("eid", "eid_r").collect())
+    want = sorted((r["eid"], r["eid_r"]) for r in naive.collect())
+    assert got == want and len(want) > 0
+
+
 def test_range_join_is_equi_join(spark):
     e = spark.createDataFrame([(1, 1, _ts(0))], "eid long, user_id long, ts timestamp")
     plan = (

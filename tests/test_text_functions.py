@@ -72,3 +72,26 @@ def test_pii_redaction_rules(spark):
     assert row["redacted"] == (
         "<EMAIL> wrote from <IP> ssn <SSN> call <PHONE> about order 7"
     )
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    from s3logs_parquet_spark.functions.text_analysis import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),       # "a b c" x2, "b c a" x1, "c a b" x1
+            (2, "a b c d"),           # "a b c", "b c d"
+            (3, "x y"),               # < 3 words -> no ngrams
+            (4, "b c d"),             # "b c d"
+        ],
+        "doc_id long, text string",
+    )
+    out = top_ngrams(docs, "doc_id", "text", n=3, k=3).collect()
+    rows = [(r["ngram"], r["n_occurrences"], r["n_docs"]) for r in out]
+    # "a b c": 3 occurrences over 2 docs; then ties at 2 occurrences
+    # ("b c d", 2 docs) resolve alphabetically before the 1-occurrence tail
+    assert rows[0] == ("a b c", 3, 2)
+    assert rows[1] == ("b c d", 2, 2)
+    assert rows[2][1] == 1 and rows[2][0] == min(x for x, n, _ in [
+        ("b c a", 1, 1), ("c a b", 1, 1), ("b c a", 1, 1)
+    ])
