@@ -534,3 +534,33 @@ def test_cc_driver_union_find_matches_distributed_loop(spark):
     assert all(got[i] == 0 for i in range(50))        # chain labels = min id 0
     assert all(got[i] == 100 for i in range(100, 105))  # clique labels = 100
     assert got[60] == 60 and got[199] == 199          # singletons untouched
+
+
+def test_cc_contract_strategy_parity(spark):
+    """VERDICT r5 #4: the partition-local-contraction path (and its
+    stall→loop fallback) must produce the exact driver-path labels.
+    The chain+clique graph's forest floor is V−C = 53 canonical edges,
+    so the three budgets below exercise: contraction that lands inside
+    the budget (55), contraction that stalls at the floor and falls
+    back to the propagation loop (20), and a skip-contraction
+    straight-to-driver finish (60 ≥ canonical count)."""
+    from s3logs_parquet_spark.operators.dedup import connected_components_clusters
+
+    ids = spark.range(200).selectExpr("id AS doc_id")
+    pairs = [(i, i + 1) for i in range(49)]  # chain: diameter 49
+    pairs += [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]  # clique
+    p = spark.createDataFrame(pairs, ["id_a", "id_b"])
+
+    want = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_clusters(p, ids, "doc_id").collect()
+    }
+    for limit in (60, 55, 20):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components_clusters(
+                p, ids, "doc_id", driver_edge_limit=limit, strategy="contract"
+            ).collect()
+        }
+        assert got == want, f"contract path diverged at driver_edge_limit={limit}"
+    assert want[25] == 0 and want[103] == 100 and want[199] == 199
