@@ -796,7 +796,8 @@ def connected_components_clusters(
     # 5M cost 1,941 s (each round re-joined, re-materialized and
     # re-fingerprinted a 5M-row generation); looping only the ~100k
     # touched nodes and left-anti-unioning the singletons afterwards
-    # is the same answer from frames 50x smaller (PERF.md round 5).
+    # is the same answer from frames 50x smaller (PERF.md "Curation at
+    # 10M docs", round 6).
     touched = ids.select(F.col(id_col).alias("src")).join(
         edges.select("src").distinct(), on="src", how="semi"
     )
@@ -836,7 +837,8 @@ def connected_components_clusters(
         # the new generation is eagerly materialized — free the old
         # one's blocks NOW, or rounds accumulate dead 10M-row
         # generations until the heap dies (measured: the 10M curation
-        # bench OOM'd exactly here before this release; PERF.md r5)
+        # bench OOM'd exactly here before this release; PERF.md
+        # "Curation at 10M docs", round 6)
         _release(labels)
         labels = new_labels
         if new_sum == prev_sum:

@@ -46,7 +46,8 @@ def release(df) -> None:
     Iterative operators (connected components) materialize a new
     generation every round; without an explicit release the dead
     generations accumulate until the heap dies — the exact OOM the 10M
-    curation bench hit (PERF.md round 5). ``Dataset.unpersist()``
+    curation bench hit (PERF.md "Curation at 10M docs", round 6).
+    ``Dataset.unpersist()``
     cannot do it: checkpoint blocks aren't registered with the cache
     manager (verified — storage info unchanged after unpersist). A
     checkpointed frame's analyzed plan IS a ``LogicalRDD`` though, so

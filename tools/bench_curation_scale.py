@@ -62,7 +62,8 @@ def synth_docs(spark, n: int):
     # quality/langid gates — otherwise everything but the ~200 distinct
     # boilerplate strings dies at the filter and the downstream
     # dedup/CC stages run on a broadcast-trivial survivor set (the
-    # original 10M run's failure to exercise them; PERF.md round 5)
+    # original 10M run's failure to exercise them; PERF.md "Curation
+    # at 10M docs", round 6)
     stoplit = F.array(*[F.lit(w) for w in ["the", "and", "to", "with", "for", "was", "that"]])
     wordlit = F.array(*[F.lit(w) for w in WORDS])
 
