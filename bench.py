@@ -81,6 +81,10 @@ HEADLINE = [
     # round-5 third session: inverted-index tf-idf cosine (term-keyed
     # self-join, df-pruned fan-out, integer-exact weights)
     "docs_tfidf_similar_pairs",
+    # round 6: SemDeDup cell-keyed pairing (materialized assignment,
+    # one self-join) and map-only context-window chunking
+    "emb_semantic_dedup",
+    "docs_chunk_windows",
 ]
 
 

@@ -1276,3 +1276,86 @@ def dup_ngram_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+    max_cell_members: int = 200_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then WITHIN each
+    cluster mark a document as a semantic duplicate when a lower-id
+    member sits at cosine >= ``threshold``. Every dense semantic
+    neighborhood keeps exactly its min-id representative; documents
+    similar across cluster boundaries are deliberately not compared —
+    that blindness is the published trade that makes the op linear in
+    corpus size (the cross-cluster tail is the lexical/LSH family's
+    job: minhash_lsh_pairs, embedding_neardup_pairs).
+
+    ``centroids`` is the trained quantizer (ivf_train or an external
+    k-means — the write-side precompute; the paper's 5B-doc run used
+    ~110k clusters). Returns the input ids with ``cell`` and an
+    ``is_semdup`` flag — callers filter, aggregate, or anti-join.
+
+    Scale shape: the assignment pass is map-only expanded arithmetic
+    (operators/ann.py with_centroid_sims — codegen, no UDF), then ONE
+    cell-keyed self-join whose per-cell cost is quadratic in cell
+    membership. k must grow with the corpus (k ≈ n / target_cell);
+    ``max_cell_members`` enforces that contract — an over-full cell
+    raises instead of silently running an O(m²) pair explosion. It
+    raises rather than caps (unlike the LSH hot-bucket cap) because
+    LSH candidates are recall-optional while cluster membership is
+    the op's entire semantics; the fix is a finer quantizer, not a
+    quieter answer. The guard is one tiny pre-aggregate (a scalar
+    collect, same pattern as the CC edge-budget check).
+    """
+    from s3logs_parquet_spark.operators.ann import cosine_sim_expanded, ivf_assign
+
+    dim = len(centroids[0])
+    # Materialize the assignment ONCE: the expanded k×dim sims
+    # expression would otherwise be inlined into BOTH self-join
+    # children plus the guard aggregate (measured here: a ~10 MiB task
+    # binary and ~24 s of codegen compile at 8×64 — the same
+    # plan-duplication cliff embedding_neardup_pairs hits, fixed the
+    # same way: the joined frame reads stored rows, not the kernel).
+    assigned = _materialize(
+        ivf_assign(
+            df.select(F.col(id_col), F.col(vec_col)), vec_col, centroids, "cell"
+        ),
+        False,
+    )
+    biggest = (
+        assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.max("m"))
+        .collect()[0][0]
+    )
+    if biggest is not None and biggest > max_cell_members:
+        raise ValueError(
+            f"semantic_dedup: largest cell has {biggest} members "
+            f"(> max_cell_members={max_cell_members}); train a finer "
+            f"quantizer (more cells) so per-cell pairing stays bounded"
+        )
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("_a_id"), F.col(vec_col).alias("_a_v")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("_b_id"), F.col(vec_col).alias("_b_v")
+    )
+    dup_ids = (
+        a.join(b, on="cell")
+        .filter(F.col("_a_id") > F.col("_b_id"))
+        .filter(cosine_sim_expanded("_a_v", "_b_v", dim) >= F.lit(float(threshold)))
+        .select(F.col("_a_id").alias(id_col))
+        .distinct()
+    )
+    return assigned.select(id_col, "cell").join(
+        dup_ids.withColumn("_dup", F.lit(True)), on=id_col, how="left"
+    ).select(
+        id_col,
+        "cell",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("is_semdup"),
+    )

@@ -564,3 +564,101 @@ def test_cc_contract_strategy_parity(spark):
         }
         assert got == want, f"contract path diverged at driver_edge_limit={limit}"
     assert want[25] == 0 and want[103] == 100 and want[199] == 199
+
+
+# --- semantic dedup (SemDeDup) --------------------------------------------
+
+
+def _emb_rows():
+    # 2 centroid anchors along axes, then members near each: 10/11 are
+    # near-identical (cos ~1) in cell of [1,0,0,0]; 20 is alone in the
+    # other cell; 30 is a lower-cosine member of cell 0 (kept).
+    return [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.9, 0.1, 0.0, 0.0]),
+        (11, [0.9, 0.11, 0.0, 0.0]),
+        (20, [0.1, 0.9, 0.0, 0.0]),
+        (30, [0.7, 0.0, 0.7, 0.1]),
+    ]
+
+
+def test_semantic_dedup_marks_lower_id_neighbors(spark):
+    from s3logs_parquet_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(_emb_rows(), ["vec_id", "embedding"])
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = semantic_dedup(df, "vec_id", "embedding", cents, threshold=0.995)
+    got = {r["vec_id"]: (r["cell"], r["is_semdup"]) for r in out.collect()}
+    # 10 and 11 are within 0.995 cosine of each other; 11 (higher id)
+    # is the duplicate, 10 the kept representative. 0 is also within
+    # 0.995 of neither (cos(0,10)≈0.994) — everything else kept.
+    assert got[11] == (0, True)
+    assert {i: d for i, (c, d) in got.items() if i != 11} == {
+        0: False, 1: False, 10: False, 20: False, 30: False,
+    }
+    # cells: axis-0 members in cell 0, axis-1 members in cell 1
+    assert got[0][0] == 0 and got[10][0] == 0 and got[30][0] == 0
+    assert got[1][0] == 1 and got[20][0] == 1
+
+
+def test_semantic_dedup_matches_brute_force_reference(spark):
+    """Parity with a pure-Python per-cell pairwise reference on a
+    pseudo-random corpus."""
+    import math
+    import random
+
+    from s3logs_parquet_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    cents = [rows[i][1] for i in range(4)]
+    tau = 0.8
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    assign = {i: max(range(4), key=lambda c: (cos(v, cents[c]), -c)) for i, v in rows}
+    by_cell: dict[int, list[tuple[int, list[float]]]] = {}
+    for i, v in rows:
+        by_cell.setdefault(assign[i], []).append((i, v))
+    expect_dup = set()
+    for members in by_cell.values():
+        for i, vi in members:
+            for j, vj in members:
+                if j < i and cos(vi, vj) >= tau:
+                    expect_dup.add(i)
+
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(df, "vec_id", "embedding", cents, threshold=tau)
+    got_dup = {r["vec_id"] for r in out.collect() if r["is_semdup"]}
+    got_cells = {r["vec_id"]: r["cell"] for r in out.collect()}
+    assert got_dup == expect_dup
+    assert got_cells == assign
+
+
+def test_semantic_dedup_cell_guard_raises(spark):
+    import pytest
+
+    from s3logs_parquet_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="max_cell_members"):
+        semantic_dedup(
+            df, "vec_id", "embedding", [[1.0, 0.0], [0.0, 1.0]],
+            threshold=0.9, max_cell_members=5,
+        )
+
+
+def test_semantic_dedup_empty_input(spark):
+    from s3logs_parquet_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = semantic_dedup(df, "vec_id", "embedding", [[1.0, 0.0]], threshold=0.9)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cell", "is_semdup"]
