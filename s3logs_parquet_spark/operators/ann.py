@@ -43,25 +43,44 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def dot_expanded(a: str, b: str, dim: int) -> Column:
+    """Dot product of two array COLUMNS (by name), expanded per
+    dimension — fixed left-to-right summation, codegen-resident."""
+    qa = "`" + a.replace("`", "``") + "`"
+    qb = "`" + b.replace("`", "``") + "`"
+    d = " + ".join(
+        f"(CAST({qa}[{i}] AS DOUBLE) * CAST({qb}[{i}] AS DOUBLE))" for i in range(dim)
+    )
+    return F.expr(f"({d})")
+
+
+def l2_norm_expanded(a: str, dim: int) -> Column:
+    """L2 norm of an array COLUMN, expanded per dimension (same
+    left-to-right order as the HOF l2_norm — bit-identical)."""
+    qa = "`" + a.replace("`", "``") + "`"
+    n = " + ".join(
+        f"(CAST({qa}[{i}] AS DOUBLE) * CAST({qa}[{i}] AS DOUBLE))" for i in range(dim)
+    )
+    return F.expr(f"SQRT({n})")
+
+
 def cosine_sim_expanded(a: str, b: str, dim: int) -> Column:
     """cosine_sim between two array COLUMNS (by name) with the
     arithmetic expanded per dimension — for hot candidate-scoring loops
     where ``dim`` is known (e.g. from the trained centroids). Same
     fixed left-to-right summation as the HOF form, so values are
     bit-identical; unlike the HOF form it stays inside whole-stage
-    codegen instead of interpreted per-element lambda evaluation."""
-    qa = "`" + a.replace("`", "``") + "`"
-    qb = "`" + b.replace("`", "``") + "`"
-    d = " + ".join(
-        f"(CAST({qa}[{i}] AS DOUBLE) * CAST({qb}[{i}] AS DOUBLE))" for i in range(dim)
+    codegen instead of interpreted per-element lambda evaluation.
+
+    For SELF-JOIN pair scoring, prefer precomputing each side's norm
+    once per ROW (l2_norm_expanded before the join) and dividing the
+    pair dot by the norm product: the value is bit-identical (same
+    expression on the same input, just evaluated n instead of n²/cell
+    times) and the per-pair arithmetic drops ~3× — measured in
+    semantic_dedup round 6."""
+    return dot_expanded(a, b, dim) / (
+        l2_norm_expanded(a, dim) * l2_norm_expanded(b, dim)
     )
-    na = " + ".join(
-        f"(CAST({qa}[{i}] AS DOUBLE) * CAST({qa}[{i}] AS DOUBLE))" for i in range(dim)
-    )
-    nb = " + ".join(
-        f"(CAST({qb}[{i}] AS DOUBLE) * CAST({qb}[{i}] AS DOUBLE))" for i in range(dim)
-    )
-    return F.expr(f"({d}) / (SQRT({na}) * SQRT({nb}))")
 
 
 def with_unit_vector(df: DataFrame, vec_col: str, out_col: str = "unit_vec") -> DataFrame:
@@ -282,17 +301,92 @@ def with_centroid_sims(
     )
 
 
-def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str = "cell") -> DataFrame:
+# Above this many expanded terms (cells × dim), whole-stage codegen of
+# the sims expression pays 35-90 s of janino compile per call (the
+# cliff measured for the banding kernel — PERF.md round 5); the Arrow
+# kernel takes over there.
+_EXPANDED_TERM_CLIFF = 2048
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_col: str = "cell",
+    kernel: str = "auto",
+) -> DataFrame:
     """IVF coarse quantizer: assign each vector to its nearest centroid
     (argmax cosine, first-maximum tie-break). Centroids are a
     driver-side list (trained by ivf_train below or supplied); compiled
-    into the plan as literals — an intentional broadcast of a tiny
-    model. Distance kernel: see with_centroid_sims."""
+    into the plan as literals / a broadcast ndarray — an intentional
+    broadcast of a tiny model.
+
+    Kernel selection (``kernel='auto'``): the expanded-arithmetic SQL
+    kernel (with_centroid_sims — bit-identical to the DuckDB oracles,
+    fully inside codegen) up to ~2k generated terms; past that cliff
+    the per-call janino compile dominates (measured for the banding
+    kernel, PERF.md round 5) and assignment switches to an
+    Arrow-batched BLAS matmul (_ivf_assign_arrow). The differential
+    gates all sit below the cliff (8-16 cells × 64 dims), so oracle
+    bit-exactness is preserved exactly where it is checked; the Arrow
+    kernel is the 100 TB shape for production quantizers (k in the
+    thousands, SemDeDup/IVF scale)."""
+    if kernel == "auto":
+        kernel = (
+            "arrow"
+            if len(centroids) * len(centroids[0]) > _EXPANDED_TERM_CLIFF
+            else "expanded"
+        )
+    if kernel == "arrow":
+        return _ivf_assign_arrow(df, vec_col, centroids, out_col)
+    if kernel != "expanded":
+        raise ValueError(f"unknown kernel {kernel!r} (auto|expanded|arrow)")
     return (
         with_centroid_sims(df, vec_col, centroids, "_sims")
         .withColumn(out_col, (F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1).cast("int"))
         .drop("_sims")
     )
+
+
+def _ivf_assign_arrow(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str
+) -> DataFrame:
+    """Arrow-batched assignment: one float64 BLAS matmul per batch
+    against the norm-scaled centroid matrix (argmax of dot(v, c)/|c| —
+    the |v| factor is constant per row so cosine argmax needs no row
+    normalization). First-maximum tie-break like the expanded kernel.
+
+    Determinism caveat (why the under-cliff gates keep the expanded
+    kernel): BLAS summation order differs from left-to-right, so a
+    vector whose top-two cosines agree to ~1e-15 relative can assign
+    differently than the expanded kernel or a SQL oracle. That noise
+    band is far below any real embedding separation; the kernel-parity
+    test pins agreement on margin-separated data."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    norms = np.sqrt((C * C).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    Cs = (C / norms[:, None]).T.copy()  # (dim, k), scaled once
+
+    @pandas_udf(T.IntegerType())
+    def _assign(vs):
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        arrs = vs.to_numpy()
+        bad = [i for i, a in enumerate(arrs) if a is None or len(a) != Cs.shape[0]]
+        if bad:
+            raise ValueError(
+                f"ivf_assign(arrow): vector column must be non-null "
+                f"fixed-dim (expected dim={Cs.shape[0]}); offending "
+                f"batch rows: {bad[:5]}"
+            )
+        V = np.stack(arrs).astype(np.float64)
+        return pd.Series((V @ Cs).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
 
 
 def ivf_train(

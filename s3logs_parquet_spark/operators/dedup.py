@@ -1285,6 +1285,7 @@ def semantic_dedup(
     centroids: list[list[float]],
     threshold: float,
     max_cell_members: int = 200_000,
+    max_total_pairs: int = 2_000_000_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then WITHIN each
@@ -1294,26 +1295,37 @@ def semantic_dedup(
     similar across cluster boundaries are deliberately not compared —
     that blindness is the published trade that makes the op linear in
     corpus size (the cross-cluster tail is the lexical/LSH family's
-    job: minhash_lsh_pairs, embedding_neardup_pairs).
+    job: minhash_lsh_pairs, embedding_neardup_pairs). Two explicit
+    budgets protect the within-cell quadratic stage: per-cell
+    membership (``max_cell_members``) and TOTAL pair count
+    (``max_total_pairs`` — the one that actually bounds the join;
+    see the guard comment for the measured motivation).
 
     ``centroids`` is the trained quantizer (ivf_train or an external
     k-means — the write-side precompute; the paper's 5B-doc run used
     ~110k clusters). Returns the input ids with ``cell`` and an
     ``is_semdup`` flag — callers filter, aggregate, or anti-join.
 
-    Scale shape: the assignment pass is map-only expanded arithmetic
-    (operators/ann.py with_centroid_sims — codegen, no UDF), then ONE
-    cell-keyed self-join whose per-cell cost is quadratic in cell
-    membership. k must grow with the corpus (k ≈ n / target_cell);
-    ``max_cell_members`` enforces that contract — an over-full cell
-    raises instead of silently running an O(m²) pair explosion. It
-    raises rather than caps (unlike the LSH hot-bucket cap) because
-    LSH candidates are recall-optional while cluster membership is
-    the op's entire semantics; the fix is a finer quantizer, not a
-    quieter answer. The guard is one tiny pre-aggregate (a scalar
-    collect, same pattern as the CC edge-budget check).
+    Scale shape: the assignment pass is map-only (expanded-arithmetic
+    codegen kernel under ~2k cells×dim terms, Arrow BLAS matmul above
+    — ivf_assign's auto switch; 1M×4096 assigns in 0.7 s, PERF.md
+    round 6), then ONE cell-keyed self-join whose cost is Σ m(m-1)/2
+    over cell memberships. k must grow with the corpus
+    (k ≈ n / target_cell); the two budgets enforce that contract —
+    an over-budget corpus raises instead of silently running an
+    unbounded pair explosion. It raises rather than caps (unlike the
+    LSH hot-bucket cap) because LSH candidates are recall-optional
+    while cluster membership is the op's entire semantics; the fix is
+    a finer quantizer, not a quieter answer. The guards are one tiny
+    pre-aggregate (a scalar collect, same pattern as the CC
+    edge-budget check). Measured end-to-end: 1M vectors / 126.8M
+    within-cell pairs in 18.7 s on local[32] (PERF.md round 6).
     """
-    from s3logs_parquet_spark.operators.ann import cosine_sim_expanded, ivf_assign
+    from s3logs_parquet_spark.operators.ann import (
+        dot_expanded,
+        ivf_assign,
+        l2_norm_expanded,
+    )
 
     dim = len(centroids[0])
     # Materialize the assignment ONCE: the expanded k×dim sims
@@ -1322,33 +1334,62 @@ def semantic_dedup(
     # binary and ~24 s of codegen compile at 8×64 — the same
     # plan-duplication cliff embedding_neardup_pairs hits, fixed the
     # same way: the joined frame reads stored rows, not the kernel).
+    # The row's L2 norm is precomputed HERE, once per vector, so the
+    # per-pair test below is a dot product and one division — the norm
+    # value is bit-identical to inlining it in the pair expression
+    # (same arithmetic on the same input), but evaluated n times
+    # instead of Σ m² times (measured round 6: 3.4× on the pair stage).
     assigned = _materialize(
         ivf_assign(
             df.select(F.col(id_col), F.col(vec_col)), vec_col, centroids, "cell"
-        ),
+        ).withColumn("_vn", l2_norm_expanded(vec_col, dim)),
         False,
     )
-    biggest = (
-        assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("m"))
-        .agg(F.max("m"))
-        .collect()[0][0]
+    stats = (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(
+            F.max("m").alias("max_m"),
+            F.sum(F.col("m") * (F.col("m") - F.lit(1)) / 2).alias("pairs"),
+        )
+        .collect()[0]
     )
-    if biggest is not None and biggest > max_cell_members:
+    if stats["max_m"] is not None and stats["max_m"] > max_cell_members:
         raise ValueError(
-            f"semantic_dedup: largest cell has {biggest} members "
+            f"semantic_dedup: largest cell has {stats['max_m']} members "
             f"(> max_cell_members={max_cell_members}); train a finer "
             f"quantizer (more cells) so per-cell pairing stays bounded"
         )
+    # The max-cell bound alone does NOT bound the join: many
+    # mid-sized cells still sum to an arbitrarily large Σ m(m-1)/2
+    # (measured round 6: a 1M-vector corpus where every cell sat under
+    # the member cap still carried ~10^10 within-cell pairs — hours of
+    # pair evaluation that no single-cell check predicts). Budget the
+    # TOTAL pair count explicitly; the remedy is the same (finer k).
+    if stats["pairs"] is not None and stats["pairs"] > max_total_pairs:
+        raise ValueError(
+            f"semantic_dedup: within-cell pairing would evaluate "
+            f"~{int(stats['pairs']):,} pairs (> max_total_pairs="
+            f"{max_total_pairs:,}); train a finer quantizer so k grows "
+            f"with the corpus (k ≈ n / target_cell_size)"
+        )
     a = assigned.select(
-        F.col("cell"), F.col(id_col).alias("_a_id"), F.col(vec_col).alias("_a_v")
+        F.col("cell"),
+        F.col(id_col).alias("_a_id"),
+        F.col(vec_col).alias("_a_v"),
+        F.col("_vn").alias("_a_n"),
     )
     b = assigned.select(
-        F.col("cell"), F.col(id_col).alias("_b_id"), F.col(vec_col).alias("_b_v")
+        F.col("cell"),
+        F.col(id_col).alias("_b_id"),
+        F.col(vec_col).alias("_b_v"),
+        F.col("_vn").alias("_b_n"),
     )
+    pair_cos = dot_expanded("_a_v", "_b_v", dim) / (F.col("_a_n") * F.col("_b_n"))
     dup_ids = (
         a.join(b, on="cell")
         .filter(F.col("_a_id") > F.col("_b_id"))
-        .filter(cosine_sim_expanded("_a_v", "_b_v", dim) >= F.lit(float(threshold)))
+        .filter(pair_cos >= F.lit(float(threshold)))
         .select(F.col("_a_id").alias(id_col))
         .distinct()
     )

@@ -231,3 +231,64 @@ def test_ivfpq_parity_recall_and_column_pruning(spark, sf_dir, tmp_path):
         len(s) for s in exact_sets.values()
     )
     assert recall >= 0.4, f"IVF-PQ recall@10 collapsed: {recall}"
+
+
+def test_ivf_assign_kernel_parity_and_auto_switch(spark):
+    """The Arrow matmul kernel and the expanded-arithmetic kernel agree
+    on margin-separated vectors, and 'auto' picks by the codegen term
+    cliff (cells x dim)."""
+    import random
+
+    from s3logs_parquet_spark.operators.ann import _EXPANDED_TERM_CLIFF, ivf_assign
+
+    rng = random.Random(3)
+    dim, k = 16, 6
+    cents = []
+    for c in range(k):
+        v = [0.0] * dim
+        v[c] = 1.0
+        v[(c + 7) % dim] = 0.5
+        cents.append(v)
+    rows = []
+    for i in range(200):
+        c = i % k
+        base = cents[c]
+        # noise well inside the assignment margin
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exp = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(df, "embedding", cents, kernel="expanded").collect()
+    }
+    arr = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(df, "embedding", cents, kernel="arrow").collect()
+    }
+    assert exp == arr
+    # the constructed corpus also assigns to its generating centroid
+    assert all(cell == i % k for i, cell in exp.items())
+
+    # auto-switch boundary: k*dim below cliff -> expanded plan has no
+    # Python eval; a quantizer past the cliff -> BatchEvalPython/ArrowEval
+    small = ivf_assign(df, "embedding", cents)  # 96 terms, expanded
+    assert "Eval" not in small._jdf.queryExecution().executedPlan().toString().replace(
+        "WholeStageCodegen", ""
+    )
+    big_k = _EXPANDED_TERM_CLIFF // dim + 1
+    big_cents = [[1.0 if j == (c % dim) else 0.01 * c for j in range(dim)] for c in range(big_k)]
+    big = ivf_assign(df, "embedding", big_cents)
+    assert "Eval" in big._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_assign_arrow_rejects_ragged(spark):
+    import pytest
+
+    from s3logs_parquet_spark.operators.ann import ivf_assign
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 3.0])], ["vec_id", "embedding"]
+    )
+    out = ivf_assign(df, "embedding", [[1.0, 0.0], [0.0, 1.0]], kernel="arrow")
+    with pytest.raises(Exception, match="fixed-dim"):
+        out.collect()

@@ -79,3 +79,27 @@ def test_chunking_plan_is_map_only(spark):
     df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
     plan = chunk_documents(df, chunk_size=2, stride=1)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_then_pack_composition(spark):
+    """chunk_documents is pack_documents' declared upstream for
+    oversized docs ('callers chunk them upstream' — packing.py): after
+    chunking to <= max_tokens, NO pack ever overflows, and every chunk
+    is packed exactly once."""
+    from s3logs_parquet_spark.operators.packing import pack_documents
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(17 * (i + 1)))) for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunks = chunk_documents(df, chunk_size=32, stride=32)  # disjoint windows
+    with_ids = chunks.select(
+        (chunks.doc_id * 1_000_000 + chunks.chunk_idx).alias("cid"),
+        "chunk_tokens",
+    )
+    packed = pack_documents(with_ids, "cid", "chunk_tokens", max_tokens=64, n_shards=4)
+    out = packed.collect()
+    assert len(out) == with_ids.count()  # every chunk packed once
+    per_pack = {}
+    for r in out:
+        per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["n_tokens"]
+        assert r["pack_tokens"] <= 64  # chunking removed the oversize path
+    assert per_pack and all(v <= 64 for v in per_pack.values())
