@@ -41,11 +41,14 @@ def chunk_documents(
     ``{out_prefix}_tokens`` (window token count; only the last window
     of a doc can be short).
 
-    Chunk-count contract: every document yields at least one chunk
-    (an empty/whitespace doc yields one empty chunk — the caller
-    filters, the operator never drops rows silently); a doc with
-    n > chunk_size tokens yields 1 + ceil((n - chunk_size) / stride)
-    chunks, so the final window always reaches the last token.
+    Chunk-count contract: every document with non-null text yields at
+    least one chunk (an empty/whitespace doc yields one empty chunk —
+    the caller filters, the operator never drops rows silently); a doc
+    with n > chunk_size tokens yields 1 + ceil((n - chunk_size) /
+    stride) chunks, so the final window always reaches the last token.
+    NULL text propagates a null token array whose explode emits no
+    rows — null-text docs DROP (verified identical in DuckDB: unnest
+    of a null series) — count them upstream if the corpus allows them.
     """
     if chunk_size <= 0:
         raise ValueError(f"chunk_size must be positive, got {chunk_size}")
