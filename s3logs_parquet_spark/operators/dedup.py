@@ -1278,6 +1278,29 @@ def dup_ngram_fraction(
     )
 
 
+def semantic_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """The write-side precompute of :func:`semantic_dedup`: every
+    vector's quantizer cell and L2 norm, MATERIALIZED — in production
+    these are columns written next to the embedding at ingest (the
+    cluster assignment is a property of the corpus, not of any one
+    dedup run). Schema: (id_col, vec_col, cell, vec_norm).
+
+    Exposed so callers (and repeat dedup runs over the same corpus)
+    pay the assignment kernel once; pass the result via
+    ``semantic_dedup(..., assigned=...)``."""
+    from s3logs_parquet_spark.operators.ann import ivf_assign, l2_norm_expanded
+
+    dim = len(centroids[0])
+    return _materialize(
+        ivf_assign(
+            df.select(F.col(id_col), F.col(vec_col)), vec_col, centroids, "cell"
+        ).withColumn("vec_norm", l2_norm_expanded(vec_col, dim)),
+        False,
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -1286,6 +1309,7 @@ def semantic_dedup(
     threshold: float,
     max_cell_members: int = 200_000,
     max_total_pairs: int = 2_000_000_000,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then WITHIN each
@@ -1303,8 +1327,11 @@ def semantic_dedup(
 
     ``centroids`` is the trained quantizer (ivf_train or an external
     k-means — the write-side precompute; the paper's 5B-doc run used
-    ~110k clusters). Returns the input ids with ``cell`` and an
-    ``is_semdup`` flag — callers filter, aggregate, or anti-join.
+    ~110k clusters). Pass ``assigned`` (a :func:`semantic_assign`
+    result for the SAME df/centroids) to skip the assignment pass —
+    the production shape, where cell and norm are stored corpus
+    columns. Returns the input ids with ``cell`` and an ``is_semdup``
+    flag — callers filter, aggregate, or anti-join.
 
     Scale shape: the assignment pass is map-only (expanded-arithmetic
     codegen kernel under ~2k cells×dim terms, Arrow BLAS matmul above
@@ -1321,30 +1348,23 @@ def semantic_dedup(
     edge-budget check). Measured end-to-end: 1M vectors / 126.8M
     within-cell pairs in 18.7 s on local[32] (PERF.md round 6).
     """
-    from s3logs_parquet_spark.operators.ann import (
-        dot_expanded,
-        ivf_assign,
-        l2_norm_expanded,
-    )
+    from s3logs_parquet_spark.operators.ann import dot_expanded
 
     dim = len(centroids[0])
-    # Materialize the assignment ONCE: the expanded k×dim sims
-    # expression would otherwise be inlined into BOTH self-join
-    # children plus the guard aggregate (measured here: a ~10 MiB task
-    # binary and ~24 s of codegen compile at 8×64 — the same
-    # plan-duplication cliff embedding_neardup_pairs hits, fixed the
-    # same way: the joined frame reads stored rows, not the kernel).
-    # The row's L2 norm is precomputed HERE, once per vector, so the
-    # per-pair test below is a dot product and one division — the norm
-    # value is bit-identical to inlining it in the pair expression
-    # (same arithmetic on the same input), but evaluated n times
-    # instead of Σ m² times (measured round 6: 3.4× on the pair stage).
-    assigned = _materialize(
-        ivf_assign(
-            df.select(F.col(id_col), F.col(vec_col)), vec_col, centroids, "cell"
-        ).withColumn("_vn", l2_norm_expanded(vec_col, dim)),
-        False,
-    )
+    # Materialize the assignment ONCE (semantic_assign): the expanded
+    # k×dim sims expression would otherwise be inlined into BOTH
+    # self-join children plus the guard aggregate (measured here: a
+    # ~10 MiB task binary and ~24 s of codegen compile at 8×64 — the
+    # same plan-duplication cliff embedding_neardup_pairs hits, fixed
+    # the same way: the joined frame reads stored rows, not the
+    # kernel). The L2 norm is precomputed there too, once per vector,
+    # so the per-pair test below is a dot product and one division —
+    # the norm value is bit-identical to inlining it in the pair
+    # expression (same arithmetic on the same input), but evaluated n
+    # times instead of Σ m² times (measured round 6: 3.9× on the pair
+    # stage at 300k rows).
+    if assigned is None:
+        assigned = semantic_assign(df, id_col, vec_col, centroids)
     stats = (
         assigned.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("m"))
@@ -1377,13 +1397,13 @@ def semantic_dedup(
         F.col("cell"),
         F.col(id_col).alias("_a_id"),
         F.col(vec_col).alias("_a_v"),
-        F.col("_vn").alias("_a_n"),
+        F.col("vec_norm").alias("_a_n"),
     )
     b = assigned.select(
         F.col("cell"),
         F.col(id_col).alias("_b_id"),
         F.col(vec_col).alias("_b_v"),
-        F.col("_vn").alias("_b_n"),
+        F.col("vec_norm").alias("_b_n"),
     )
     pair_cos = dot_expanded("_a_v", "_b_v", dim) / (F.col("_a_n") * F.col("_b_n"))
     dup_ids = (
