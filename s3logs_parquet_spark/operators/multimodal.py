@@ -13,11 +13,16 @@ Design (the part that must be real at 100 TB):
   payload-bounded, and the operator is a map-only stage (no shuffle);
 - the decode kernel is pluggable: `decoder="fake"` is a deterministic
   stand-in (seeded by payload bytes) keeping every schema/partition/
-  batch-shape aspect real; `decoder="real"` attempts a Pillow import
-  at runtime (per executor) and decodes real images when the optional
-  dependency is installed, raising NotImplementedError with guidance
-  when it isn't (this container has no PIL/ffmpeg/soundfile; the
-  audio/video codec points remain declared stubs).
+  batch-shape aspect real; `decoder="bmp"` is a REAL image codec —
+  uncompressed 24-bit BMP parsed with pure stdlib `struct`/numpy
+  (encode_bmp/_bmp_decode round-trip pixel-exact, tested on real
+  payloads); `audio_features` decodes REAL 16-bit PCM WAV via the
+  stdlib `wave` module (encode_wav/_wav_decode round-trip
+  sample-exact); `decoder="real"` attempts a Pillow import at runtime
+  (per executor) for compressed formats (JPEG/PNG), raising
+  NotImplementedError with guidance when the optional dependency is
+  absent (as in this container — compressed image and ffmpeg-class
+  video codecs are the only remaining external-dep points).
 """
 
 from __future__ import annotations
@@ -98,6 +103,94 @@ def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Encode an H×W×3 uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up, BGR, rows padded to 4 bytes) — pure
+    stdlib. The writer half of the real-codec round-trip."""
+    import struct
+
+    h, w = int(px.shape[0]), int(px.shape[1])
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    img_size = (row + pad) * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = b"".join(
+        px[y][:, ::-1].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+    )
+    return header + info + body
+
+
+def _bmp_decode(payload: bytes) -> np.ndarray:
+    """REAL image decode, no external deps: parse an uncompressed
+    24-bit BMP (the format a 100 TB ingest would carry for raw
+    frames). Returns H×W×3 uint8 RGB. Raises ValueError with the
+    actual constraint on anything else — corrupt rows go to the
+    caller's side channel, they don't kill the job silently."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported (got header={hdr_size}, "
+            f"bpp={bpp}, compression={comp}); use decoder='real' (Pillow) "
+            f"for compressed formats"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = (row + 3) // 4 * 4
+    if off + stride * h > len(payload):
+        raise ValueError("truncated BMP payload")
+    px = (
+        np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+        .reshape(h, stride)[:, :row]
+        .reshape(h, w, 3)
+    )
+    if bottom_up:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a mono int16 sample array as 16-bit PCM WAV via the
+    stdlib ``wave`` module."""
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def _wav_decode(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL audio decode, no external deps: 16-bit PCM WAV via the
+    stdlib ``wave`` module. Returns (sample_rate, mono int16 samples);
+    multi-channel input is averaged down to mono."""
+    import io
+    import wave as wave_mod
+
+    with wave_mod.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"only 16-bit PCM WAV supported (got sampwidth={w.getsampwidth()})"
+            )
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        data = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    if ch > 1:
+        data = data.reshape(-1, ch).mean(axis=1).astype(np.int16)
+    return sr, data
+
+
 def pil_available() -> bool:
     """True when Pillow is importable — the optional real-codec dep."""
     try:
@@ -153,6 +246,9 @@ def decode_and_featurize(
                 w = int(meta["width"] or 32)
                 if decoder == "fake":
                     px = _fake_pixels(bytes(payload or b""), h, w)
+                elif decoder == "bmp":
+                    px = _bmp_decode(bytes(payload or b""))
+                    h, w = int(px.shape[0]), int(px.shape[1])  # trust the codec, not meta
                 else:
                     px = _real_decode(bytes(payload or b""))
                     h, w = int(px.shape[0]), int(px.shape[1])  # trust the codec, not meta
@@ -198,6 +294,9 @@ def resize_images(df: DataFrame, target_h: int, target_w: int, decoder: str = "f
                 w = int(meta["width"] or 32)
                 if decoder == "fake":
                     px = _fake_pixels(bytes(payload or b""), h, w)  # decode point
+                elif decoder == "bmp":
+                    px = _bmp_decode(bytes(payload or b""))
+                    h, w = int(px.shape[0]), int(px.shape[1])
                 else:
                     px = _real_decode(bytes(payload or b""))
                     h, w = int(px.shape[0]), int(px.shape[1])
@@ -249,3 +348,58 @@ def sample_frames(df: DataFrame, every_n: int = 30, decoder: str = "fake") -> Da
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
 
     return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("zero_crossings", LongType(), True),
+    ]
+)
+
+
+def audio_features(df: DataFrame, decoder: str = "wav") -> DataFrame:
+    """Audio feature extraction over REAL payload bytes: decode 16-bit
+    PCM WAV (stdlib codec, _wav_decode) and emit per-item sample rate,
+    length, duration, RMS energy, and zero-crossing count — the
+    cheap-signal front of an audio curation pipeline (silence/clipping
+    filters, duration buckets). mapInPandas, map-only, no shuffle;
+    ``decoder="fake"`` derives the same features from the byte-seeded
+    PRNG stand-in so pipelines are testable without audio payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                raw = bytes(payload or b"")
+                if decoder == "wav":
+                    sr, samples = _wav_decode(raw)
+                elif decoder == "fake":
+                    sr = int(meta["sample_rate"] or 16000)
+                    seed = int.from_bytes(hashlib.md5(raw).digest()[:4], "big")
+                    rng = np.random.default_rng(seed)
+                    samples = rng.integers(-(2**15), 2**15, size=sr, dtype=np.int64).astype(
+                        np.int16
+                    )
+                else:
+                    raise ValueError(f"unknown audio decoder {decoder!r} (wav|fake)")
+                x = samples.astype(np.float64)
+                rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                zc = int(np.count_nonzero(np.diff(np.signbit(x)))) if x.size else 0
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": int(sr),
+                        "n_samples": int(samples.size),
+                        "duration_ms": int(samples.size * 1000 // max(1, sr)),
+                        "rms": rms,
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
