@@ -1420,3 +1420,96 @@ def semantic_dedup(
         "cell",
         F.coalesce(F.col("_dup"), F.lit(False)).alias("is_semdup"),
     )
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    corpus_assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float,
+    max_total_pairs: int = 2_000_000_000,
+) -> DataFrame:
+    """Continuous-ingest semantic dedup: flag NEW batch vectors that
+    semantically duplicate the EXISTING corpus — the incremental
+    complement of :func:`semantic_dedup`, mirroring
+    :func:`incremental_neardup_pairs`' shape for the embedding space.
+
+    ``corpus_assigned`` is a persisted :func:`semantic_assign` output
+    (typically read back from a table, NOT recomputed): the batch
+    assigns to cells with the SAME quantizer, probes only the matching
+    cells of the index, and any corpus member at cosine >=
+    ``threshold`` marks the batch vector a duplicate of history.
+    Incremental cost is O(batch + cell-matched candidates) —
+    independent of corpus size; the corpus is never rescanned, only
+    its cell-bucketed index rows join. Within-batch duplicates are a
+    separate concern: run semantic_dedup on the batch itself.
+
+    Returns (id_col, cell, is_semdup) for the batch. The candidate
+    volume Σ_cell batch_m·corpus_m is budgeted like semantic_dedup's
+    pair stage (one tiny count-join pre-aggregate); an over-budget
+    probe raises with the finer-quantizer remedy.
+    """
+    required = {id_col, vec_col, "cell", "vec_norm"}
+    missing = required - set(corpus_assigned.columns)
+    if missing:
+        raise ValueError(
+            f"semantic_dedup_incremental: corpus_assigned is missing columns "
+            f"{sorted(missing)} — expected a semantic_assign output"
+        )
+    dim = len(centroids[0])
+    # an index assigned with a different-dimension quantizer (or a
+    # corrupt vector column) would silently probe wrong cells → "no
+    # dups"; probe ONE row (bounded single-row job) and fail loudly
+    probe = corpus_assigned.select(F.size(vec_col).alias("_d")).limit(1).collect()
+    if probe:
+        d = probe[0]["_d"]
+        if d is None or d != dim:
+            raise ValueError(
+                f"semantic_dedup_incremental: corpus_assigned vectors have "
+                f"dim {d} but the quantizer has dim {dim} — the index was "
+                "built with a different model; rebuild with semantic_assign"
+            )
+    from s3logs_parquet_spark.operators.ann import dot_expanded
+
+    batch_assigned = semantic_assign(batch, id_col, vec_col, centroids)
+    bm = batch_assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_bm"))
+    cm = corpus_assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_cm"))
+    total = (
+        bm.join(cm, on="cell")
+        .agg(F.sum(F.col("_bm") * F.col("_cm")))
+        .collect()[0][0]
+    )
+    if total is not None and total > max_total_pairs:
+        raise ValueError(
+            f"semantic_dedup_incremental: probing would evaluate "
+            f"~{int(total):,} batch×corpus pairs (> max_total_pairs="
+            f"{max_total_pairs:,}); train a finer quantizer so cell "
+            "volumes stay bounded"
+        )
+    b = batch_assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("_b_id"),
+        F.col(vec_col).alias("_b_v"),
+        F.col("vec_norm").alias("_b_n"),
+    )
+    c = corpus_assigned.select(
+        F.col("cell"),
+        F.col(vec_col).alias("_c_v"),
+        F.col("vec_norm").alias("_c_n"),
+    )
+    pair_cos = dot_expanded("_b_v", "_c_v", dim) / (F.col("_b_n") * F.col("_c_n"))
+    dup_ids = (
+        b.join(c, on="cell")
+        .filter(pair_cos >= F.lit(float(threshold)))
+        .select(F.col("_b_id").alias(id_col))
+        .distinct()
+    )
+    return batch_assigned.select(id_col, "cell").join(
+        dup_ids.withColumn("_dup", F.lit(True)), on=id_col, how="left"
+    ).select(
+        id_col,
+        "cell",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("is_semdup"),
+    )

@@ -662,3 +662,82 @@ def test_semantic_dedup_empty_input(spark):
     out = semantic_dedup(df, "vec_id", "embedding", [[1.0, 0.0]], threshold=0.9)
     assert out.count() == 0
     assert out.columns == ["vec_id", "cell", "is_semdup"]
+
+
+def test_semantic_dedup_incremental_flags_corpus_dups(spark):
+    """A batch vector duplicates HISTORY iff a same-cell corpus member
+    sits above the threshold; within-batch near-identical pairs are
+    NOT flagged (that's semantic_dedup's job on the batch)."""
+    from s3logs_parquet_spark.operators.dedup import (
+        semantic_assign,
+        semantic_dedup_incremental,
+    )
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    index = semantic_assign(corpus, "vec_id", "embedding", cents)
+    batch = spark.createDataFrame(
+        [
+            (10, [0.9, 0.11, 0.0, 0.0]),   # ~= corpus 2 -> dup
+            (11, [0.7, 0.0, 0.7, 0.1]),    # cell 0 but far -> kept
+            (12, [0.1, 0.9, 0.0, 0.0]),    # cell 1, ~= corpus 1? cos ~0.995
+            (13, [0.1, 0.901, 0.0, 0.0]),  # near-identical to 12 (batch-internal)
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: (r["cell"], r["is_semdup"])
+        for r in semantic_dedup_incremental(
+            batch, index, "vec_id", "embedding", cents, threshold=0.995
+        ).collect()
+    }
+    assert out[10] == (0, True)
+    assert out[11] == (0, False)
+    # 12/13 vs corpus 1: cos([0.1,0.9],[0,1]) = 0.9/sqrt(0.82) ~ 0.9939
+    # < 0.995 -> both kept; their mutual ~1.0 similarity is batch-
+    # internal and deliberately NOT this operator's concern
+    assert out[12] == (1, False) and out[13] == (1, False)
+
+
+def test_semantic_dedup_incremental_validates_index(spark):
+    import pytest
+
+    from s3logs_parquet_spark.operators.dedup import (
+        semantic_assign,
+        semantic_dedup_incremental,
+    )
+
+    cents2 = [[1.0, 0.0], [0.0, 1.0]]
+    cents4 = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    batch = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    # missing columns
+    with pytest.raises(ValueError, match="missing columns"):
+        semantic_dedup_incremental(
+            batch, batch, "vec_id", "embedding", cents2, threshold=0.9
+        )
+    # dim mismatch: index built at dim 4, quantizer at dim 2
+    corpus4 = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    index4 = semantic_assign(corpus4, "vec_id", "embedding", cents4)
+    with pytest.raises(ValueError, match="dim"):
+        semantic_dedup_incremental(
+            batch, index4, "vec_id", "embedding", cents2, threshold=0.9
+        )
+    # pair budget
+    corpus2 = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    index2 = semantic_assign(corpus2, "vec_id", "embedding", cents2)
+    with pytest.raises(ValueError, match="max_total_pairs"):
+        semantic_dedup_incremental(
+            batch, index2, "vec_id", "embedding", cents2,
+            threshold=0.9, max_total_pairs=10,
+        )
