@@ -116,3 +116,27 @@ def test_connected_components_no_edges(spark):
     rows = out.collect()
     assert len(rows) == 5
     assert all(r["cluster_id"] == r["doc_id"] for r in rows)
+
+
+def test_chunking_empty(spark):
+    from s3logs_parquet_spark.operators.chunking import chunk_documents
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = chunk_documents(empty, chunk_size=8, stride=4)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "text", "chunk_idx", "chunk_text", "chunk_tokens"]
+
+
+def test_semantic_dedup_incremental_empty_batch(spark):
+    from s3logs_parquet_spark.operators.dedup import (
+        semantic_assign,
+        semantic_dedup_incremental,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    corpus = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    index = semantic_assign(corpus, "vec_id", "embedding", cents)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup_incremental(empty, index, "vec_id", "embedding", cents, 0.9)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cell", "is_semdup"]
