@@ -1029,6 +1029,8 @@ def embedding_neardup_pairs(
     bits_per_band: int = 8,
     materialize: bool = True,
     durable: bool = False,
+    max_bucket_size: int | None = 10_000,
+    oversize_policy: str = "star",
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold.
 
@@ -1040,39 +1042,104 @@ def embedding_neardup_pairs(
     ``(1 - θ/π)^bits_per_band`` (θ = target angle), so lower thresholds
     want fewer bits per band / more bands for recall, higher thresholds
     more bits for precision of the candidate set.
-    """
-    from s3logs_parquet_spark.operators.ann import cosine_sim, with_unit_vector, hyperplane_band_keys
 
+    ``max_bucket_size`` guards the same quadratic cliff as
+    minhash_lsh_pairs' hot-bucket cap (PERF.md round 3) — an embedding
+    hot spot (the duplicate mass itself!) puts m near-identical
+    vectors in the same band bucket and a naive self-join evaluates
+    m²/2 pairs per band. Same policies: ``star`` (default) joins
+    oversized buckets' members to the bucket-min representative only —
+    connectivity for downstream clustering is preserved, pair count
+    drops m²→m, and every emitted pair still passes the exact cosine
+    filter; ``drop`` excludes oversized buckets; ``error`` poisons
+    them loudly. ``None`` opts back into exact all-pairs.
+
+    Per-pair scoring: the unit-vector L2 norm is precomputed per ROW
+    and the pair test is an expanded dot / (na·nb) — bit-identical to
+    the HOF cosine (same left-to-right arithmetic on the same input)
+    but codegen-resident and evaluated n instead of Σ m² times (the
+    semantic_dedup pair-stage lesson, PERF.md round 6).
+    """
+    from s3logs_parquet_spark.operators.ann import (
+        dot_expanded,
+        hyperplane_band_keys,
+        l2_norm_expanded,
+        with_unit_vector,
+    )
+
+    if oversize_policy not in ("star", "drop", "error"):
+        raise ValueError(f"oversize_policy must be star|drop|error, got {oversize_policy!r}")
+    first = df.select(F.size(F.col(vec_col)).alias("_d")).first()
+    dim = int(first["_d"]) if first and first["_d"] is not None else 0
     # Band on the RAW vector: sign(<v, p>) is invariant under the
     # positive scaling that normalization applies, so banding raw and
     # banding normalized generate the same candidates — and the raw
     # column is what the SQL oracle replicates (integer-quantized
     # projection, exact cross-engine — see hyperplane_band_keys).
     # Normalized vectors are still what the exact verification scores.
-    unit = with_unit_vector(df, vec_col, "_unit")
-    banded = hyperplane_band_keys(unit, vec_col, n_bands=n_bands, bits_per_band=bits_per_band)
+    unit = with_unit_vector(df, vec_col, "_unit").withColumn(
+        "_un", l2_norm_expanded("_unit", dim)
+    )
+    banded = hyperplane_band_keys(
+        unit, vec_col, n_bands=n_bands, bits_per_band=bits_per_band, dim=dim
+    )
     if materialize:
         banded = _materialize(banded, durable)
+
+    star_pairs = None
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_key")
+        sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        if oversize_policy == "error":
+            sized = sized.withColumn(
+                "_bsz",
+                F.when(F.col("_bsz") <= max_bucket_size, F.col("_bsz")).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("embedding_neardup_pairs: bucket over max_bucket_size="),
+                            F.lit(str(max_bucket_size)),
+                            F.lit(" (size "),
+                            F.col("_bsz").cast("string"),
+                            F.lit(") — duplicate flood; use oversize_policy='star'"),
+                        )
+                    ).cast("long")
+                ),
+            )
+        elif oversize_policy == "star":
+            rep = F.min(F.struct(F.col(id_col), F.col("_unit"), F.col("_un"))).over(w)
+            big = sized.filter(F.col("_bsz") > max_bucket_size).select(
+                rep[id_col].alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                rep["_unit"].alias("va"),
+                F.col("_unit").alias("vb"),
+                rep["_un"].alias("na"),
+                F.col("_un").alias("nb"),
+            )
+            star_pairs = big.filter(F.col("id_a") != F.col("id_b"))
+        banded = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+
     l, r = banded.alias("l"), banded.alias("r")
-    pairs = (
-        l.join(
-            r,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.band_key") == F.col("r.band_key"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l._unit").alias("va"),
-            F.col("r._unit").alias("vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = l.join(
+        r,
+        on=[
+            F.col("l.band") == F.col("r.band"),
+            F.col("l.band_key") == F.col("r.band_key"),
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+        ],
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.col("l._unit").alias("va"),
+        F.col("r._unit").alias("vb"),
+        F.col("l._un").alias("na"),
+        F.col("r._un").alias("nb"),
     )
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    cos = dot_expanded("va", "vb", dim) / (F.col("na") * F.col("nb"))
     return (
-        pairs.withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+        pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

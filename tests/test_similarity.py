@@ -741,3 +741,38 @@ def test_semantic_dedup_incremental_validates_index(spark):
             batch, index2, "vec_id", "embedding", cents2,
             threshold=0.9, max_total_pairs=10,
         )
+
+
+def test_embedding_neardup_hot_bucket_star_cap(spark):
+    """A duplicate flood (identical vectors -> one band bucket) under
+    the cap: star policy keeps every member connected to the bucket
+    representative (m pairs, not m^2/2), all passing the exact cosine
+    filter; error policy fails loudly; uncapped emits all pairs."""
+    import pytest
+
+    from s3logs_parquet_spark.operators.dedup import embedding_neardup_pairs
+
+    n = 12
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    rows.append((99, [0.0, 1.0, 0.0, 0.0]))  # different region
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    star = embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.99, n_bands=4, bits_per_band=4,
+        max_bucket_size=5, oversize_policy="star",
+    ).collect()
+    # representative 0 connected to every other clone, nothing else
+    assert {(r["id_a"], r["id_b"]) for r in star} == {(0, i) for i in range(1, n)}
+    assert all(abs(r["cosine"] - 1.0) < 1e-12 for r in star)
+
+    full = embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.99, n_bands=4, bits_per_band=4,
+        max_bucket_size=None,
+    ).collect()
+    assert len(full) == n * (n - 1) // 2  # all clone pairs
+
+    with pytest.raises(Exception, match="max_bucket_size"):
+        embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.99, n_bands=4, bits_per_band=4,
+            max_bucket_size=5, oversize_policy="error",
+        ).collect()
