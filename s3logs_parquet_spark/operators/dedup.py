@@ -535,14 +535,16 @@ def minhash_lsh_pairs(
         pairs = pairs.unionByName(star_pairs)
     pairs = pairs.dropDuplicates(["id_a", "id_b"])
 
-    est = (
-        F.aggregate(
-            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        / F.lit(num_hashes)
+    # expanded per-position integer match count (codegen-resident; the
+    # HOF zip_with/aggregate form evaluates interpreted per element in
+    # the per-pair hot path). Integer arithmetic — the value is exactly
+    # the HOF form's, position count is num_hashes by construction so
+    # no index can be out of bounds under ANSI.
+    matches = " + ".join(
+        f"(CASE WHEN sig_a[{i}] = sig_b[{i}] THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
     )
+    est = F.expr(f"({matches})") / F.lit(num_hashes)
     return (
         pairs.withColumn("est_jaccard", est.cast("double"))
         .filter(F.col("est_jaccard") >= jaccard_threshold)
