@@ -1404,7 +1404,7 @@ def semantic_dedup(
 
     Scale shape: the assignment pass is map-only (expanded-arithmetic
     codegen kernel under ~2k cells×dim terms, Arrow BLAS matmul above
-    — ivf_assign's auto switch; 1M×4096 assigns in 0.7 s, PERF.md
+    — ivf_assign's auto switch; 1M×4096 assigns in 10.5 s, PERF.md
     round 6), then ONE cell-keyed self-join whose cost is Σ m(m-1)/2
     over cell memberships. k must grow with the corpus
     (k ≈ n / target_cell); the two budgets enforce that contract —

@@ -77,7 +77,10 @@ def main() -> None:
 
     t0 = time.time()
     assigned = ivf_assign(vecs, "embedding", centroids, "cell")  # auto -> arrow
-    n_assigned = assigned.count()
+    # consume the cell column: count() alone lets Catalyst prune the
+    # (deterministic) assignment UDF and would time an empty scan
+    row = assigned.agg(F.max("cell"), F.count(F.lit(1))).collect()[0]
+    n_assigned = int(row[1])
     stages["assign_arrow_s"] = round(time.time() - t0, 1)
 
     # pair-stage cost context: sum of m*(m-1)/2 over cells
