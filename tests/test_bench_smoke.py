@@ -8,11 +8,12 @@ max grows with scale, so an uncapped attribution window breached the
 declared span bound there and nowhere smaller).
 
 The oracle differential can't see these: it runs at sf0.01. This test
-executes every HEADLINE query once at sf0.1 (count only, no timing,
-no best-of-2) so "bench.py will produce a JSON line" is a tested
-invariant, not a hope. Scale-dependent guards (span bounds, corpus
-validations) thereby get exercised against the same data the driver
-benches.
+executes every HEADLINE query once at sf0.1 through the bench's own
+noop-write sink (full evaluation — no timing, no best-of-2) so
+"bench.py will produce a JSON line" is a tested invariant, not a
+hope. Scale-dependent guards (span bounds, corpus validations)
+thereby get exercised against the same data AND the same action the
+driver benches.
 """
 
 from __future__ import annotations
@@ -33,7 +34,14 @@ def test_every_headline_query_executes_at_bench_scale(spark):
     for name in bench.HEADLINE:
         fn, _sql = QUERIES[name]
         try:
-            fn(spark, SF_DIR).count()
+            # bench.force (noop write), NOT count(): count() lets
+            # Catalyst prune unused subtrees (e.g. an aggregate's
+            # expression inputs and the joins feeding them), so a
+            # scale-crash inside a pruned branch would never execute
+            # here yet WOULD under the bench's full evaluation —
+            # the exact gap this guard exists to close (the
+            # count()-pruning artifact, PERF.md round 6)
+            bench.force(fn(spark, SF_DIR))
         except Exception as e:  # noqa: BLE001 — collect all, report once
             failures[name] = repr(e)[:300]
     assert not failures, failures
