@@ -30,10 +30,21 @@ def chunk_documents(
     chunk_size: int = 2048,
     stride: int = 1792,
     out_prefix: str = "chunk",
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
-    """Split each document into whitespace-token windows of
-    ``chunk_size`` tokens, starting every ``stride`` tokens
+    """Split each document into token windows of ``chunk_size``
+    tokens, starting every ``stride`` tokens
     (overlap = chunk_size - stride).
+
+    ``tokenizer``: ``"whitespace"`` (default) windows over
+    whitespace-delimited words and the chunk text round-trips the
+    corpus modulo whitespace normalization; ``"bpe"`` windows over the
+    BPE-ish pre-tokenizer segmentation (letter runs / digit runs /
+    single punctuation — functions/text_analysis._BPE_TOKEN, the same
+    segmentation bpe_token_count reports), so window sizes align with
+    what a subword tokenizer will later see. BPE-mode chunk text is
+    the tokens space-joined — a deterministic token view, NOT a
+    byte-faithful slice of the original ("don't" → "don ' t").
 
     Output: the ``id_col`` plus ``{out_prefix}_idx`` (0-based window
     index), ``{out_prefix}_text`` (the window's tokens re-joined with
@@ -56,11 +67,18 @@ def chunk_documents(
         raise ValueError(
             f"stride must be in (0, chunk_size={chunk_size}], got {stride}"
         )
-    # Case-preserving whitespace tokens (functions/text_analysis.words
-    # lowercases for analysis; chunk text must round-trip the corpus).
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
-    )
+    if tokenizer == "whitespace":
+        # Case-preserving whitespace tokens (functions/text_analysis.words
+        # lowercases for analysis; chunk text must round-trip the corpus).
+        toks = F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+        )
+    elif tokenizer == "bpe":
+        from s3logs_parquet_spark.functions.text_analysis import _BPE_TOKEN
+
+        toks = F.regexp_extract_all(F.col(text_col), F.lit(_BPE_TOKEN), 0)
+    else:
+        raise ValueError(f"tokenizer must be whitespace|bpe, got {tokenizer!r}")
     nt = F.size("_toks")
     # integer ceil((nt - chunk)/stride); exact: values are far below
     # 2^52 so the double division floor is the integer result

@@ -103,3 +103,39 @@ def test_chunk_then_pack_composition(spark):
         per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["n_tokens"]
         assert r["pack_tokens"] <= 64  # chunking removed the oversize path
     assert per_pack and all(v <= 64 for v in per_pack.values())
+
+
+def test_bpe_tokenizer_mode_matches_python_reference(spark):
+    """tokenizer='bpe' windows over the same segmentation
+    bpe_token_count reports: letter runs, digit runs, single
+    punctuation marks."""
+    import re
+
+    text = "Don't panic! 42 miles, give-or-take...  OK?"
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    toks = pat.findall(text)
+    chunk, stride = 5, 3
+    n = 1 if len(toks) <= chunk else 1 + -(-(len(toks) - chunk) // stride)
+    want = sorted(
+        (i, " ".join(toks[i * stride : i * stride + chunk]),
+         len(toks[i * stride : i * stride + chunk]))
+        for i in range(n)
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_size=chunk, stride=stride, tokenizer="bpe")
+    got = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["chunk_tokens"]) for r in out.collect()
+    )
+    assert got == want
+    # and the window count is driven by BPE tokens, not words
+    from s3logs_parquet_spark.functions.text_analysis import bpe_token_count
+    from pyspark.sql import functions as F
+
+    nt = df.select(bpe_token_count(F.col("text"))).collect()[0][0]
+    assert nt == len(toks) and nt > len(text.split())
+
+
+def test_chunking_rejects_unknown_tokenizer(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="tokenizer"):
+        chunk_documents(df, chunk_size=4, stride=2, tokenizer="words")
