@@ -661,7 +661,7 @@ def _cc_forest_contract(
         roots = [find(x) for x in nodes]
         yield pd.DataFrame({"src": roots, "dst": nodes})
 
-    cur, freed = canon, False
+    cur = canon
     for _ in range(max_iters):
         if cnt <= driver_edge_limit:
             break
@@ -674,13 +674,15 @@ def _cc_forest_contract(
             durable,
         )
         new_cnt = red.count()
-        if not freed:
-            freed = True  # never release the caller's input frame
-        else:
-            _release(cur)
+        # Decide stall BEFORE releasing the previous generation: `cur`
+        # is what we return on a stall, so it must stay live (a released
+        # localCheckpoint frame is unreadable — the caller's stall
+        # fallback unions it into the propagation edge list).
         if new_cnt >= cnt:
             _release(red)
             break  # stall: the list is already (near-)minimal — V − C
+        if cur is not canon:  # never release the caller's input frame
+            _release(cur)
         cur, cnt = red, new_cnt
     return cur, cnt
 
@@ -1073,6 +1075,16 @@ def embedding_neardup_pairs(
         raise ValueError(f"oversize_policy must be star|drop|error, got {oversize_policy!r}")
     first = df.select(F.size(F.col(vec_col)).alias("_d")).first()
     dim = int(first["_d"]) if first and first["_d"] is not None else 0
+    if dim <= 0:
+        # Empty frame, or a null/empty probe vector: the expanded
+        # dot/SQRT kernels with dim=0 would generate invalid SQL
+        # ('SQRT()'), so honor the repo-wide empty-input contract
+        # (return an empty result) instead of building them.
+        return df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
     # Band on the RAW vector: sign(<v, p>) is invariant under the
     # positive scaling that normalization applies, so banding raw and
     # banding normalized generate the same candidates — and the raw

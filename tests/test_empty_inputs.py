@@ -108,6 +108,27 @@ def test_dedup_empty(spark):
     )
 
 
+def test_embedding_neardup_pairs_empty_and_null_probe(spark):
+    """ADVICE r6: with an empty frame (or a null first vector) the
+    probed dim is 0 and the expanded dot/SQRT kernels would generate
+    invalid SQL — the operator must return an empty (id_a, id_b,
+    cosine) frame instead, matching the repo-wide empty-input
+    contract."""
+    from s3logs_parquet_spark.operators.dedup import embedding_neardup_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = embedding_neardup_pairs(empty, "vec_id", "embedding")
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
+
+    null_probe = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    out2 = embedding_neardup_pairs(null_probe, "vec_id", "embedding")
+    assert out2.columns == ["id_a", "id_b", "cosine"]
+    assert out2.count() == 0
+
+
 def test_connected_components_no_edges(spark):
     nodes = spark.range(5).select(F.col("id").alias("doc_id"))
     empty_pairs = spark.createDataFrame([], "id_a long, id_b long")

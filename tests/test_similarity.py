@@ -566,6 +566,50 @@ def test_cc_contract_strategy_parity(spark):
     assert want[25] == 0 and want[103] == 100 and want[199] == 199
 
 
+def test_cc_contract_stall_after_progress_returns_live_frame(spark):
+    """ADVICE r6: when contraction makes progress on iteration 1 and
+    stalls on a later iteration while still above the budget, the
+    returned forest frame must be LIVE (pre-fix, the stall branch had
+    already _release()d the generation it returned, and the caller's
+    loop fallback crashed reading freed localCheckpoint blocks).
+
+    K30 clique (435 canonical edges — contracts fast) + 300-edge
+    matching (already a forest — can never contract) gives a forest
+    floor of 29 + 300 = 329 edges, above the 100-edge budget, so the
+    loop can only exit via the stall branch (or max_iters, set high
+    enough to be unreachable before convergence)."""
+    from s3logs_parquet_spark.operators.dedup import _cc_forest_contract
+
+    edges = [(a, b) for a in range(30) for b in range(a + 1, 30)]
+    edges += [(1000 + 2 * i, 1001 + 2 * i) for i in range(300)]
+    canon = spark.createDataFrame(edges, ["src", "dst"])
+
+    forest, f_cnt = _cc_forest_contract(
+        canon, len(edges), durable=False, driver_edge_limit=100, max_iters=12
+    )
+    rows = forest.collect()  # pre-fix: freed-block error here
+    assert len(rows) == f_cnt
+    assert f_cnt >= 329  # never below the forest floor V - C
+
+    # component preservation: union-find over the returned forest must
+    # reproduce the original components exactly
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = find(r["src"]), find(r["dst"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    assert all(find(i) == 0 for i in range(30))  # clique is one component
+    for i in range(300):
+        assert find(1001 + 2 * i) == 1000 + 2 * i  # matching pairs intact
+
+
 # --- semantic dedup (SemDeDup) --------------------------------------------
 
 
