@@ -39,7 +39,9 @@ HEADLINE = [
     "s3log_pipeline_roundtrip",
     "docs_token_stats",
     "docs_minhash_lsh_pairs",
-    "docs_simhash",
+    # round 7: docs_simhash retired into its superset gate — track the
+    # pigeonhole pair join (signatures + banded self-join) instead
+    "docs_simhash_pairs",
     "docs_winnowing",
     "events_session_windows",
     "customer_orders_left_join",
@@ -85,6 +87,11 @@ HEADLINE = [
     # one self-join) and map-only context-window chunking
     "emb_semantic_dedup",
     "docs_chunk_windows",
+    # round 7: incremental semantic dedup — persisted-index probe
+    # (cell-keyed batch x corpus join; the index build is cached per
+    # process, so the timed runs measure the PROBE, the production
+    # continuous-ingest semantic)
+    "emb_semantic_dedup_incremental",
 ]
 
 

@@ -38,7 +38,6 @@ from s3logs_parquet_spark.operators.ann import brute_force_topk, lsh_topk
 from s3logs_parquet_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash,
 )
 from s3logs_parquet_spark.operators.windows import with_agg_window
 
@@ -955,32 +954,9 @@ WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
 """
 
 
-def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return simhash(d, "doc_id", "text", bits=32, shingle_k=2)
-
-
-ORACLE_DOCS_SIMHASH = f"""
-WITH d AS (
-  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
-), sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           generate_series(0, greatest(len(ws) - 2, 0)),
-           i -> array_to_string(array_slice(ws, i + 1, i + 2), ' ')
-         )) AS shingles
-  FROM d
-), hs AS (
-  SELECT doc_id, list_transform(shingles, s -> {hash32_sql('s')}) AS hashes FROM sh
-)
-SELECT doc_id,
-       list_aggregate(
-         list_transform(generate_series(0, 31), b ->
-           CASE WHEN 2 * len(list_filter(hashes, h -> (h >> b) & 1 = 1)) >= len(hashes)
-                THEN (1::BIGINT << b) ELSE 0 END),
-         'sum')::BIGINT AS simhash
-FROM hs
-"""
+# (q_docs_simhash retired round 7 — the signature computation lives on
+# inside docs_simhash_pairs' gate, value-checked per-pair; the simhash
+# operator itself keeps direct pytest coverage in test_similarity.)
 
 
 def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1703,24 +1679,10 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
 
 
 
-def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search with a fixed coarse quantizer: cells = the embeddings
-    of vec_id < 16 (deterministic, table-derived — k-means training is
-    exercised in tests; a fixed codebook keeps the oracle exact).
-    Corpus rows assign to their argmax-cosine cell, queries probe the
-    top-2 cells, exact cosine rerank inside."""
-    from s3logs_parquet_spark.operators.ann import ivf_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.filter(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
-    )
-    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    out = ivf_topk(emb, queries, "vec_id", "query_id", centroids, k=10, n_probe=2)
-    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+# (q_emb_ivf_topk retired round 7 — a strict subset of
+# q_emb_ivf_trained_topk: identical ivf_topk probe/rerank path, only
+# the centroid source differed; fixed-codebook IVF keeps pytest
+# coverage in test_ann.)
 
 
 _SQL_DOT = (
@@ -1728,41 +1690,6 @@ _SQL_DOT = (
     "i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
 )
 _SQL_NORM = "sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), (x, y) -> x + y))"
-
-
-def _oracle_emb_ivf(n_cells: int = 16, n_probe: int = 2, k: int = 10) -> str:
-    cos_vc = f"{_SQL_DOT.format(a='e.v', b='c.cv')} / ({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='c.cv')})"
-    cos_qc = f"{_SQL_DOT.format(a='q.qv', b='c.cv')} / ({_SQL_NORM.format(a='q.qv')} * {_SQL_NORM.format(a='c.cv')})"
-    cos_qv = f"{_SQL_DOT.format(a='s.v', b='s.qv')} / ({_SQL_NORM.format(a='s.v')} * {_SQL_NORM.format(a='s.qv')})"
-    return f"""
-WITH cents AS (
-  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < {n_cells}
-), emb AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), assign AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT e.vec_id, e.v, c.cell,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, c.cell) AS rn
-    FROM emb e CROSS JOIN cents c
-  ) WHERE rn = 1
-), q AS (
-  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5
-), probes AS (
-  SELECT query_id, qv, cell FROM (
-    SELECT q.query_id, q.qv, c.cell,
-           row_number() OVER (PARTITION BY q.query_id ORDER BY {cos_qc} DESC, c.cell) AS rn
-    FROM q CROSS JOIN cents c
-  ) WHERE rn <= {n_probe}
-), cand AS (
-  SELECT DISTINCT p.query_id, p.qv, a.vec_id, a.v
-  FROM probes p JOIN assign a ON a.cell = p.cell
-), ranked AS (
-  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
-  FROM (SELECT s.query_id, s.vec_id, {cos_qv} AS cos_raw FROM cand s)
-)
-SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
-"""
 
 
 def q_emb_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3204,7 +3131,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_winnowing": (q_docs_winnowing, ORACLE_DOCS_WINNOWING),
     "docs_exact_dedup": (q_docs_exact_dedup, ORACLE_DOCS_EXACT_DEDUP),
     "docs_ngram_jaccard_pairs": (q_docs_jaccard_pairs, ORACLE_DOCS_JACCARD),
-    "docs_simhash": (q_docs_simhash, ORACLE_DOCS_SIMHASH),
+    # docs_simhash retired round 7: the signature computation is fully
+    # embedded (and value-checked per-pair) inside docs_simhash_pairs —
+    # retire-and-replace keeps the registry at 100 = 2x window
     "docs_simhash_pairs": (q_docs_simhash_pairs, ORACLE_DOCS_SIMHASH_PAIRS),
     "docs_minhash_lsh_pairs": (q_docs_minhash_pairs, _oracle_minhash()),
     "docs_incremental_neardup": (q_docs_incremental_neardup, _oracle_incremental_neardup()),
@@ -3220,7 +3149,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
     "emb_lsh_topk": (q_emb_lsh_topk, _oracle_emb_lsh()),
     "emb_lsh_recall": (q_emb_lsh_recall, _oracle_emb_lsh_recall()),
-    "emb_ivf_topk": (q_emb_ivf_topk, _oracle_emb_ivf()),
+    # emb_ivf_topk retired round 7: a strict subset of
+    # emb_ivf_trained_topk (identical ivf_topk probe/rerank path; only
+    # the centroid source differs, and the trained gate value-checks
+    # train -> assign -> probe -> rerank end-to-end)
     "emb_ivf_trained_topk": (q_emb_ivf_trained_topk, _oracle_emb_ivf_trained()),
     "multimodal_binary_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
     "manifest_events_f2": (q_manifest_events_f2, ORACLE_MANIFEST_EVENTS_F2),
@@ -3512,89 +3444,223 @@ FROM e
 QUERIES["emb_semantic_dedup"] = (q_emb_semantic_dedup, _oracle_emb_semantic_dedup())
 QUERIES["docs_chunk_windows"] = (q_docs_chunk_windows, ORACLE_DOCS_CHUNKS)
 
+
+_SEMDEDUP_INCR_INDEX: dict[str, tuple[list, DataFrame]] = {}
+
+
+def q_emb_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest semantic dedup (operators/dedup.py
+    semantic_dedup_incremental — VERDICT r6 #1): the corpus is split
+    into an EXISTING index (vec_id % 5 != 0, 80%) whose
+    semantic_assign precompute is persisted once per process (the
+    production shape: cell + norm are stored corpus columns), and a
+    NEW batch (vec_id % 5 == 0) that assigns with the SAME fixed
+    8-centroid quantizer as emb_semantic_dedup, probes only its
+    matching cells of the index, and flags any batch vector with a
+    corpus member at cosine >= 0.4 as a duplicate of history. Emits
+    one row per batch vector: (vec_id, cell, is_semdup). Incremental
+    cost is O(batch + cell-matched candidates) — the corpus is never
+    rescanned; the batch x corpus candidate volume is budgeted by the
+    same pre-aggregate guard as the batch op's pair stage."""
+    from s3logs_parquet_spark.operators.dedup import (
+        semantic_assign,
+        semantic_dedup_incremental,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cached = _SEMDEDUP_INCR_INDEX.get(sf_dir)
+    if cached is not None and cached[1].sparkSession is not spark:
+        del _SEMDEDUP_INCR_INDEX[sf_dir]
+    if sf_dir not in _SEMDEDUP_INCR_INDEX:
+        cent_rows = (
+            emb.filter(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
+        centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+        corpus = emb.filter(F.col("vec_id") % 5 != 0)
+        _SEMDEDUP_INCR_INDEX[sf_dir] = (
+            centroids,
+            semantic_assign(corpus, "vec_id", "embedding", centroids),
+        )
+    centroids, index = _SEMDEDUP_INCR_INDEX[sf_dir]
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    return semantic_dedup_incremental(
+        batch, index, "vec_id", "embedding", centroids, threshold=0.4
+    )
+
+
+def _oracle_emb_semantic_dedup_incremental(
+    n_cells: int = 8, threshold: float = 0.4
+) -> str:
+    cos_vc = f"{_SQL_DOT.format(a='e.v', b='c.cv')} / ({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='c.cv')})"
+    cos_bc = f"{_SQL_DOT.format(a='b.v', b='c.v')} / ({_SQL_NORM.format(a='b.v')} * {_SQL_NORM.format(a='c.v')})"
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < {n_cells}
+), emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_vc} DESC, c.cell) AS rn
+    FROM emb e CROSS JOIN cents c
+  ) WHERE rn = 1
+), corpus AS (
+  SELECT * FROM assign WHERE vec_id % 5 <> 0
+), batch AS (
+  SELECT * FROM assign WHERE vec_id % 5 = 0
+), dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM batch b JOIN corpus c ON b.cell = c.cell
+  WHERE {cos_bc} >= {threshold}
+)
+SELECT b.vec_id, b.cell, (d.vec_id IS NOT NULL) AS is_semdup
+FROM batch b LEFT JOIN dup d ON b.vec_id = d.vec_id
+"""
+
+
+def q_docs_chunk_windows_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-segmentation context-window chunking (operators/chunking.py
+    tokenizer='bpe' — VERDICT r6 #7): windows counted over the BPE-ish
+    pre-tokenizer segmentation (letter runs / digit runs / single
+    punctuation — the same _BPE_TOKEN regex bpe_token_count reports),
+    so window sizes align with what a subword tokenizer later sees.
+    Same 40/30 window/stride as the whitespace gate; chunk text is the
+    tokens space-joined (deterministic token view, documented
+    non-byte-faithful), value-checked via md5. Same map-only shape:
+    one regexp_extract_all + per-row sequence explode + slice.
+
+    The synthetic documents table contains NO punctuation (verified:
+    0/500 docs at sf0.01), under which BPE and whitespace segmentation
+    coincide and the gate would be vacuous — so the gate chunks a
+    DERIVED text with punctuation injected deterministically
+    (replace 'o' -> '.o': every 'o' splits its letter run and adds a
+    '.' token), making the BPE-specific token boundaries load-bearing
+    in the checked values."""
+    from s3logs_parquet_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "punct_text", F.regexp_replace(F.col("text"), "o", ".o")
+    )
+    out = chunk_documents(
+        d, "punct_text", "doc_id", chunk_size=40, stride=30, tokenizer="bpe"
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk_tokens").alias("n_tokens"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+_SQL_BPE_PUNCT = _SQL_BPE.replace(
+    "regexp_extract_all(text,", "regexp_extract_all(replace(text, 'o', '.o'),"
+)
+ORACLE_DOCS_CHUNKS_BPE = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_BPE_PUNCT} AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) <= 40 THEN 1
+         ELSE 1 + CAST(ceil((len(toks) - 40) / 30.0) AS BIGINT) END AS n_chunks
+  FROM d
+), e AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS ci FROM n
+)
+SELECT doc_id, ci AS chunk_idx,
+       len(toks[ci*30+1 : ci*30+40]) AS n_tokens,
+       md5(array_to_string(toks[ci*30+1 : ci*30+40], ' ')) AS chunk_md5
+FROM e
+"""
+
+
+QUERIES["emb_semantic_dedup_incremental"] = (
+    q_emb_semantic_dedup_incremental,
+    _oracle_emb_semantic_dedup_incremental(),
+)
+QUERIES["docs_chunk_windows_bpe"] = (q_docs_chunk_windows_bpe, ORACLE_DOCS_CHUNKS_BPE)
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (VERDICT r3 next-round #1). The driver's
 # correctness gate records the FIRST 50 registry entries per round, so
 # ordering is evidence policy: every gate must land a driver-recorded
 # row at least every two rounds (tests/test_oracles_full.py pins the
 # invariant, walking past the current round's own end-of-round
-# snapshot). Round-6 window = the full 48-entry tail whose latest
-# driver row is r04 (every r05-window entry holds a green
-# CORRECTNESS_r05 row and rotates out) — including
-# docs_tfidf_similar_pairs, the one gate that never had a driver row
-# (VERDICT r5 #1: it was appended at position 97, outside the window)
-# — plus the two NEW round-6 gates (skew-salted aggregation, corpus
-# top-ngrams), which enter inside the window for their first row.
-# At 100 registry entries the two-round invariant is exactly
-# saturated: steady state alternates the two 50-entry halves, and any
-# future gate must displace one whose family stays covered.
-_DRIVER_WINDOW_R06 = [
-    "events_kmv_global",
-    "s3log_parse_fields",
-    "docs_exact_dedup",
-    "docs_minhash_lsh_pairs",
-    "docs_incremental_neardup",
-    "docs_neardup_clusters",
-    "docs_curation_pipeline",
-    "emb_cosine_topk",
-    "emb_lsh_recall",
-    "emb_ivf_trained_topk",
-    "multimodal_binary_meta",
-    "orders_distinct_agg",
-    "events_window_dedup",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "part_topk_price",
-    "events_minmax_ts",
-    # NEW round-6 gate; takes the slot of retired events_by_type (its
-    # groupBy-count semantics are a strict subset of
-    # events_pivot_by_type — retire-and-replace keeps the registry at
-    # 100 = 2x window so the two-round rotation invariant stays exact)
-    "emb_semantic_dedup",
-    "lineitem_rollup",
-    "docs_quality_score",
-    "docs_langid",
-    "docs_fingerprint",
-    # NEW round-6 gate; slot of retired docs_systematic_sample (the
-    # identical hash-mod-100 selection survives inside
-    # docs_split_assign; PPS/stratified/mixture cover the sampling
-    # family)
-    "docs_chunk_windows",
-    "docs_split_assign",
-    "docs_dup_rate_by_source",
-    "docs_lsh_pairs_capped",
-    "emb_pq_topk",
-    "lineitem_cube",
-    "events_user_halves_full_outer",
-    "tpch_q4_order_priority",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q12_late_shipment",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_sales_opportunity",
-    "emb_ivf_indexed_topk",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_suppliers",
-    "tpch_q20_promotion_parts",
-    # first-ever driver row (VERDICT r5 #1)
-    "docs_tfidf_similar_pairs",
-    # NEW round-6 gates
-    "lineitem_salted_skew_agg",
-    "docs_top_ngrams",
+# snapshot). Round-7 window = the r05-recorded half (every r06-window
+# entry holds a green CORRECTNESS_r06 row and rotates out), minus two
+# round-7 retirements whose semantics live on in supersets
+# (docs_simhash -> docs_simhash_pairs; emb_ivf_topk ->
+# emb_ivf_trained_topk), plus the two NEW round-7 gates
+# (emb_semantic_dedup_incremental — VERDICT r6 #1, the one previously
+# ungated first-class operator — and docs_chunk_windows_bpe, VERDICT
+# r6 #7), which enter inside the window for their first driver row.
+# At 100 registry entries the two-round invariant stays exactly
+# saturated: steady state alternates the two 50-entry halves.
+_DRIVER_WINDOW_R07 = [
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume",
+    "customer_orders_left_join",
+    "customers_without_orders_anti",
+    "parts_with_lineitems_semi",
+    "orders_rank_window",
+    "union_shipped_split",
+    "lineitem_quantiles",
+    "lineitem_stats",
+    "events_pivot_by_type",
+    "orders_lineitem_arrays",
+    "events_tumbling_window",
+    "events_sliding_means",
+    "events_session_windows",
+    "events_json_props",
+    "events_asof_click",
+    "events_range_pairs",
+    "events_kmv_distinct",
+    "events_hourly_rollup",
+    "log_schema_widening",
+    "partition_prefix_tz",
+    "docs_token_stats",
+    "docs_winnowing",
+    "docs_ngram_jaccard_pairs",
+    # NEW round-7 gate (VERDICT r6 #1): slot of retired docs_simhash
+    # (signature computation value-checked per-pair inside
+    # docs_simhash_pairs, below)
+    "emb_semantic_dedup_incremental",
+    "docs_simhash_pairs",
+    "docs_leakage_safe_split",
+    "docs_decontaminate",
+    "docs_stratified_sample",
+    "docs_global_shuffle",
+    "docs_clean_and_repetition",
+    "docs_pii_redact",
+    "docs_doc_frequency",
+    "emb_lsh_topk",
+    # NEW round-7 gate (VERDICT r6 #7): slot of retired emb_ivf_topk
+    # (strict subset of emb_ivf_trained_topk — identical probe/rerank
+    # path, value-checked train->assign->probe->rerank)
+    "docs_chunk_windows_bpe",
+    "events_asof_click_chunked",
+    "events_asof_next_click",
+    "events_asof_nearest_click",
+    "orders_bloom_customer_revenue",
+    "emb_ivfpq_topk",
+    "docs_dup_ngram_fraction",
+    "events_zorder_key",
+    "docs_weighted_sample",
+    "docs_mixture_sample",
+    "events_sampled_quantiles",
+    "emb_neardup_pairs",
+    "events_interval_pairs",
+    "s3log_pipeline_roundtrip",
+    "manifest_events_f2",
 ]
 
-assert len(_DRIVER_WINDOW_R06) == 50, len(_DRIVER_WINDOW_R06)
-assert set(_DRIVER_WINDOW_R06) <= set(QUERIES), sorted(
-    set(_DRIVER_WINDOW_R06) - set(QUERIES)
+assert len(_DRIVER_WINDOW_R07) == 50, len(_DRIVER_WINDOW_R07)
+assert set(_DRIVER_WINDOW_R07) <= set(QUERIES), sorted(
+    set(_DRIVER_WINDOW_R07) - set(QUERIES)
 )
-QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R06} | {
-    name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R06
+QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R07} | {
+    name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R07
 }
