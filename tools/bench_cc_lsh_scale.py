@@ -1,0 +1,134 @@
+"""CC contraction on a TEXT-DERIVED edge list (VERDICT r6 #4): the
+round-6 above-budget contraction path was measured on a synthetic
+clique+chain graph (tools/bench_cc_scale.py); the shape that motivated
+the work is LSH-pair output from real near-dup text. This tool builds
+that graph end-to-end — shingle -> minhash -> banded LSH self-join ->
+exact est_jaccard filter (`minhash_lsh_pairs`, sub-cap group sizes so
+the full within-group quadratic pair set is emitted) — until the
+canonical edge count exceeds the 2M driver budget, then times the
+shipped auto dispatch (partition-local contraction -> driver finish)
+against the unbounded driver union-find, with fingerprint parity.
+
+Corpus: `--groups` near-dup families of `--group-size` members (a
+shared 16-word salad + a per-member trailing token — same shingle mass,
+distinct docs, LSH-similar at est_jaccard >= 0.5), plus `--background`
+unique-ish docs (singleton realism). Edges per family ~ C(m, 2) deduped
+across bands, so 1200 x 100 => ~5.9M canonical edges.
+
+Usage: python tools/bench_cc_lsh_scale.py [--groups 1200]
+    [--group-size 100] [--background 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from s3logs_parquet_spark.session import get_spark  # noqa: E402
+from tools.bench_cc_scale import cluster_fingerprint  # noqa: E402
+from tools.bench_curation_scale import WORDS  # noqa: E402
+
+
+def synth_neardup_docs(spark, groups: int, group_size: int, background: int):
+    """Group docs: ids [0, groups*group_size) — doc text is the GROUP's
+    16-word salad (seeded by group id) + a per-member trailing token
+    (high shingle overlap within a family, none across). Background
+    docs: ids offset by 1e9 — per-doc salads, no planted similarity."""
+    wordlit = F.array(*[F.lit(w) for w in WORDS])
+
+    def salad(seed_col, n_words=16):
+        parts = [
+            wordlit[F.pmod(F.xxhash64(seed_col, F.lit(10 + i)), F.lit(len(WORDS))).cast("int")]
+            for i in range(n_words)
+        ]
+        return F.concat_ws(" ", *parts)
+
+    g = spark.range(groups * group_size)
+    gid = (F.col("id") / group_size).cast("long")
+    member = F.col("id") - gid * group_size
+    gdocs = g.select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", salad(gid), F.lit("member"), member.cast("string")
+        ).alias("text"),
+    )
+    b = spark.range(background)
+    bdocs = b.select(
+        (F.col("id") + F.lit(1_000_000_000)).alias("doc_id"),
+        salad(F.col("id") + F.lit(7_777_777)).alias("text"),
+    )
+    return gdocs.union(bdocs)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--groups", type=int, default=1200)
+    ap.add_argument("--group-size", type=int, default=100)
+    ap.add_argument("--background", type=int, default=1_000_000)
+    ap.add_argument("--loop", action="store_true", help="also time the propagation loop")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="bench-cc-lsh-scale")
+    from s3logs_parquet_spark.operators.dedup import (
+        connected_components_clusters,
+        minhash_lsh_pairs,
+    )
+    from s3logs_parquet_spark.session import materialize, release
+
+    docs = materialize(
+        synth_neardup_docs(spark, args.groups, args.group_size, args.background)
+    )
+    n_docs = docs.count()
+
+    t0 = time.time()
+    pairs = materialize(minhash_lsh_pairs(docs, "doc_id", "text"))
+    n_pairs = pairs.count()
+    lsh_s = time.time() - t0
+    ids = docs.select("doc_id")
+    print(
+        f"LSH: {n_pairs:,} canonical edges over {n_docs:,} docs in {lsh_s:.1f}s",
+        flush=True,
+    )
+
+    results = {}
+    runs = [
+        ("auto_dispatch", dict(driver_edge_limit=2_000_000)),
+        ("driver_unbounded", dict(strategy="driver", driver_edge_limit=1 << 40)),
+    ]
+    if args.loop:
+        runs.append(("loop", dict(driver_edge_limit=0, max_rounds=30)))
+    for name, kw in runs:
+        t0 = time.time()
+        labels = connected_components_clusters(pairs, ids, "doc_id", **kw)
+        fp = cluster_fingerprint(labels)
+        results[name] = {"s": round(time.time() - t0, 1), "fingerprint": fp}
+        print(f"{name}: {results[name]}", flush=True)
+
+    fps = {tuple(v["fingerprint"]) for v in results.values()}
+    print(
+        json.dumps(
+            {
+                "tool": "bench_cc_lsh_scale",
+                "docs": n_docs,
+                "canonical_edges": n_pairs,
+                "lsh_s": round(lsh_s, 1),
+                "strategies": {k: v["s"] for k, v in results.items()},
+                "fingerprints_match": len(fps) == 1,
+                "n_clusters": results["auto_dispatch"]["fingerprint"][1],
+            }
+        )
+    )
+    release(pairs)
+    release(docs)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
