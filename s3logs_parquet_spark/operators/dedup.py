@@ -615,6 +615,7 @@ def _cc_forest_contract(
     durable: bool,
     driver_edge_limit: int,
     max_iters: int = 4,
+    min_chunks: int = 1,
 ) -> tuple[DataFrame, int]:
     """Shrink a canonical (src < dst, distinct) edge list below the
     driver budget by iterated PARTITION-LOCAL union-find contraction —
@@ -667,8 +668,9 @@ def _cc_forest_contract(
             break
         # chunk size ~½ the driver budget: small enough that a task's
         # union-find dict stays tens of MB, big enough that clique
-        # structure is visible to each task
-        target = max(1, -(-cnt // max(1, driver_edge_limit // 2)))
+        # structure is visible to each task; ``min_chunks`` floors the
+        # task count so a just-over-budget list still uses the cluster
+        target = max(min_chunks, 1, -(-cnt // max(1, driver_edge_limit // 2)))
         red = _materialize(
             cur.repartition(target).mapInPandas(contract, schema=out_schema),
             durable,

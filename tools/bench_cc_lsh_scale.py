@@ -73,6 +73,14 @@ def main() -> None:
     ap.add_argument("--group-size", type=int, default=100)
     ap.add_argument("--background", type=int, default=1_000_000)
     ap.add_argument("--loop", action="store_true", help="also time the propagation loop")
+    ap.add_argument(
+        "--edges-cache",
+        type=str,
+        default=None,
+        help="parquet dir for the LSH edge list + doc ids: written on "
+        "first run, reused thereafter (the LSH stage dominates wall "
+        "time; CC-strategy experiments shouldn't re-pay it)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench-cc-lsh-scale")
@@ -82,16 +90,25 @@ def main() -> None:
     )
     from s3logs_parquet_spark.session import materialize, release
 
-    docs = materialize(
-        synth_neardup_docs(spark, args.groups, args.group_size, args.background)
-    )
-    n_docs = docs.count()
+    cache = args.edges_cache
+    if cache and os.path.isdir(os.path.join(cache, "pairs")):
+        pairs = spark.read.parquet(os.path.join(cache, "pairs"))
+        ids = spark.read.parquet(os.path.join(cache, "ids"))
+        n_docs, n_pairs, lsh_s = ids.count(), pairs.count(), 0.0
+    else:
+        docs = materialize(
+            synth_neardup_docs(spark, args.groups, args.group_size, args.background)
+        )
+        n_docs = docs.count()
 
-    t0 = time.time()
-    pairs = materialize(minhash_lsh_pairs(docs, "doc_id", "text"))
-    n_pairs = pairs.count()
-    lsh_s = time.time() - t0
-    ids = docs.select("doc_id")
+        t0 = time.time()
+        pairs = materialize(minhash_lsh_pairs(docs, "doc_id", "text"))
+        n_pairs = pairs.count()
+        lsh_s = time.time() - t0
+        ids = docs.select("doc_id")
+        if cache:
+            pairs.write.parquet(os.path.join(cache, "pairs"))
+            ids.write.parquet(os.path.join(cache, "ids"))
     print(
         f"LSH: {n_pairs:,} canonical edges over {n_docs:,} docs in {lsh_s:.1f}s",
         flush=True,
@@ -105,10 +122,18 @@ def main() -> None:
     if args.loop:
         runs.append(("loop", dict(driver_edge_limit=0, max_rounds=30)))
     for name, kw in runs:
-        t0 = time.time()
-        labels = connected_components_clusters(pairs, ids, "doc_id", **kw)
-        fp = cluster_fingerprint(labels)
-        results[name] = {"s": round(time.time() - t0, 1), "fingerprint": fp}
+        # min-of-2: the first strategy otherwise pays the cold parquet
+        # scan of `pairs`, Python-worker pool start-up, and the first
+        # edge materialization for everyone (measured round 7: the
+        # in-situ cold premium read as a 3-4x contraction slowdown
+        # that vanished on warm isolated timing)
+        best, fp = float("inf"), None
+        for _ in range(2):
+            t0 = time.time()
+            labels = connected_components_clusters(pairs, ids, "doc_id", **kw)
+            fp = cluster_fingerprint(labels)
+            best = min(best, time.time() - t0)
+        results[name] = {"s": round(best, 1), "fingerprint": fp}
         print(f"{name}: {results[name]}", flush=True)
 
     fps = {tuple(v["fingerprint"]) for v in results.values()}
@@ -126,7 +151,6 @@ def main() -> None:
         )
     )
     release(pairs)
-    release(docs)
     spark.stop()
 
 
