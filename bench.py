@@ -90,8 +90,10 @@ HEADLINE = [
     # round 7: incremental semantic dedup — persisted-index probe
     # (cell-keyed batch x corpus join; the index build is cached per
     # process, so the timed runs measure the PROBE, the production
-    # continuous-ingest semantic)
+    # continuous-ingest semantic) — and SQ8 quantized search (codes
+    # scan + top-candidate exact rerank)
     "emb_semantic_dedup_incremental",
+    "emb_sq8_topk",
 ]
 
 

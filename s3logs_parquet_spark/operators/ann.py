@@ -1023,3 +1023,134 @@ def ivfpq_index_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+# --- scalar quantization (SQ8) --------------------------------------------
+
+
+def sq_stats(df: DataFrame, vec_col: str, dim: int) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) over the corpus — the SQ8 quantizer's
+    'training', a single aggregate returning 2*dim scalars to the
+    driver (bounded by the embedding width, never by corpus size).
+    In production these are write-side table properties, recomputed
+    only when the embedding model changes."""
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(F.col(vec_col)[i]).alias(f"_mn{i}"))
+        aggs.append(F.max(F.col(vec_col)[i]).alias(f"_mx{i}"))
+    row = df.agg(*aggs).collect()[0]
+    return [(float(row[f"_mn{i}"]), float(row[f"_mx{i}"])) for i in range(dim)]
+
+
+def sq_encode(
+    df: DataFrame,
+    vec_col: str,
+    stats: list[tuple[float, float]],
+    out_col: str = "sq_code",
+) -> DataFrame:
+    """8-bit scalar quantization (the FAISS `SQ8` layout): per
+    dimension, q_i = clamp(floor((v_i - mn_i) * 256 / (mx_i - mn_i)),
+    0, 255), stored as array<int> codes — 1/8th the bytes of the
+    float64 parquet column (1/4 vs float32). floor (not round) keeps
+    the arithmetic bit-identical across engines with no half-even /
+    half-up ambiguity; a constant dimension (mx == mn) encodes 0.
+
+    Write-side precompute: encode once at ingest, scan codes for
+    candidate generation, fetch full vectors only for the rerank set
+    (sq8_topk). Map-only, codegen-resident — no UDF, no shuffle."""
+    exprs = []
+    for i, (mn, mx) in enumerate(stats):
+        if mx > mn:
+            scaled = (F.col(vec_col)[i].cast("double") - F.lit(mn)) * (
+                F.lit(256.0) / (F.lit(mx) - F.lit(mn))
+            )
+            q = F.least(F.greatest(F.floor(scaled), F.lit(0)), F.lit(255))
+        else:
+            q = F.lit(0)
+        exprs.append(q.cast("int"))
+    return df.withColumn(out_col, F.array(*exprs))
+
+
+def _sq_dequant_cols(code_col: str, stats: list[tuple[float, float]]) -> list:
+    """Reconstruction columns: v'_i = mn_i + (q_i + 0.5) * (mx_i -
+    mn_i) / 256 (bucket-center dequantization; constant dims
+    reconstruct mn exactly)."""
+    out = []
+    for i, (mn, mx) in enumerate(stats):
+        if mx > mn:
+            out.append(
+                F.lit(mn)
+                + (F.col(code_col)[i].cast("double") + F.lit(0.5))
+                * ((F.lit(mx) - F.lit(mn)) / F.lit(256.0))
+            )
+        else:
+            out.append(F.lit(mn))
+    return out
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    stats: list[tuple[float, float]],
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    k: int = 10,
+    n_candidates: int | None = 50,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric SQ8 search: score every corpus row by the cosine of
+    the FULL-PRECISION query against the DEQUANTIZED corpus code (the
+    standard asymmetric distance — queries are few, corpus is huge, so
+    only the corpus side pays quantization error), take the top
+    ``n_candidates`` per query, then exact-cosine rerank those with
+    the full vectors and return the top ``k``.
+
+    At 100 TB the candidate scan reads the CODES column only (parquet
+    column pruning: 1 int8-worth per dim instead of 8 bytes) and full
+    vectors are fetched for n_candidates rows per query — the same
+    bytes discipline as PQ's ADC path but with a far simpler quantizer
+    and no codebook training. ``n_candidates=None`` skips the rerank
+    and returns quantized-score ranks directly (the recall-measurement
+    mode). ``encoded`` short-circuits sq_encode (write-side codes).
+
+    Deterministic end-to-end (floor-based codes, expanded fixed-order
+    float arithmetic), so the whole quantize -> score -> rerank chain
+    is oracle-checkable (plans/queries.py emb_sq8_topk)."""
+    dim = len(stats)
+    enc = encoded if encoded is not None else sq_encode(
+        corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv")), "_cv", stats
+    )
+    q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec).alias("_qv")))
+    dq = _sq_dequant_cols("sq_code", stats)
+    qn = l2_norm_expanded("_qv", dim)
+    # expanded fixed-order dot/norm over the reconstruction columns
+    approx_dot = None
+    approx_sq = None
+    for i in range(dim):
+        t = dq[i] * F.col("_qv")[i].cast("double")
+        s = dq[i] * dq[i]
+        approx_dot = t if approx_dot is None else approx_dot + t
+        approx_sq = s if approx_sq is None else approx_sq + s
+    approx_cos = approx_dot / (F.sqrt(approx_sq) * qn)
+    scored = enc.crossJoin(q).withColumn("_acos", approx_cos)
+    if n_candidates is None:
+        w = Window.partitionBy(query_id).orderBy(F.desc("_acos"), F.asc(corpus_id))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, F.col("_acos").alias("cosine"), "rank")
+        )
+    cw = Window.partitionBy(query_id).orderBy(F.desc("_acos"), F.asc(corpus_id))
+    cand = (
+        scored.withColumn("_crank", F.row_number().over(cw))
+        .filter(F.col("_crank") <= n_candidates)
+    )
+    rw = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        cand.withColumn("cosine", cosine_sim_expanded("_cv", "_qv", dim))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

@@ -34,7 +34,7 @@ from s3logs_parquet_spark.functions.text_analysis import (
     quality_score,
     whitespace_token_count,
 )
-from s3logs_parquet_spark.operators.ann import brute_force_topk, lsh_topk
+from s3logs_parquet_spark.operators.ann import brute_force_topk
 from s3logs_parquet_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -1602,17 +1602,11 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
 """
 
 
-def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN path: hyperplane-LSH bucketed candidates + exact rerank.
-    Planes are seeded ±1 literals (operators/ann.py:plane_signs) so the
-    candidate sets — and therefore the whole result — are reproduced
-    exactly by the SQL oracle."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    out = lsh_topk(emb, queries, "vec_id", "query_id", k=10, n_bands=12, bits_per_band=4)
-    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+# (q_emb_lsh_topk retired round 7 for the emb_sq8_topk slot: the
+# recall gate emb_lsh_recall runs lsh_topk with the IDENTICAL
+# parameters — its per-rank id membership exercises banding + ranking,
+# its oracle literally embeds _oracle_emb_lsh() below, and the
+# exact-cosine arithmetic stays value-checked by emb_cosine_topk.)
 
 
 def _band_keys_sql(
@@ -3147,7 +3141,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_pii_redact": (q_docs_pii_redact, _oracle_pii_redact()),
     "docs_doc_frequency": (q_docs_doc_frequency, ORACLE_DOCS_DOC_FREQUENCY),
     "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
-    "emb_lsh_topk": (q_emb_lsh_topk, _oracle_emb_lsh()),
+    # emb_lsh_topk retired round 7 (see the comment at its former
+    # definition); its oracle builder lives on inside emb_lsh_recall's
     "emb_lsh_recall": (q_emb_lsh_recall, _oracle_emb_lsh_recall()),
     # emb_ivf_topk retired round 7: a strict subset of
     # emb_ivf_trained_topk (identical ivf_topk probe/rerank path; only
@@ -3582,6 +3577,78 @@ QUERIES["emb_semantic_dedup_incremental"] = (
 )
 QUERIES["docs_chunk_windows_bpe"] = (q_docs_chunk_windows_bpe, ORACLE_DOCS_CHUNKS_BPE)
 
+
+def q_emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar-quantized ANN (operators/ann.py sq8_topk, the
+    FAISS SQ8 layout): per-dim min/max 'training' (one aggregate,
+    2*dim scalars), floor-based int8 codes (1/8th the read bytes of
+    the float64 column), asymmetric search — full-precision query
+    against bucket-center dequantized corpus codes — then exact
+    rerank of the top-50 candidates. floor (not round) quantization
+    and expanded fixed-order float arithmetic keep the whole
+    train -> quantize -> score -> rerank chain bit-reproducible in
+    SQL, so even the quantization ERROR is value-checked."""
+    from s3logs_parquet_spark.operators.ann import sq8_topk, sq_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = int(emb.select(F.size("embedding")).first()[0])
+    stats = sq_stats(emb, "embedding", dim)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = sq8_topk(
+        emb, queries, "vec_id", "query_id", stats, k=10, n_candidates=50
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _oracle_emb_sq8(dim: int = 64, n_cand: int = 50, k: int = 10) -> str:
+    cos_cq = f"{_SQL_DOT.format(a='s.cv', b='s.qv')} / ({_SQL_NORM.format(a='s.cv')} * {_SQL_NORM.format(a='s.qv')})"
+    acos = (
+        f"{_SQL_DOT.format(a='e.dq', b='q.qv')} / "
+        f"({_SQL_NORM.format(a='e.dq')} * {_SQL_NORM.format(a='q.qv')})"
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), st AS (
+  SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+  FROM emb, generate_series(1, {dim}) AS g(d)
+  GROUP BY d
+), enc AS (
+  -- floor-quantize then bucket-center dequantize, exactly the Spark
+  -- expression shapes: (v-mn)*(256/(mx-mn)) and mn+(q+0.5)*((mx-mn)/256)
+  SELECT e.vec_id,
+         list(CASE WHEN s.mx > s.mn
+              THEN s.mn + (least(greatest(floor((e.v[s.d] - s.mn) * (256.0 / (s.mx - s.mn))), 0), 255) + 0.5) * ((s.mx - s.mn) / 256.0)
+              ELSE s.mn END ORDER BY s.d) AS dq
+  FROM emb e CROSS JOIN st s
+  GROUP BY e.vec_id
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5
+), cand AS (
+  SELECT query_id, vec_id, qv FROM (
+    SELECT q.query_id, e.vec_id, q.qv,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {acos} DESC, e.vec_id) AS crank
+    FROM enc e CROSS JOIN q
+  ) WHERE crank <= {n_cand}
+), rer AS (
+  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM (
+    SELECT s.query_id, s.vec_id, {cos_cq} AS cos_raw
+    FROM (SELECT c.query_id, c.vec_id, c.qv, m.v AS cv
+          FROM cand c JOIN emb m ON m.vec_id = c.vec_id) s
+  )
+)
+SELECT query_id, vec_id, cosine, rank FROM rer WHERE rank <= {k}
+"""
+
+
+QUERIES["emb_sq8_topk"] = (q_emb_sq8_topk, _oracle_emb_sq8())
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation (VERDICT r3 next-round #1). The driver's
 # correctness gate records the FIRST 50 registry entries per round, so
@@ -3636,7 +3703,9 @@ _DRIVER_WINDOW_R07 = [
     "docs_clean_and_repetition",
     "docs_pii_redact",
     "docs_doc_frequency",
-    "emb_lsh_topk",
+    # NEW round-7 gate: slot of retired emb_lsh_topk (emb_lsh_recall
+    # runs lsh_topk with identical parameters and embeds its oracle)
+    "emb_sq8_topk",
     # NEW round-7 gate (VERDICT r6 #7): slot of retired emb_ivf_topk
     # (strict subset of emb_ivf_trained_topk — identical probe/rerank
     # path, value-checked train->assign->probe->rerank)

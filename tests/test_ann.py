@@ -292,3 +292,68 @@ def test_ivf_assign_arrow_rejects_ragged(spark):
     out = ivf_assign(df, "embedding", [[1.0, 0.0], [0.0, 1.0]], kernel="arrow")
     with pytest.raises(Exception, match="fixed-dim"):
         out.collect()
+
+
+def test_sq8_quantization_and_topk(spark):
+    """SQ8 (round 7): floor-quantized codes bound reconstruction error
+    by one bucket width per dim; asymmetric search + exact rerank
+    recovers the exact top-k on a clustered corpus; the write-side
+    `encoded` precompute path returns identical results."""
+    import random
+
+    from s3logs_parquet_spark.operators.ann import (
+        brute_force_topk,
+        sq8_topk,
+        sq_encode,
+        sq_stats,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    # 4 well-separated anchors + jitter, plus one CONSTANT dim (index 7)
+    anchors = [[(1.0 if j == c else 0.1) for j in range(dim - 1)] + [2.5] for c in range(4)]
+    rows = [
+        (i, [x + rng.uniform(-0.02, 0.02) for x in anchors[i % 4][:-1]] + [2.5])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    stats = sq_stats(df, "embedding", dim)
+    assert stats[dim - 1][0] == stats[dim - 1][1] == 2.5  # constant dim
+
+    # per-dim reconstruction error <= bucket width (mx-mn)/256
+    enc = sq_encode(df.selectExpr("vec_id", "embedding AS _cv"), "_cv", stats)
+    r = enc.first()
+    for i, (mn, mx) in enumerate(stats):
+        q = r["sq_code"][i]
+        assert 0 <= q <= 255
+        recon = mn + (q + 0.5) * ((mx - mn) / 256.0) if mx > mn else mn
+        assert abs(recon - r["_cv"][i]) <= (mx - mn) / 256.0 + 1e-12
+
+    queries = df.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+    exact = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in brute_force_topk(df, queries, "vec_id", "query_id", k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in sq8_topk(
+            df, queries, "vec_id", "query_id", stats, k=5, n_candidates=40
+        ).collect()
+    }
+    assert got == exact  # rerank recovers the exact ranking
+
+    pre = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in sq8_topk(
+            df, queries, "vec_id", "query_id", stats, k=5, n_candidates=40,
+            encoded=enc,
+        ).collect()
+    }
+    assert pre == exact
+
+    # no-rerank mode ranks by the quantized score only
+    approx = sq8_topk(
+        df, queries, "vec_id", "query_id", stats, k=5, n_candidates=None
+    )
+    assert approx.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert approx.count() == 15
