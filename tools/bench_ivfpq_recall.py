@@ -51,8 +51,25 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=32)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--probes", type=str, default="2,4,8,16")
+    ap.add_argument(
+        "--candidates",
+        type=int,
+        default=0,
+        help="ADC rerank budget (default 10*k). On a NO-structure "
+        "corpus recall is ADC-limited, not probe-limited: more probed "
+        "cells add competitors for a fixed rerank budget, so recall "
+        "FLATTENS (or dips) with n_probe — raise this to recover it.",
+    )
+    ap.add_argument(
+        "--sq8",
+        action="store_true",
+        help="also measure SQ8 recall at the same rerank budget (full "
+        "codes scan, no cell pruning — the quantization-accuracy "
+        "comparison point: 8 bits/dim vs PQ's m bytes/vector)",
+    )
     args = ap.parse_args()
     probes = [int(p) for p in args.probes.split(",")]
+    n_candidates = args.candidates or 10 * args.k
 
     spark = get_spark(app_name="bench-ivfpq-recall")
     emb = materialize(synth_embeddings(spark, args.rows, args.dim))
@@ -90,7 +107,7 @@ def main() -> None:
                 codebooks,
                 k=args.k,
                 n_probe=n_probe,
-                n_candidates=10 * args.k,
+                n_candidates=n_candidates,
                 encoded=enc,
             ).collect()
         }
@@ -99,6 +116,43 @@ def main() -> None:
             "query_s": round(time.time() - t0, 2),
         }
         print(f"n_probe={n_probe}: {sweep[n_probe]}", flush=True)
+
+    sq8 = None
+    if args.sq8:
+        from s3logs_parquet_spark.operators.ann import sq8_topk, sq_encode, sq_stats
+
+        t0 = time.time()
+        stats8 = sq_stats(emb, "embedding", args.dim)
+        enc8 = materialize(
+            sq_encode(
+                emb.select(F.col("vec_id"), F.col("embedding").alias("_cv")),
+                "_cv",
+                stats8,
+            )
+        )
+        enc8.count()
+        sq8_build_s = round(time.time() - t0, 1)
+        t0 = time.time()
+        got8 = {
+            (r["query_id"], r["vec_id"])
+            for r in sq8_topk(
+                emb,
+                queries,
+                "vec_id",
+                "query_id",
+                stats8,
+                k=args.k,
+                n_candidates=n_candidates,
+                encoded=enc8,
+            ).collect()
+        }
+        sq8 = {
+            "recall_at_k": round(len(got8 & exact) / len(exact), 4),
+            "query_s": round(time.time() - t0, 2),
+            "build_s": sq8_build_s,
+        }
+        print(f"sq8: {sq8}", flush=True)
+        release(enc8)
 
     print(
         json.dumps(
@@ -110,10 +164,12 @@ def main() -> None:
                 "m": args.m,
                 "k_sub": args.k_sub,
                 "k": args.k,
+                "n_candidates": n_candidates,
                 "n_queries": args.queries,
                 "build_s": round(build_s, 1),
                 "brute_exact_s": round(brute_s, 1),
                 "sweep": {str(p): v for p, v in sweep.items()},
+                "sq8": sq8,
             }
         )
     )

@@ -52,6 +52,14 @@ def main() -> None:
     ap.add_argument("--cells", type=int, default=4096)
     ap.add_argument("--anchors", type=int, default=100_000)
     ap.add_argument("--threshold", type=float, default=0.95)
+    ap.add_argument(
+        "--incremental-batch",
+        type=int,
+        default=0,
+        help="also time semantic_dedup_incremental: persist the "
+        "semantic_assign index for the corpus, then probe a batch of "
+        "this many NEW vectors against it (0 = skip)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench-semdedup-scale")
@@ -100,6 +108,32 @@ def main() -> None:
     n_dups = out.filter("is_semdup").count()
     stages["semantic_dedup_s"] = round(time.time() - t0, 1)
 
+    incr: dict = {}
+    if args.incremental_batch:
+        from s3logs_parquet_spark.operators.dedup import (
+            semantic_assign,
+            semantic_dedup_incremental,
+        )
+
+        # index build = the write-side precompute over the whole corpus
+        t0 = time.time()
+        index = semantic_assign(vecs, "vec_id", "embedding", centroids)
+        index.count()
+        incr["index_build_s"] = round(time.time() - t0, 1)
+
+        # the batch: NEW ids, same anchor distribution (continuous
+        # ingest of more of the same corpus — the production shape)
+        batch = synth_vectors(spark, args.incremental_batch, args.anchors).select(
+            (F.col("vec_id") + args.rows).alias("vec_id"), "embedding"
+        )
+        t0 = time.time()
+        bout = semantic_dedup_incremental(
+            batch, index, "vec_id", "embedding", centroids, args.threshold
+        )
+        incr["n_batch_dups"] = bout.filter("is_semdup").count()
+        incr["probe_s"] = round(time.time() - t0, 1)
+        incr["batch"] = args.incremental_batch
+
     print(
         json.dumps(
             {
@@ -116,6 +150,7 @@ def main() -> None:
                     "within_cell_pairs": int(stats["pairs"]),
                     "n_dups": n_dups,
                 },
+                "incremental": incr or None,
             }
         )
     )
