@@ -1047,6 +1047,7 @@ def sq_encode(
     vec_col: str,
     stats: list[tuple[float, float]],
     out_col: str = "sq_code",
+    with_norm: bool = True,
 ) -> DataFrame:
     """8-bit scalar quantization (the FAISS `SQ8` layout): per
     dimension, q_i = clamp(floor((v_i - mn_i) * 256 / (mx_i - mn_i)),
@@ -1057,7 +1058,15 @@ def sq_encode(
 
     Write-side precompute: encode once at ingest, scan codes for
     candidate generation, fetch full vectors only for the rerank set
-    (sq8_topk). Map-only, codegen-resident — no UDF, no shuffle."""
+    (sq8_topk). Map-only, codegen-resident — no UDF, no shuffle.
+
+    ``with_norm`` also stores ``sq_norm`` = the L2 norm of the
+    DEQUANTIZED vector — query-independent, so computing it per
+    (query x row) in the scoring expression would repeat it Q times
+    per corpus row AND double the expression size (the semantic-dedup
+    pair-stage lesson, PERF.md round 6: per-row invariants move OUT
+    of per-pair expressions); sq8_topk uses the stored column when
+    present."""
     exprs = []
     for i, (mn, mx) in enumerate(stats):
         if mx > mn:
@@ -1068,7 +1077,15 @@ def sq_encode(
         else:
             q = F.lit(0)
         exprs.append(q.cast("int"))
-    return df.withColumn(out_col, F.array(*exprs))
+    out = df.withColumn(out_col, F.array(*exprs))
+    if with_norm:
+        dq = _sq_dequant_cols(out_col, stats)
+        sqsum = None
+        for c in dq:
+            s = c * c
+            sqsum = s if sqsum is None else sqsum + s
+        out = out.withColumn("sq_norm", F.sqrt(sqsum))
+    return out
 
 
 def _sq_dequant_cols(code_col: str, stats: list[tuple[float, float]]) -> list:
@@ -1122,18 +1139,27 @@ def sq8_topk(
     enc = encoded if encoded is not None else sq_encode(
         corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv")), "_cv", stats
     )
+    if "sq_norm" not in enc.columns:
+        # older/minimal encodes: derive the norm from the codes (same
+        # fixed-order arithmetic sq_encode stores)
+        dqn = _sq_dequant_cols("sq_code", stats)
+        sqsum = None
+        for c in dqn:
+            s = c * c
+            sqsum = s if sqsum is None else sqsum + s
+        enc = enc.withColumn("sq_norm", F.sqrt(sqsum))
     q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec).alias("_qv")))
     dq = _sq_dequant_cols("sq_code", stats)
     qn = l2_norm_expanded("_qv", dim)
-    # expanded fixed-order dot/norm over the reconstruction columns
+    # expanded fixed-order dot over the reconstruction columns; the
+    # corpus-side norm is the STORED sq_norm (query-independent —
+    # recomputing it per (query x row) would repeat it Q times per
+    # corpus row and double the scoring expression)
     approx_dot = None
-    approx_sq = None
     for i in range(dim):
         t = dq[i] * F.col("_qv")[i].cast("double")
-        s = dq[i] * dq[i]
         approx_dot = t if approx_dot is None else approx_dot + t
-        approx_sq = s if approx_sq is None else approx_sq + s
-    approx_cos = approx_dot / (F.sqrt(approx_sq) * qn)
+    approx_cos = approx_dot / (F.col("sq_norm") * qn)
     scored = enc.crossJoin(q).withColumn("_acos", approx_cos)
     if n_candidates is None:
         w = Window.partitionBy(query_id).orderBy(F.desc("_acos"), F.asc(corpus_id))

@@ -223,3 +223,25 @@ def test_partsupp_fixture_shape(spark, sf_dir):
         | (F.round(F.col("ps_supplycost") * 100).cast("long") != F.col("ps_cost_cents"))
     ).count()
     assert bad == 0
+
+
+def test_sq8_plan_is_codegen_and_broadcast(spark, sf_dir):
+    """SQ8 (round 7): the quantized scoring path must stay JVM-side —
+    no Python eval anywhere in the plan (quantize/dequant/score are
+    expanded literal arithmetic) — and the query side must broadcast
+    (BroadcastNestedLoopJoin over the tiny query set), never a
+    shuffled cartesian."""
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.operators.ann import sq8_topk, sq_stats
+    from s3logs_parquet_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = int(emb.select(F.size("embedding")).first()[0])
+    stats = sq_stats(emb, "embedding", dim)
+    queries = emb.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+    out = sq8_topk(emb, queries, "vec_id", "query_id", stats, k=5, n_candidates=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
