@@ -113,6 +113,13 @@ def main() -> None:
     ap.add_argument("--manifests", type=int, default=16)
     ap.add_argument("--files-per-trigger", type=int, default=4)
     ap.add_argument("--threshold-lines", type=int, default=100_000)
+    ap.add_argument(
+        "--fold",
+        action="store_true",
+        help="after the drain + differential, run fold_stream_batches "
+        "(final mode) over the stream output and verify the folded "
+        "table reads identically (row count + fingerprint)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench-stream-scale")
@@ -199,10 +206,32 @@ def main() -> None:
         ).drop("n_fields", "ts", "agg_window", "bucket_key")
         b = fingerprint(batch_tbl)
 
+        fold = None
+        if args.fold:
+            from s3logs_parquet_spark.plans.compact import fold_stream_batches
+
+            t0 = time.time()
+            fstats = fold_stream_batches(
+                spark, out_dir, final=True, checkpoint_dir=ckpt,
+                max_records_per_file=args.threshold_lines,
+            )
+            fold_s = time.time() - t0
+            folded = spark.read.parquet(out_dir)
+            ff = fingerprint(folded)
+            n_files_after = len(glob.glob(os.path.join(out_dir, "dt=*", "*.parquet")))
+            fold = {
+                "fold_s": round(fold_s, 1),
+                "stats": fstats,
+                "files_before": len(files),
+                "files_after": n_files_after,
+                "identity": bool(ff["rows"] == s["rows"] and ff["fp"] == s["fp"]),
+            }
+
         print(
             json.dumps(
                 {
                     "tool": "bench_stream_scale",
+                    "fold": fold,
                     "rows_in": args.rows,
                     "objects": args.objects,
                     "manifests": args.manifests,
