@@ -1372,10 +1372,24 @@ def semantic_assign(
 
     Exposed so callers (and repeat dedup runs over the same corpus)
     pay the assignment kernel once; pass the result via
-    ``semantic_dedup(..., assigned=...)``."""
+    ``semantic_dedup(..., assigned=...)``.
+
+    Dim contract: vectors LONGER than the quantizer would silently
+    truncate to its first ``dim`` components (the expanded kernel
+    indexes 0..dim-1; shorter vectors already fail loudly under ANSI
+    indexing), so the first row's width is probed and a mismatch
+    raises — the same fail-loud guard the incremental probe applies
+    to a persisted index (ADVICE r5)."""
     from s3logs_parquet_spark.operators.ann import ivf_assign, l2_norm_expanded
 
     dim = len(centroids[0])
+    probe = df.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+    if probe and probe[0]["_d"] is not None and probe[0]["_d"] != dim:
+        raise ValueError(
+            f"semantic_assign: vectors have dim {probe[0]['_d']} but the "
+            f"quantizer has dim {dim} — wrong model/centroids for this "
+            "corpus (longer vectors would silently truncate)"
+        )
     return _materialize(
         ivf_assign(
             df.select(F.col(id_col), F.col(vec_col)), vec_col, centroids, "cell"

@@ -820,3 +820,23 @@ def test_embedding_neardup_hot_bucket_star_cap(spark):
             df, "vec_id", "embedding", threshold=0.99, n_bands=4, bits_per_band=4,
             max_bucket_size=5, oversize_policy="error",
         ).collect()
+
+
+def test_semantic_assign_rejects_dim_mismatch(spark):
+    """Round 7: vectors LONGER than the quantizer would silently
+    truncate to its first dim components — semantic_assign probes the
+    first row's width and raises instead (shorter vectors already
+    fail loudly under ANSI array indexing)."""
+    import pytest
+
+    from s3logs_parquet_spark.operators.dedup import semantic_assign
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    too_long = spark.createDataFrame(
+        [(10, [1.0, 0.0, 5.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="dim 3.*quantizer has dim 2"):
+        semantic_assign(too_long, "vec_id", "embedding", cents)
+
+    ok = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    assert semantic_assign(ok, "vec_id", "embedding", cents).count() == 1
