@@ -357,3 +357,32 @@ def test_sq8_quantization_and_topk(spark):
     )
     assert approx.columns == ["query_id", "vec_id", "cosine", "rank"]
     assert approx.count() == 15
+
+
+def test_sq8_minimal_encode_derives_norm(spark):
+    """An externally-passed encode WITHOUT sq_norm (older/minimal
+    write-side tables) must still work: sq8_topk derives the norm from
+    the codes with the same fixed-order arithmetic, so results are
+    identical to the with_norm path."""
+    from s3logs_parquet_spark.operators.ann import sq8_topk, sq_encode, sq_stats
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    stats = sq_stats(df, "embedding", 3)
+    queries = df.filter("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+
+    base = sq_encode(df.selectExpr("vec_id", "embedding AS _cv"), "_cv", stats)
+    assert "sq_norm" in base.columns
+    minimal = base.drop("sq_norm")
+
+    want = sorted(
+        map(tuple, sq8_topk(
+            df, queries, "vec_id", "query_id", stats, k=5, encoded=base
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, sq8_topk(
+            df, queries, "vec_id", "query_id", stats, k=5, encoded=minimal
+        ).collect())
+    )
+    assert got == want and len(got) == 10
