@@ -1398,6 +1398,160 @@ def semantic_assign(
     )
 
 
+def _semantic_pair_flags_blas(
+    assigned: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Per-cell blocked-BLAS pair stage: group the assignment by cell
+    and compute each member's is_semdup flag (any LOWER-id member at
+    cosine >= threshold) with one numpy matmul per row block — the
+    whole pair join + distinct + flag join-back collapses into a
+    single applyInPandas over the one cell-keyed exchange.
+
+    Why not a SQL join condition (the round-6 design, kept as
+    ``pair_kernel='expanded'``): the expanded dim-term dot in the join
+    filter compiles to one 14,940-byte codegen method at dim 64 — past
+    HotSpot's ~8 KB JIT ceiling — and evaluates BYTECODE-INTERPRETED
+    (~2.8 µs/pair). A per-element scalar-column projection was tried
+    and is WORSE: Catalyst's constraint propagation over a filter
+    referencing 2×dim aliased attributes is super-linear (measured:
+    >90 s of driver-side planning at dim 32 / 1024 cells vs 0.2 s with
+    spark.sql.constraintPropagation.enabled=false), and the wide rows
+    lose the broadcast join. The BLAS kernel sidesteps both: the JVM
+    stage is a 457-byte method, pairs evaluate at SIMD matmul speed,
+    and Arrow moves each vector ONCE (n rows, not Σ m² pair sides).
+    Measured through the shipped operator (PERF.md round 7, "the
+    semantic pair-stage kernel A/B"): sf0.1 dim-64 warm 6.0 s →
+    0.30 s (20×); 1M×32-dim×4096-cell same-session end-to-end
+    35.3 s → 11.6 s (3.0×); 200k×32-dim×1024 cells 1.89 s → 1.29 s
+    (prototype) — identical flag fingerprints / dup counts on every
+    shape.
+
+    Same determinism caveat as _ivf_assign_arrow: BLAS summation order
+    differs from left-to-right, so a pair sitting within float noise
+    of the threshold can flag differently than the expanded kernel /
+    a SQL oracle. Thresholded-flag outputs make that a measure-zero
+    event on real embeddings; the parity test pins agreement.
+
+    Scale shape: one task per cell (the max_cell_members budget bounds
+    the group); block size keeps the scratch cosine matrix ≤ 2^25
+    doubles. Ids must be unique (the operator's contract — "lower id"
+    is strict)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            assigned.schema[id_col],
+            assigned.schema["cell"],
+            T.StructField("is_semdup", T.BooleanType(), False),
+        ]
+    )
+    thr = float(threshold)
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": pdf["cell"],
+                    "is_semdup": np.zeros(0, dtype=bool),
+                }
+            )
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        nrm = pdf["vec_norm"].to_numpy(dtype=np.float64)[order]
+        dup = np.zeros(m, dtype=bool)
+        blk = max(1, min(1024, (1 << 25) // m))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for s in range(1, m, blk):
+                e = min(s + blk, m)
+                C = (V[s:e] @ V[:e].T) / (nrm[s:e, None] * nrm[None, :e])
+                dup[s:e] = (
+                    (C >= thr)
+                    & (np.arange(e)[None, :] < np.arange(s, e)[:, None])
+                ).any(axis=1)
+        return pd.DataFrame(
+            {id_col: ids, "cell": pdf["cell"].iloc[0], "is_semdup": dup}
+        )
+
+    return (
+        assigned.select(id_col, "cell", "vec_norm", vec_col)
+        .groupBy("cell")
+        .applyInPandas(fn, out_schema)
+    )
+
+
+def _semantic_probe_flags_blas(
+    batch_assigned: DataFrame,
+    corpus_assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Incremental counterpart of :func:`_semantic_pair_flags_blas`:
+    cogroup batch and corpus index by cell and flag each batch vector
+    that hits ANY corpus member at cosine >= threshold, one blocked
+    matmul per batch row block. Cells present only in the corpus emit
+    nothing; batch cells with no corpus members emit all-False flags
+    (nothing in history to duplicate). Same determinism caveat and
+    measured rationale as the batch kernel.
+
+    The corpus side's columns are RENAMED (_c_n/_c_v) before the
+    cogroup: with identical names on both sides, Spark 4.1 binds the
+    cogroup UDF's right-side references to the LEFT child's attribute
+    IDs, so a downstream count() (column pruning) drops the vector
+    column from the right projection and the worker crashes with
+    KeyError — while collect() (no pruning) works. Distinct names
+    make the binding unambiguous; a regression test counts the
+    output of common-lineage sides."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            batch_assigned.schema[id_col],
+            batch_assigned.schema["cell"],
+            T.StructField("is_semdup", T.BooleanType(), False),
+        ]
+    )
+    thr = float(threshold)
+
+    def fn(bdf: "pd.DataFrame", cdf: "pd.DataFrame") -> "pd.DataFrame":
+        mb = len(bdf)
+        ids = bdf[id_col].to_numpy()
+        cells = bdf["cell"].to_numpy()
+        if mb == 0 or len(cdf) == 0:
+            return pd.DataFrame(
+                {id_col: ids, "cell": cells, "is_semdup": np.zeros(mb, dtype=bool)}
+            )
+        B = np.stack(bdf[vec_col].to_numpy()).astype(np.float64)
+        bn = bdf["vec_norm"].to_numpy(dtype=np.float64)
+        Cv = np.stack(cdf["_c_v"].to_numpy()).astype(np.float64)
+        cn = cdf["_c_n"].to_numpy(dtype=np.float64)
+        dup = np.zeros(mb, dtype=bool)
+        blk = max(1, min(1024, (1 << 25) // len(cdf)))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for s in range(0, mb, blk):
+                e = min(s + blk, mb)
+                C = (B[s:e] @ Cv.T) / (bn[s:e, None] * cn[None, :])
+                dup[s:e] = (C >= thr).any(axis=1)
+        return pd.DataFrame({id_col: ids, "cell": cells, "is_semdup": dup})
+
+    corpus_side = corpus_assigned.select(
+        F.col("cell"),
+        F.col("vec_norm").alias("_c_n"),
+        F.col(vec_col).alias("_c_v"),
+    )
+    return (
+        batch_assigned.select(id_col, "cell", "vec_norm", vec_col)
+        .groupBy("cell")
+        .cogroup(corpus_side.groupBy("cell"))
+        .applyInPandas(fn, out_schema)
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -1407,6 +1561,7 @@ def semantic_dedup(
     max_cell_members: int = 200_000,
     max_total_pairs: int = 2_000_000_000,
     assigned: DataFrame | None = None,
+    pair_kernel: str = "blas",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then WITHIN each
@@ -1442,11 +1597,18 @@ def semantic_dedup(
     while cluster membership is the op's entire semantics; the fix is
     a finer quantizer, not a quieter answer. The guards are one tiny
     pre-aggregate (a scalar collect, same pattern as the CC
-    edge-budget check). Measured end-to-end: 1M vectors / 126.8M
-    within-cell pairs in 18.7 s on local[32] (PERF.md round 6).
-    """
-    from s3logs_parquet_spark.operators.ann import dot_expanded
+    edge-budget check).
 
+    ``pair_kernel``: 'blas' (default) runs the pair stage as one
+    per-cell blocked-matmul applyInPandas (_semantic_pair_flags_blas —
+    measured 20× the SQL join warm at dim 64, flag-identical);
+    'expanded' keeps the round-6 cell-keyed self-join with
+    left-to-right expanded arithmetic, bit-identical to a SQL oracle
+    (the differential-testing kernel). Measured end-to-end: 1M
+    vectors / 126.8M within-cell pairs on local[32] — same-session
+    A/B 11.6 s blas vs 35.3 s expanded, identical counts (PERF.md
+    round 7).
+    """
     dim = len(centroids[0])
     # Materialize the assignment ONCE (semantic_assign): the expanded
     # k×dim sims expression would otherwise be inlined into BOTH
@@ -1490,6 +1652,20 @@ def semantic_dedup(
             f"{max_total_pairs:,}); train a finer quantizer so k grows "
             f"with the corpus (k ≈ n / target_cell_size)"
         )
+    if pair_kernel == "blas":
+        # default: per-cell blocked BLAS (one applyInPandas over the
+        # single cell exchange) — see _semantic_pair_flags_blas for
+        # the measured rationale vs the SQL-join kernel
+        return _semantic_pair_flags_blas(assigned, id_col, vec_col, threshold)
+    if pair_kernel != "expanded":
+        raise ValueError(f"unknown pair_kernel {pair_kernel!r} (blas|expanded)")
+    # 'expanded': the cell-keyed self-join with the dot product spelled
+    # as fixed left-to-right expanded arithmetic in the join filter —
+    # bit-identical to a SQL oracle (the differential-testing kernel).
+    # Slow past dim ~40: the condition method exceeds HotSpot's JIT
+    # size ceiling and evaluates interpreted (PERF.md round 7).
+    from s3logs_parquet_spark.operators.ann import dot_expanded
+
     a = assigned.select(
         F.col("cell"),
         F.col(id_col).alias("_a_id"),
@@ -1527,6 +1703,7 @@ def semantic_dedup_incremental(
     centroids: list[list[float]],
     threshold: float,
     max_total_pairs: int = 2_000_000_000,
+    pair_kernel: str = "blas",
 ) -> DataFrame:
     """Continuous-ingest semantic dedup: flag NEW batch vectors that
     semantically duplicate the EXISTING corpus — the incremental
@@ -1568,8 +1745,6 @@ def semantic_dedup_incremental(
                 f"dim {d} but the quantizer has dim {dim} — the index was "
                 "built with a different model; rebuild with semantic_assign"
             )
-    from s3logs_parquet_spark.operators.ann import dot_expanded
-
     batch_assigned = semantic_assign(batch, id_col, vec_col, centroids)
     bm = batch_assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_bm"))
     cm = corpus_assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_cm"))
@@ -1585,6 +1760,14 @@ def semantic_dedup_incremental(
             f"{max_total_pairs:,}); train a finer quantizer so cell "
             "volumes stay bounded"
         )
+    if pair_kernel == "blas":
+        return _semantic_probe_flags_blas(
+            batch_assigned, corpus_assigned, id_col, vec_col, threshold
+        )
+    if pair_kernel != "expanded":
+        raise ValueError(f"unknown pair_kernel {pair_kernel!r} (blas|expanded)")
+    from s3logs_parquet_spark.operators.ann import dot_expanded
+
     b = batch_assigned.select(
         F.col("cell"),
         F.col(id_col).alias("_b_id"),

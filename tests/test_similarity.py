@@ -708,6 +708,47 @@ def test_semantic_dedup_empty_input(spark):
     assert out.columns == ["vec_id", "cell", "is_semdup"]
 
 
+def test_semantic_dedup_kernel_parity(spark):
+    """The blas pair kernel (per-cell blocked matmul, default) and the
+    expanded SQL-join kernel (bit-exact differential form) produce
+    identical (id, cell, is_semdup) rows on a margin-separated corpus
+    — the same parity contract ivf_assign's kernels carry."""
+    import random
+
+    from s3logs_parquet_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    cents = [rows[i][1] for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        kernel: sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    df, "vec_id", "embedding", cents,
+                    threshold=0.8, pair_kernel=kernel,
+                ).collect(),
+            )
+        )
+        for kernel in ("blas", "expanded")
+    }
+    assert got["blas"] == got["expanded"]
+
+
+def test_semantic_dedup_rejects_unknown_kernel(spark):
+    import pytest
+
+    from s3logs_parquet_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="pair_kernel"):
+        semantic_dedup(
+            df, "vec_id", "embedding", [[1.0, 0.0]],
+            threshold=0.9, pair_kernel="simd",
+        )
+
+
 def test_semantic_dedup_incremental_flags_corpus_dups(spark):
     """A batch vector duplicates HISTORY iff a same-cell corpus member
     sits above the threshold; within-batch near-identical pairs are
@@ -748,6 +789,66 @@ def test_semantic_dedup_incremental_flags_corpus_dups(spark):
     # < 0.995 -> both kept; their mutual ~1.0 similarity is batch-
     # internal and deliberately NOT this operator's concern
     assert out[12] == (1, False) and out[13] == (1, False)
+
+
+def test_semantic_dedup_incremental_batch_only_cell(spark):
+    """A batch vector landing in a cell with NO corpus members has no
+    history to duplicate — emitted with is_semdup=False (the cogroup
+    kernel's empty-corpus-side leg), and kernels agree on it."""
+    from s3logs_parquet_spark.operators.dedup import (
+        semantic_assign,
+        semantic_dedup_incremental,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    # corpus occupies ONLY cell 0
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1])], ["vec_id", "embedding"]
+    )
+    index = semantic_assign(corpus, "vec_id", "embedding", cents)
+    batch = spark.createDataFrame(
+        [(10, [0.95, 0.05]), (11, [0.0, 1.0]), (12, [0.05, 0.95])],
+        ["vec_id", "embedding"],
+    )
+    for kernel in ("blas", "expanded"):
+        out = {
+            r["vec_id"]: (r["cell"], r["is_semdup"])
+            for r in semantic_dedup_incremental(
+                batch, index, "vec_id", "embedding", cents,
+                threshold=0.99, pair_kernel=kernel,
+            ).collect()
+        }
+        assert out[10] == (0, True), kernel
+        assert out[11] == (1, False) and out[12] == (1, False), kernel
+
+
+def test_semantic_dedup_incremental_count_survives_pruning(spark):
+    """Regression: with batch and corpus filtered from the SAME parent
+    frame (the gate's shape) and identical column names on both
+    cogroup sides, Spark 4.1 bound the UDF's corpus-side vector
+    reference to the batch side's attribute ID; count() then pruned
+    the vector off the corpus projection and the worker crashed with
+    KeyError — while collect() worked. The corpus side now carries
+    renamed columns; count() must agree with collect()."""
+    from s3logs_parquet_spark.operators.dedup import (
+        semantic_assign,
+        semantic_dedup_incremental,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    parent = spark.createDataFrame(
+        [(i, [1.0 - 0.01 * i, 0.01 * i]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    index = semantic_assign(
+        parent.filter("vec_id % 5 != 0"), "vec_id", "embedding", cents
+    )
+    out = semantic_dedup_incremental(
+        parent.filter("vec_id % 5 == 0"), index, "vec_id", "embedding",
+        cents, threshold=0.99,
+    )
+    assert out.count() == len(out.collect()) == 4
+    assert out.filter("is_semdup").count() == 4
 
 
 def test_semantic_dedup_incremental_validates_index(spark):

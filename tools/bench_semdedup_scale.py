@@ -60,6 +60,12 @@ def main() -> None:
         "semantic_assign index for the corpus, then probe a batch of "
         "this many NEW vectors against it (0 = skip)",
     )
+    ap.add_argument(
+        "--kernel",
+        default="blas",
+        choices=("blas", "expanded"),
+        help="pair-stage kernel (see semantic_dedup's pair_kernel)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench-semdedup-scale")
@@ -103,7 +109,8 @@ def main() -> None:
 
     t0 = time.time()
     out = semantic_dedup(
-        vecs, "vec_id", "embedding", centroids, threshold=args.threshold
+        vecs, "vec_id", "embedding", centroids, threshold=args.threshold,
+        pair_kernel=args.kernel,
     )
     n_dups = out.filter("is_semdup").count()
     stages["semantic_dedup_s"] = round(time.time() - t0, 1)
@@ -128,7 +135,8 @@ def main() -> None:
         )
         t0 = time.time()
         bout = semantic_dedup_incremental(
-            batch, index, "vec_id", "embedding", centroids, args.threshold
+            batch, index, "vec_id", "embedding", centroids, args.threshold,
+            pair_kernel=args.kernel,
         )
         incr["n_batch_dups"] = bout.filter("is_semdup").count()
         incr["probe_s"] = round(time.time() - t0, 1)
@@ -142,6 +150,7 @@ def main() -> None:
                 "cells": args.cells,
                 "anchors": args.anchors,
                 "threshold": args.threshold,
+                "kernel": args.kernel,
                 "stages": stages,
                 "counts": {
                     "assigned": n_assigned,
