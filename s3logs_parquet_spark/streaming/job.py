@@ -286,3 +286,88 @@ def run_stream_asof_enrich(
     else:
         writer = writer.trigger(processingTime=scfg.processing_time)
     return writer.start()
+
+
+def run_stream_semantic_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema,
+    index_path: str,
+    centroids: list[list[float]],
+    threshold: float,
+    output_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    update_index: bool = True,
+    scfg: StreamingJobConfig | None = None,
+) -> StreamingQuery:
+    """Continuous-ingest SemDeDup: each micro-batch of NEW vectors is
+    flagged against the PERSISTED semantic index (history) and against
+    itself (within-batch), then — when ``update_index`` — the kept
+    representatives are appended to the index so later batches dedup
+    against them. The streaming closure of
+    operators/dedup.semantic_dedup_incremental, composed the same way
+    run_stream_asof_enrich composes the batch as-of join: micro-batch
+    boundaries can't change the answer because every batch sees
+    exactly the index state left by prior COMMITTED batches.
+
+    ``index_path`` is a parquet root holding semantic_assign output
+    under ``batch=<id>`` partition dirs; seed the initial corpus at
+    ``batch=-1``. Per micro-batch the index is re-read with
+    ``batch < current_id`` — strictly the history BEFORE this batch.
+    That filter is what makes replays exactly-once: a batch replayed
+    after a crash (its own ``batch=<id>`` append already on disk)
+    would otherwise probe against ITSELF, flag every row a duplicate,
+    and rewrite its append as empty; pruning its own partition makes
+    the rerun bit-identical, and both writes are mode=overwrite into
+    per-batch dirs (the run_manifest_stream commit shape, T4).
+
+    Output rows: (id_col, cell, is_corpus_dup, is_batch_dup) per
+    batch vector — corpus = duplicates history, batch = a LOWER-id
+    same-batch vector sits above the threshold (semantic_dedup's
+    keep-min-id representative rule). Appended to the index: rows
+    with NEITHER flag. A long stream accumulates index partitions;
+    fold them in drain windows like any batch=... stream output.
+    """
+    from s3logs_parquet_spark.operators.dedup import (
+        semantic_assign,
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    scfg = scfg or StreamingJobConfig()
+    stream = (
+        spark.readStream.schema(input_schema)
+        .option("maxFilesPerTrigger", scfg.max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        index = spark.read.parquet(index_path).filter(F.col("batch") < batch_id)
+        hist = semantic_dedup_incremental(
+            batch_df, index, id_col, vec_col, centroids, threshold
+        ).select(id_col, "cell", F.col("is_semdup").alias("is_corpus_dup"))
+        within = semantic_dedup(
+            batch_df, id_col, vec_col, centroids, threshold
+        ).select(id_col, F.col("is_semdup").alias("is_batch_dup"))
+        out = hist.join(within, on=id_col)
+        out.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
+        if update_index:
+            kept = (
+                spark.read.parquet(f"{output_dir}/batch={batch_id}")
+                .filter(~F.col("is_corpus_dup") & ~F.col("is_batch_dup"))
+                .select(id_col)
+            )
+            semantic_assign(
+                batch_df.join(kept, on=id_col), id_col, vec_col, centroids
+            ).write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if scfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=scfg.processing_time)
+    return writer.start()

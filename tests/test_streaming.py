@@ -440,3 +440,108 @@ def test_fold_refuses_uncommitted_max_batch(spark, tmp_path):
     folded = spark.read.parquet(out)
     assert folded.count() == 30
     assert [r["batch"] for r in folded.select("batch").distinct().collect()] == [2]
+
+
+def test_stream_semantic_dedup_grows_index(spark, tmp_path):
+    """Continuous-ingest SemDeDup: batch 0's kept representatives join
+    the index, so batch 1 vectors that duplicate them flag as CORPUS
+    dups; within-batch twins flag batch-dup (min-id kept); and a
+    replay (fresh checkpoint, index already holding this batch's own
+    append) prunes the self-partition and reproduces the original
+    flags instead of self-flagging everything."""
+    from pyspark.sql import types as T
+
+    from s3logs_parquet_spark.operators.dedup import semantic_assign
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        run_stream_semantic_dedup,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    inp, out, idx, ckpt = (str(tmp_path / d) for d in ("in", "out", "idx", "ck"))
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], schema
+    )
+    semantic_assign(corpus, "vec_id", "embedding", cents).write.parquet(
+        f"{idx}/batch=-1"
+    )
+
+    # batch 0: 10 dups corpus id 0; 11 unique; 13/14 within-batch twins
+    spark.createDataFrame(
+        [
+            (10, [0.9999, 0.0001]),
+            (11, [0.7, 0.7]),
+            (13, [0.6, 0.8]),
+            (14, [0.6001, 0.7999]),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(inp)
+    scfg = StreamingJobConfig(available_now=True)
+    args = (spark, inp, schema, idx, cents, 0.99, out, ckpt)
+    q = run_stream_semantic_dedup(*args, scfg=scfg)
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: (r["is_corpus_dup"], r["is_batch_dup"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        10: (True, False),
+        11: (False, False),
+        13: (False, False),
+        14: (False, True),
+    }
+    # index grew by exactly the kept representatives (11, 13)
+    assert sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(idx).filter("batch = 0").collect()
+    ) == [11, 13]
+
+    # batch 1: 20 dups the batch-0 APPEND (11); 21 dups the seed (1);
+    # 22 unique — same checkpoint, only the new file arrives
+    spark.createDataFrame(
+        [(20, [0.7, 0.7]), (21, [0.0, 0.9]), (22, [-1.0, 0.05])], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+    q2 = run_stream_semantic_dedup(*args, scfg=scfg)
+    q2.awaitTermination(120)
+    got2 = {
+        r["vec_id"]: (r["is_corpus_dup"], r["is_batch_dup"])
+        for r in spark.read.parquet(f"{out}/batch=1").collect()
+    }
+    assert got2 == {20: (True, False), 21: (True, False), 22: (False, False)}
+    assert [
+        r["vec_id"]
+        for r in spark.read.parquet(idx).filter("batch = 1").collect()
+    ] == [22]
+
+    # replay batch 0 (fresh checkpoint + input holding only file 1,
+    # index already containing batch=0's own append): the batch<id
+    # prune keeps the rerun bit-identical — NOT all-dup/empty-append
+    inp2, out2, ckpt2 = (str(tmp_path / d) for d in ("in2", "out2", "ck2"))
+    spark.createDataFrame(
+        [
+            (10, [0.9999, 0.0001]),
+            (11, [0.7, 0.7]),
+            (13, [0.6, 0.8]),
+            (14, [0.6001, 0.7999]),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(inp2)
+    q3 = run_stream_semantic_dedup(
+        spark, inp2, schema, idx, cents, 0.99, out2, ckpt2, scfg=scfg
+    )
+    q3.awaitTermination(120)
+    got3 = {
+        r["vec_id"]: (r["is_corpus_dup"], r["is_batch_dup"])
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got3 == got
+    assert sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(idx).filter("batch = 0").collect()
+    ) == [11, 13]
