@@ -354,8 +354,12 @@ def incremental_neardup_pairs(
     bb = minhash_banded(
         batch, id_col, text_col, num_hashes, bands, shingle_k, seed, materialize, durable
     )
+    # candidate IDS only through the band join + cross-band dedup,
+    # signatures re-joined once per unique pair from each side's
+    # band-0 slice (every doc appears exactly once per band) — the
+    # minhash_lsh_pairs exchange-slimming rework, PERF.md round 7
     l, r = bb.alias("l"), corpus_index.alias("r")
-    pairs = (
+    pair_ids = (
         l.join(
             r,
             on=[
@@ -366,10 +370,19 @@ def incremental_neardup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("batch_id"),
             F.col(f"r.{id_col}").alias("corpus_id"),
-            F.col("l.signature").alias("sig_a"),
-            F.col("r.signature").alias("sig_b"),
         )
-        .dropDuplicates(["batch_id", "corpus_id"])
+        .distinct()
+    )
+    pairs = pair_ids.join(
+        bb.filter(F.col("band") == 0).select(
+            F.col(id_col).alias("batch_id"), F.col("signature").alias("sig_a")
+        ),
+        on="batch_id",
+    ).join(
+        corpus_index.filter(F.col("band") == 0).select(
+            F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_b")
+        ),
+        on="corpus_id",
     )
     # an index built with a different num_hashes would make zip_with pad
     # with NULLs → NULL similarity → every cross-pair silently dropped
@@ -476,6 +489,11 @@ def minhash_lsh_pairs(
     banded = minhash_banded(
         df, id_col, text_col, num_hashes, bands, shingle_k, seed, materialize, durable
     )
+    # every doc appears exactly once per band, so band 0 of the
+    # PRE-cap-filter banded frame IS the (id, signature) table — read
+    # straight off the checkpointed blocks, no dedup exchange (the
+    # cap filter below may remove a doc's band-0 row, so capture now)
+    sigs = banded.filter(F.col("band") == 0).select(id_col, "signature")
 
     star_pairs = None
     if max_bucket_size is not None:
@@ -501,39 +519,50 @@ def minhash_lsh_pairs(
                 ),
             )
         elif oversize_policy == "star":
-            # representative = bucket min over (id, signature); computed in
-            # the same window exchange, so the hot path never joins
-            rep = F.min(F.struct(F.col(id_col), F.col("signature"))).over(w)
+            # representative = bucket min id; computed in the same
+            # window exchange, so the hot path never joins
+            rep = F.min(F.col(id_col)).over(w)
             big = sized.filter(F.col("_bsz") > max_bucket_size).select(
-                rep[id_col].alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                rep["signature"].alias("sig_a"),
-                F.col("signature").alias("sig_b"),
+                rep.alias("id_a"), F.col(id_col).alias("id_b")
             )
             star_pairs = big.filter(F.col("id_a") != F.col("id_b"))
         banded = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
 
+    # Candidate IDS only through the band join and the cross-band
+    # dedup: signatures (num_hashes ints per side) used to ride along
+    # as pair payload, so every band copy of a pair carried ~1 KB
+    # through the distinct exchange and the match count was (first
+    # variant) evaluated once per COPY — near-dup families collide in
+    # ~every band, which multiplied the 64-term scorer by the band
+    # count for nothing. Now the distinct moves 16-byte id rows, and
+    # each side's signature joins back ONCE per unique pair from the
+    # band-0 slice of the checkpointed banded frame. Measured (PERF.md
+    # round 7, 236k docs / 522k true pairs): 26.8 s / 1.86 GB shuffle
+    # (dedup-then-score) and 56.1 s (score-per-copy) → **21.5 s /
+    # 0.16 GB**, identical pair fingerprints on all three.
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.band_hash") == F.col("r.band_hash"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.signature").alias("sig_a"),
-            F.col("r.signature").alias("sig_b"),
-        )
+    pair_ids = left.join(
+        right,
+        on=[
+            F.col("l.band") == F.col("r.band"),
+            F.col("l.band_hash") == F.col("r.band_hash"),
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+        ],
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
     )
     if star_pairs is not None:
-        pairs = pairs.unionByName(star_pairs)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        pair_ids = pair_ids.unionByName(star_pairs)
+    pair_ids = pair_ids.distinct()
+    pairs = pair_ids.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")),
+        on="id_a",
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")),
+        on="id_b",
+    )
 
     # expanded per-position integer match count (codegen-resident; the
     # HOF zip_with/aggregate form evaluates interpreted per element in
@@ -955,12 +984,18 @@ def simhash_near_pairs(
             F.col("l.simhash").alias("sh_a"),
             F.col("r.simhash").alias("sh_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # score before the pair dedup (the embedding_neardup_pairs rework,
+    # PERF.md round 7): bit_count(xor) is identical on every block
+    # copy, and pigeonhole collisions that FAIL the hamming cut — the
+    # majority under random block matches — never reach the exchange.
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1158,9 +1193,11 @@ def embedding_neardup_pairs(
     # of both unit vectors (2×dim doubles per candidate copy). A pair
     # colliding in k bands is scored k times map-side, but every copy
     # computes the IDENTICAL left-to-right arithmetic on the same
-    # inputs, so dropDuplicates keeping an arbitrary copy is
-    # bit-exact — and k extra dot products are the cheap side of the
-    # trade against k×2×dim doubles of shuffle at every dim.
+    # inputs, so every copy is bit-identical and a full-row distinct
+    # dedups them exactly (also dodging a Catalyst
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when a keyed dropDuplicates
+    # follows the star-union plan) — and k extra dot products are the
+    # cheap side of the trade against k×2×dim doubles of shuffle.
     # Measured (PERF.md round 7): 200k×64-dim / 900k output pairs —
     # total shuffle 11.47 → 1.60 GB (7.2×), wall 71.9 → 66.6 s on
     # local[32] where shuffle is page-cache-local (the byte ratio is
@@ -1170,7 +1207,7 @@ def embedding_neardup_pairs(
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .dropDuplicates(["id_a", "id_b"])
+        .distinct()
     )
 
 
