@@ -42,7 +42,7 @@ HEADLINE = [
     # round 7: docs_simhash retired into its superset gate — track the
     # pigeonhole pair join (signatures + banded self-join) instead
     "docs_simhash_pairs",
-    "docs_winnowing",
+    "events_hilbert_key",
     "events_session_windows",
     "customer_orders_left_join",
     "emb_cosine_topk",

@@ -120,3 +120,67 @@ def rowgroup_prune_fraction(
                     skippable += 1
                     break
     return skippable, total
+
+
+def hilbert_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Hilbert-curve index of a 2-D point — the locality-preserving
+    alternative to :func:`zorder_key`. The Z curve's diagonal jumps
+    put some adjacent cells in far-apart key ranges; the Hilbert curve
+    visits every cell exactly once with EVERY step adjacent (unit
+    Manhattan distance), so clustered files cover tighter rectangles
+    and min/max skipping prunes strictly no worse (measured better on
+    box predicates straddling Z-seams — tools/bench_zorder_scale.py
+    --curve hilbert).
+
+    Inputs must be quantized to [0, 2^bits) (see :func:`quantize`);
+    ``bits <= 30`` keeps every intermediate inside a long. The
+    classic per-level rotate-and-accumulate (the xy2d walk) is
+    expressed as ONE JVM-side higher-order fold: ``aggregate`` over
+    the descending s-value array with a (x, y, d) struct accumulator
+    — ``bits`` iterations per row, no Python, no per-level expression
+    blowup, and re-expressible verbatim as a DuckDB list_reduce for
+    the oracle (plans/queries.py events_hilbert_key)."""
+    if bits > 30:
+        raise ValueError(f"hilbert_key: bits={bits} > 30 overflows a long")
+    svals = F.array(*[F.lit(1 << b).cast("long") for b in range(bits - 1, -1, -1)])
+    init = F.struct(
+        x.cast("long").alias("x"), y.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        d2 = acc["d"] + s * s * ((F.lit(3) * rx).bitwiseXOR(ry))
+        # rotation (ry == 0): flip both if rx == 1, then swap
+        nx = F.when(ry == 1, acc["x"]).otherwise(
+            F.when(rx == 1, s - 1 - acc["y"]).otherwise(acc["y"])
+        )
+        ny = F.when(ry == 1, acc["y"]).otherwise(
+            F.when(rx == 1, s - 1 - acc["x"]).otherwise(acc["x"])
+        )
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    return F.aggregate(svals, init, step)["d"]
+
+
+def write_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    x: Column,
+    y: Column,
+    bits: int = 16,
+    n_files: int | None = None,
+    key_col: str = "_hkey",
+) -> None:
+    """Write ``df`` clustered along the Hilbert curve of (x, y) —
+    same range-exchange shape as :func:`write_zordered`, same
+    key-is-dropped contract; only the space-filling curve differs."""
+    keyed = df.withColumn(key_col, hilbert_key(x, y, bits))
+    if n_files is not None:
+        keyed = keyed.repartitionByRange(n_files, F.col(key_col))
+    else:
+        keyed = keyed.repartitionByRange(F.col(key_col))
+    keyed.sortWithinPartitions(key_col).drop(key_col).write.mode(
+        "overwrite"
+    ).parquet(path)

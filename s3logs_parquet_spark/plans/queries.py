@@ -877,37 +877,6 @@ FROM w
 """
 
 
-def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing local fingerprints (Schleimer et al.): per-doc count +
-    min/max of the selected k-gram window minima (scalars rather than
-    the array so the cross-engine compare is unambiguous). Uses the
-    explode+window-function formulation — 34x faster than nested array
-    lambdas (see functions/text_analysis.py)."""
-    from s3logs_parquet_spark.functions.text_analysis import winnowing_stats
-
-    d = _t(spark, sf_dir, "documents")
-    return winnowing_stats(d, "doc_id", "text", k=5, window=4)
-
-
-ORACLE_DOCS_WINNOWING = f"""
-WITH w AS (
-  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
-), g AS (
-  SELECT doc_id,
-         list_transform(generate_series(0, greatest(len(ws) - 5, 0)),
-                        i -> {hash32_sql("array_to_string(array_slice(ws, i + 1, i + 5), ' ')")}) AS grams
-  FROM w
-), win AS (
-  SELECT doc_id,
-         list_sort(list_distinct(
-           list_transform(generate_series(0, greatest(len(grams) - 4, 0)),
-                          i -> list_min(array_slice(grams, i + 1, i + 4))))) AS fps
-  FROM g
-)
-SELECT doc_id, len(fps)::INT AS n_fp, list_min(fps) AS min_fp, list_max(fps) AS max_fp FROM win
-"""
-
-
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content digest-groupBy: canonical doc per
     distinct text + multiplicity. Groups on md5(text) — not text — so
@@ -2846,6 +2815,50 @@ FROM (
 """
 
 
+def q_events_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key (operators/layout.py hilbert_key):
+    10 bits each of a user bucket and a time bucket — the
+    locality-preserving alternative write_hilbert_clustered
+    range-partitions on (every curve step is unit Manhattan distance,
+    so clustered files cover tighter rectangles than the Z curve's
+    seam-jumping ranges). Spark runs the xy2d walk as ONE JVM-side
+    higher-order fold over the descending s-value array with a
+    (x, y, d) struct accumulator; the oracle replays the identical
+    per-level rotate-and-accumulate as a DuckDB recursive CTE
+    (DuckDB 1.0's list_reduce mis-vectorizes branching struct lambdas
+    across rows, so the fold form is Spark-side only), value-checking
+    every level's rotation arithmetic."""
+    from s3logs_parquet_spark.operators.layout import hilbert_key
+
+    e = _t(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(1024))
+    y = F.pmod(F.unix_timestamp("ts"), F.lit(1024))
+    return e.select("event_id", hilbert_key(x, y, bits=10).alias("hkey"))
+
+
+def _oracle_events_hilbert(bits: int = 10) -> str:
+    return f"""
+WITH RECURSIVE src AS (
+  SELECT event_id,
+         (user_id % 1024)::BIGINT AS x0,
+         (floor(epoch(ts))::BIGINT % 1024)::BIGINT AS y0
+  FROM events
+), h AS (
+  SELECT event_id, x0 AS x, y0 AS y, {1 << (bits - 1)}::BIGINT AS s, 0::BIGINT AS d
+  FROM src
+  UNION ALL
+  SELECT event_id,
+    CASE WHEN (y & s) > 0 THEN x WHEN (x & s) > 0 THEN s - 1 - y ELSE y END,
+    CASE WHEN (y & s) > 0 THEN y WHEN (x & s) > 0 THEN s - 1 - x ELSE x END,
+    s // 2,
+    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END)::BIGINT,
+                    (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)::BIGINT)
+  FROM h WHERE s > 0
+)
+SELECT event_id, d AS hkey FROM h WHERE s = 0
+"""
+
+
 def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPS systematic sampling (operators/sampling.py): ~50 docs drawn
     with probability proportional to n_chars — the deterministic
@@ -3122,7 +3135,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "s3log_pipeline_roundtrip": (q_log_pipeline, ORACLE_LOG_PIPELINE),
     "s3log_parse_fields": (q_log_parse_fields, ORACLE_LOG_PARSE_FIELDS),
     "docs_token_stats": (q_docs_token_stats, ORACLE_DOCS_TOKEN_STATS),
-    "docs_winnowing": (q_docs_winnowing, ORACLE_DOCS_WINNOWING),
+    # docs_winnowing retired round 7 into its superset docs_decontaminate
+    # (the winnowing fingerprint pipeline is recomputed and hash-matched
+    # inside the decontamination overlap oracle — the docs_simhash ->
+    # docs_simhash_pairs retirement precedent); the function itself stays
+    # pytest-covered (test_text_functions).
     "docs_exact_dedup": (q_docs_exact_dedup, ORACLE_DOCS_EXACT_DEDUP),
     "docs_ngram_jaccard_pairs": (q_docs_jaccard_pairs, ORACLE_DOCS_JACCARD),
     # docs_simhash retired round 7: the signature computation is fully
@@ -3241,6 +3258,7 @@ QUERIES["emb_ivfpq_topk"] = (q_emb_ivfpq_topk, _oracle_emb_ivfpq())
 QUERIES["docs_dup_ngram_fraction"] = (q_docs_dup_ngram_fraction, ORACLE_DOCS_DUP_NGRAM)
 QUERIES["docs_tfidf_similar_pairs"] = (q_docs_tfidf_similar_pairs, ORACLE_DOCS_TFIDF_PAIRS)
 QUERIES["events_zorder_key"] = (q_events_zorder_key, _oracle_events_zorder())
+QUERIES["events_hilbert_key"] = (q_events_hilbert_key, _oracle_events_hilbert())
 
 
 def q_lineitem_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3725,7 +3743,9 @@ _DRIVER_WINDOW_R07 = [
     "log_schema_widening",
     "partition_prefix_tz",
     "docs_token_stats",
-    "docs_winnowing",
+    # NEW round-7 gate: slot of retired docs_winnowing (fingerprints
+    # value-checked inside docs_decontaminate)
+    "events_hilbert_key",
     "docs_ngram_jaccard_pairs",
     # NEW round-7 gate (VERDICT r6 #1): slot of retired docs_simhash
     # (signature computation value-checked per-pair inside

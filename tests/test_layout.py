@@ -93,3 +93,112 @@ def test_zorder_layout_prunes_where_linear_sort_cannot(spark, tmp_path):
     a = spark.read.parquet(linear).groupBy().agg(F.sum("x"), F.sum("y"), F.count("*")).collect()
     b = spark.read.parquet(zpath).groupBy().agg(F.sum("x"), F.sum("y"), F.count("*")).collect()
     assert a == b
+
+
+def _xy2d(n: int, x: int, y: int) -> int:
+    """Pure-Python Hilbert xy2d reference (the classic per-level
+    rotate-and-accumulate walk)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_python_model(spark):
+    """Exhaustive 16x16 grid plus random 16-bit points agree with the
+    reference walk — the JVM-side struct-fold is exact."""
+    import random
+
+    from s3logs_parquet_spark.operators.layout import hilbert_key
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    rng = random.Random(7)
+    big = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.select(
+            "x", "y", hilbert_key(F.col("x"), F.col("y"), 4).alias("h")
+        ).collect()
+    }
+    assert got == {(x, y): _xy2d(16, x, y) for x, y in rows}
+    df2 = spark.createDataFrame(big, ["x", "y"])
+    got2 = {
+        (r["x"], r["y"]): r["h"]
+        for r in df2.select(
+            "x", "y", hilbert_key(F.col("x"), F.col("y"), 16).alias("h")
+        ).collect()
+    }
+    assert all(got2[(x, y)] == _xy2d(1 << 16, x, y) for x, y in big)
+
+
+def test_hilbert_key_unit_step_locality(spark):
+    """Every consecutive pair along the curve is Manhattan-adjacent and
+    the curve visits every cell exactly once — the property that makes
+    Hilbert clustering strictly tighter than the Z curve's seam jumps."""
+    from s3logs_parquet_spark.operators.layout import hilbert_key
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {
+        r["h"]: (r["x"], r["y"])
+        for r in df.select(
+            "x", "y", hilbert_key(F.col("x"), F.col("y"), 5).alias("h")
+        ).collect()
+    }
+    assert sorted(got) == list(range(32 * 32))
+    cells = [got[d] for d in range(32 * 32)]
+    assert all(
+        abs(a[0] - b[0]) + abs(a[1] - b[1]) == 1
+        for a, b in zip(cells, cells[1:])
+    )
+
+
+def test_hilbert_key_validates_width():
+    import pytest
+
+    from s3logs_parquet_spark.operators.layout import hilbert_key
+
+    with pytest.raises(ValueError, match="bits"):
+        hilbert_key(F.lit(0), F.lit(0), bits=31)
+
+
+def test_hilbert_layout_prunes_like_zorder(spark, tmp_path):
+    """write_hilbert_clustered prunes a 2-D box at least as well as
+    z-order on the same data (unit-step locality => every file covers
+    a rectangle at least as tight), and holds identical data."""
+    from s3logs_parquet_spark.operators.layout import (
+        rowgroup_prune_fraction,
+        write_hilbert_clustered,
+        write_zordered,
+    )
+
+    n = 200_000
+    df = spark.range(0, n).select(
+        F.col("id"),
+        F.pmod(F.col("id") * 7919, F.lit(1024)).alias("x"),
+        F.pmod(F.col("id") * 104729, F.lit(1024)).alias("y"),
+    )
+    zpath = str(tmp_path / "z")
+    hpath = str(tmp_path / "h")
+    write_zordered(df, zpath, [F.col("x"), F.col("y")], bits=10, n_files=16)
+    write_hilbert_clustered(df, hpath, F.col("x"), F.col("y"), bits=10, n_files=16)
+
+    pred = {"x": (0.0, 127.0), "y": (0.0, 127.0)}  # 1/64 box
+    skip_z, tot_z = rowgroup_prune_fraction(zpath, pred)
+    skip_h, tot_h = rowgroup_prune_fraction(hpath, pred)
+    assert tot_z > 0 and tot_h > 0
+    assert skip_h / tot_h >= skip_z / tot_z - 1e-9, (skip_h, tot_h, skip_z, tot_z)
+    assert skip_h / tot_h >= 0.5
+
+    a = spark.read.parquet(zpath).groupBy().agg(F.sum("x"), F.sum("y"), F.count("*")).collect()
+    b = spark.read.parquet(hpath).groupBy().agg(F.sum("x"), F.sum("y"), F.count("*")).collect()
+    assert a == b
