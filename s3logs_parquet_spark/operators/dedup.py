@@ -1136,6 +1136,10 @@ def embedding_neardup_pairs(
     )
     if materialize:
         banded = _materialize(banded, durable)
+    # band 0 of the PRE-cap-filter banded frame is the per-id
+    # (unit vector, norm) table — straight off the checkpointed
+    # blocks, one row per input (the minhash band-0 trick)
+    vecs = banded.filter(F.col("band") == 0).select(id_col, "_unit", "_un")
 
     star_pairs = None
     if max_bucket_size is not None:
@@ -1157,20 +1161,27 @@ def embedding_neardup_pairs(
                 ),
             )
         elif oversize_policy == "star":
-            rep = F.min(F.struct(F.col(id_col), F.col("_unit"), F.col("_un"))).over(w)
+            rep = F.min(F.col(id_col)).over(w)
             big = sized.filter(F.col("_bsz") > max_bucket_size).select(
-                rep[id_col].alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                rep["_unit"].alias("va"),
-                F.col("_unit").alias("vb"),
-                rep["_un"].alias("na"),
-                F.col("_un").alias("nb"),
+                rep.alias("id_a"), F.col(id_col).alias("id_b")
             )
             star_pairs = big.filter(F.col("id_a") != F.col("id_b"))
         banded = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
 
+    # Candidate IDS only through the band join and the cross-band
+    # distinct (16-byte rows), then each side's unit vector + norm
+    # joins back ONCE per unique pair and the exact cosine evaluates
+    # ONCE per pair — the same exchange-slimming shape as
+    # minhash_lsh_pairs. Both alternatives were measured and rejected
+    # (PERF.md round 7 "the pair-exchange rework"): carrying vectors
+    # as pair payload shuffles 2×dim doubles per candidate COPY
+    # (11.47 GB at 200k×64); scoring per copy before the dedup wins
+    # only when the threshold kills most candidates — at the gate's
+    # low-threshold shape (0.45, 12 bands) survivors dominate and the
+    # dim-64 dot ran 12× per pair (bench regression 4.0 → 7.1 s).
+    # Id-dedup + rejoin is the shape that wins at BOTH regimes.
     l, r = banded.alias("l"), banded.alias("r")
-    pairs = l.join(
+    pair_ids = l.join(
         r,
         on=[
             F.col("l.band") == F.col("r.band"),
@@ -1180,34 +1191,43 @@ def embedding_neardup_pairs(
     ).select(
         F.col(f"l.{id_col}").alias("id_a"),
         F.col(f"r.{id_col}").alias("id_b"),
-        F.col("l._unit").alias("va"),
-        F.col("r._unit").alias("vb"),
-        F.col("l._un").alias("na"),
-        F.col("r._un").alias("nb"),
     )
     if star_pairs is not None:
-        pairs = pairs.unionByName(star_pairs)
-    # Score BEFORE the pair dedup: candidates failing the threshold
-    # (typically most of them) never reach the exchange, and the
-    # survivors shuffle (id_a, id_b, cosine) — three scalars — instead
-    # of both unit vectors (2×dim doubles per candidate copy). A pair
-    # colliding in k bands is scored k times map-side, but every copy
-    # computes the IDENTICAL left-to-right arithmetic on the same
-    # inputs, so every copy is bit-identical and a full-row distinct
-    # dedups them exactly (also dodging a Catalyst
-    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when a keyed dropDuplicates
-    # follows the star-union plan) — and k extra dot products are the
-    # cheap side of the trade against k×2×dim doubles of shuffle.
-    # Measured (PERF.md round 7): 200k×64-dim / 900k output pairs —
-    # total shuffle 11.47 → 1.60 GB (7.2×), wall 71.9 → 66.6 s on
-    # local[32] where shuffle is page-cache-local (the byte ratio is
-    # the cluster-relevant number), fingerprints identical.
+        pair_ids = pair_ids.unionByName(star_pairs)
+    pair_ids = pair_ids.distinct()
+    pairs = pair_ids.join(
+        vecs.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_unit").alias("va"),
+            F.col("_un").alias("na"),
+        ),
+        on="id_a",
+    ).join(
+        vecs.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_unit").alias("vb"),
+            F.col("_un").alias("nb"),
+        ),
+        on="id_b",
+    )
     cos = dot_expanded("va", "vb", dim) / (F.col("na") * F.col("nb"))
+    # Score through a (id_a, id_b) aggregate rather than a bare
+    # filter/projection: with the cosine in the OUTPUT, Catalyst fuses
+    # the dim-wide expression into the join stage's whole-stage-codegen
+    # method, which blows the 64KB method fallback and drops the WHOLE
+    # stage to interpreted eval (measured 7.8-9.0 s at sf0.1 under the
+    # noop sink — while count(), which prunes the output column, ran
+    # 1.2 s). Projecting the dot into a partial aggregate keeps it in
+    # a JIT-able method shape on every consumer path; the exchange
+    # carries (id_a, id_b, cosine) = 24 bytes/row, groups are
+    # singletons (ids already distinct), and min() of identical values
+    # is the value itself — bit-exact. Measured: noop 7.8 → 1.1 s,
+    # count 1.2 → 1.3 s (PERF.md round 7 "the pair-exchange rework").
     return (
-        pairs.withColumn("cosine", cos)
+        pairs.select("id_a", "id_b", cos.alias("_c"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("_c").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-        .distinct()
     )
 
 

@@ -94,5 +94,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The engine's expanded arithmetic kernels (pair cosine, minhash
+        # match count, banding) generate single methods past HotSpot's
+        # HugeMethodLimit (8,000 bytecode bytes): by default the JIT
+        # REFUSES them and the hottest per-pair loops run bytecode-
+        # interpreted (measured 7.2 s -> 1.1 s on the emb_neardup pair
+        # scorer at sf0.1 with the refusal lifted; PERF.md round 7
+        # "huge-method JIT"). Whole-stage codegen can't split a single
+        # expression across methods, so lifting the limit is the right
+        # engine-level default. Executor option included for the real
+        # multi-JVM cluster; in local mode the driver hosts everything.
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
     )
     return builder.getOrCreate()
