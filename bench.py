@@ -46,8 +46,12 @@ HEADLINE = [
     "events_session_windows",
     "customer_orders_left_join",
     "emb_cosine_topk",
-    # round-2 operator family, tracked since round 3 (VERDICT r2 #7)
-    "events_asof_click",
+    # round-2 operator family, tracked since round 3 (VERDICT r2 #7);
+    # round 7: plain events_asof_click retired into the chunked twin
+    # (same query + oracle), its bench slot goes to the new
+    # ExactSubstr-style span-coverage gate (explode + 3 hash aggs +
+    # one keyed gaps-and-islands window)
+    "docs_duplicated_spans",
     "events_asof_click_chunked",
     "events_range_pairs",
     "events_kmv_distinct",

@@ -1431,6 +1431,150 @@ def dup_ngram_fraction(
     )
 
 
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_docs: int = 2,
+    hash_ngrams: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style cross-document span coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, the MERGED token spans covered by word ``n``-grams that
+    also occur in at least ``min_docs`` distinct documents — i.e. which
+    contiguous stretches an exact-substring dedup pass would remove,
+    and how much of the document they cover.
+
+    This is the position-aware complement of :func:`dup_ngram_fraction`
+    (which counts duplicated OCCURRENCES): two documents sharing one
+    long boilerplate block have a handful of long spans here, while a
+    document whose common trigrams are scattered shows many short
+    spans. The reference has no text-curation surface; this extends the
+    D1 dedup family to the training-data-pipeline shape.
+
+    Plan, in scan order (all built-ins, no Python):
+    1. map-only n-gram expansion carrying the START POSITION — one
+       struct array built by transform over 1..len-n+1, exploded;
+    2. hash-agg the distinct (doc, ngram) pairs, then hash-agg by
+       ngram to document frequency, filtered to >= ``min_docs`` — the
+       survivor table is the cross-document boilerplate tail, far
+       smaller than the n-gram universe;
+    3. shuffle left-semi join of the positioned starts against the
+       survivors on the ngram (high-cardinality uniform key — never
+       broadcast by assumption: the survivor side GROWS with corpus
+       duplication);
+    4. one exchange on the doc id for the gaps-and-islands merge: lag
+       + running sum over the same (doc, pos) sort — two window
+       functions, one sort. A new island starts when the gap to the
+       previous start exceeds ``n`` (strictly-overlapping OR
+       exactly-adjacent starts merge into one maximal span);
+    5. island hash-agg (cov = max(pos) - min(pos) + n) and a final
+       per-doc hash-agg, left-joined back to per-doc token totals so
+       span-free documents report zero coverage.
+
+    Shuffle keys are (doc,ngram) / ngram / doc — the identical
+    100 TB shape as dup_ngram_fraction plus one keyed window; nothing
+    collects, nothing is quadratic (positions are linear in tokens,
+    islands are disjoint by construction).
+
+    Output: (id_col, n_tokens, n_spans, dup_tokens, dup_coverage) with
+    dup_coverage = dup_tokens / n_tokens rounded to 6 places (NULL for
+    empty documents).
+
+    ``hash_ngrams=True`` keys the three n-gram exchanges on
+    xxhash64 over the token slice (8 bytes, no string materialization)
+    instead of the joined n-gram text (~6-8 bytes/token): at corpus
+    scale this cuts the dominant (doc, ngram) exchange roughly
+    n·token-width / 8 ≈ 10× for n=13. The trade is a quantified
+    collision risk (~G²/2⁶⁵ for G distinct n-grams — at 10⁹ grams
+    ~3%, and a collision only perturbs one gram's doc-frequency, it
+    cannot fabricate a whole span) — content-exact string keys remain
+    the default and the oracle-gated mode.
+    """
+    from s3logs_parquet_spark.functions.text_analysis import words
+
+    n = int(n)
+    if n < 1:
+        raise ValueError(f"duplicated_spans: n must be >= 1, got {n}")
+    n_lit = F.lit(n)
+    toks = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    if hash_ngrams:
+        gram = lambda i: F.xxhash64(F.slice("_w", i, n_lit))  # noqa: E731
+        gram_t = "bigint"
+    else:
+        gram = lambda i: F.array_join(  # noqa: E731
+            F.slice("_w", i, n_lit), " "
+        )
+        gram_t = "string"
+    starts = (
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("_w") >= n_lit,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_w") - n_lit + 1),
+                        lambda i: F.struct(
+                            i.alias("pos"), gram(i).alias("ng")
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast(f"array<struct<pos:int,ng:{gram_t}>>")
+                )
+            ).alias("_s"),
+        )
+        .select(F.col(id_col), F.col("_s.pos").alias("_pos"), F.col("_s.ng").alias("_ng"))
+    )
+    pairs = starts.select(id_col, "_ng").distinct()
+    frequent = (
+        pairs.groupBy("_ng")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+        .filter(F.col("_n_docs") >= F.lit(int(min_docs)))
+        .select("_ng")
+    )
+    dup_starts = starts.join(frequent, on="_ng", how="left_semi").select(
+        id_col, "_pos"
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    islands = (
+        dup_starts.withColumn(
+            "_brk",
+            F.when(F.col("_pos") - F.lag("_pos").over(w) <= n_lit, F.lit(0))
+            .otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    spans = islands.groupBy(id_col, "_isl").agg(
+        (F.max("_pos") - F.min("_pos") + n_lit).alias("_cov")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("_cov").alias("dup_tokens"),
+    )
+    totals = toks.select(F.col(id_col), F.size("_w").alias("n_tokens"))
+    return totals.join(per_doc, on=id_col, how="left").select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0))
+        .cast("long")
+        .alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"),
+                6,
+            ),
+        ).alias("dup_coverage"),
+    )
+
+
 def semantic_assign(
     df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:

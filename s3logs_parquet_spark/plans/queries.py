@@ -2004,26 +2004,12 @@ FROM h ORDER BY hh, doc_id LIMIT 50
 """
 
 
-def q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: for each error event, the most recent click by the
-    same user at-or-before it (backward-inclusive). Spark has no ASOF
-    primitive — operators/temporal.py re-expresses it as union + one
-    keyed analytic window (single shuffle, no join explosion); DuckDB
-    runs its native ASOF JOIN as the oracle."""
-    from s3logs_parquet_spark.operators.temporal import asof_join
-
-    e = _t(spark, sf_dir, "events")
-    err = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
-    clk = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    j = asof_join(err, clk, time_col="ts", by=["user_id"], right_cols=["event_id"])
-    return j.select(
-        "event_id",
-        "user_id",
-        F.unix_timestamp("ts").alias("err_epoch"),
-        F.col("event_id_r").alias("click_id"),
-        F.unix_timestamp("ts_r").alias("click_epoch"),
-    )
-
+# (q_events_asof_click retired round 7 into q_events_asof_click_chunked
+# below: the identical backward-inclusive as-of query and the identical
+# DuckDB native-ASOF oracle, driver-gated through the skew-chunked path.
+# The plain single-window path stays driver-gated via
+# q_events_asof_next_click / q_events_asof_nearest_click and
+# pytest-covered by tests/test_temporal.py.)
 
 ORACLE_EVENTS_ASOF = """
 SELECT a.event_id, a.user_id,
@@ -2783,6 +2769,62 @@ GROUP BY p.doc_id
 """
 
 
+def q_docs_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span coverage
+    (operators/dedup.py duplicated_spans): per document, the MERGED
+    token spans covered by 13-grams occurring in >=2 distinct docs —
+    which stretches an exact-substring dedup pass would cut, and the
+    covered-token fraction. The oracle replays the identical
+    gaps-and-islands window SQL (lag + running break-sum) in DuckDB."""
+    from s3logs_parquet_spark.operators.dedup import duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_spans(d, "doc_id", "text", n=13, min_docs=2)
+
+
+def _oracle_docs_dup_spans(n: int = 13, min_docs: int = 2) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), starts AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[i:i+{n - 1}], ' ') AS ng
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {n - 1})) AS i FROM toks)
+), pairs AS (
+  SELECT DISTINCT doc_id, ng FROM starts
+), freq AS (
+  SELECT ng FROM pairs GROUP BY ng HAVING count(*) >= {min_docs}
+), dup_starts AS (
+  SELECT s.doc_id, s.pos FROM starts s JOIN freq f USING (ng)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w <= {n} THEN 0 ELSE 1 END AS brk
+  FROM dup_starts WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), islands AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged
+), spans AS (
+  SELECT doc_id, isl, max(pos) - min(pos) + {n} AS cov
+  FROM islands GROUP BY doc_id, isl
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(cov) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(t.ws)::BIGINT AS n_tokens,
+       coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+       CASE WHEN len(t.ws) > 0
+            THEN round(coalesce(p.dup_tokens, 0)::DOUBLE / len(t.ws), 6)
+       END AS dup_coverage
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+ORACLE_DOCS_DUP_SPANS = _oracle_docs_dup_spans()
+
+
 def q_events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave key (operators/layout.py
     zorder_key): 10 bits each of a user bucket and a time bucket — the
@@ -3122,7 +3164,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_sliding_means": (q_events_sliding, ORACLE_EVENTS_SLIDING),
     "events_session_windows": (q_events_sessions, ORACLE_EVENTS_SESSIONS),
     "events_json_props": (q_events_json_props, ORACLE_EVENTS_JSON_PROPS),
-    "events_asof_click": (q_events_asof_click, ORACLE_EVENTS_ASOF),
+    # events_asof_click retired round 7 into its superset
+    # events_asof_click_chunked: the SAME query and the SAME DuckDB
+    # native-ASOF oracle, driver-gated through the skew-chunked path
+    # (which reduces to the plain path per the boundary-carry pytest);
+    # the plain path itself stays driver-gated via events_asof_next_click
+    # and events_asof_nearest_click below.
     "events_asof_click_chunked": (q_events_asof_click_chunked, ORACLE_EVENTS_ASOF),
     "events_asof_next_click": (q_events_asof_next_click, ORACLE_EVENTS_ASOF_NEXT),
     "events_asof_nearest_click": (q_events_asof_nearest_click, ORACLE_EVENTS_ASOF_NEAREST),
@@ -3256,6 +3303,7 @@ QUERIES["orders_bloom_customer_revenue"] = (
 )
 QUERIES["emb_ivfpq_topk"] = (q_emb_ivfpq_topk, _oracle_emb_ivfpq())
 QUERIES["docs_dup_ngram_fraction"] = (q_docs_dup_ngram_fraction, ORACLE_DOCS_DUP_NGRAM)
+QUERIES["docs_duplicated_spans"] = (q_docs_duplicated_spans, ORACLE_DOCS_DUP_SPANS)
 QUERIES["docs_tfidf_similar_pairs"] = (q_docs_tfidf_similar_pairs, ORACLE_DOCS_TFIDF_PAIRS)
 QUERIES["events_zorder_key"] = (q_events_zorder_key, _oracle_events_zorder())
 QUERIES["events_hilbert_key"] = (q_events_hilbert_key, _oracle_events_hilbert())
@@ -3736,7 +3784,10 @@ _DRIVER_WINDOW_R07 = [
     "events_sliding_means",
     "events_session_windows",
     "events_json_props",
-    "events_asof_click",
+    # NEW round-7 gate: slot of retired events_asof_click (the SAME
+    # query + oracle stays driver-gated through the chunked twin; the
+    # plain path through the next/nearest as-of gates below)
+    "docs_duplicated_spans",
     "events_range_pairs",
     "events_kmv_distinct",
     "events_hourly_rollup",

@@ -54,6 +54,20 @@ def test_dedup_single_exchange(spark):
     assert plan.count("+- Exchange") == 1
 
 
+def test_duplicated_spans_shuffle_budget(spark, sf_dir):
+    """The gaps-and-islands merge must reuse ONE doc-keyed exchange for
+    the lag window, the break-sum window, AND both downstream
+    (doc,island)/(doc) hash-aggs. Exactly three shuffles total —
+    (doc,ngram) distinct, ngram doc-frequency, doc windows — over ONE
+    sort; a fourth Exchange or second Sort means the doc clustering
+    was lost between the windows and the island aggregation."""
+    plan = _plan(spark, QUERIES["docs_duplicated_spans"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("+- Window") == 2
+    assert plan.count("+- Exchange") == 3
+    assert plan.count("+- Sort") == 1
+
+
 def test_ann_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, QUERIES["emb_cosine_topk"][0](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

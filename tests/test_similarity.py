@@ -467,6 +467,123 @@ def test_dup_ngram_fraction_counts_occurrences_not_types(spark):
     assert abs(out[1]["dup_fraction"] - 0.5) < 1e-6  # 2 of 4 occurrences
 
 
+def test_duplicated_spans_merges_overlapping_runs(spark):
+    """Two disjoint duplicated runs in one doc merge into two maximal
+    spans; coverage counts the union of covered token positions, not
+    the sum of n-gram occurrences."""
+    from s3logs_parquet_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            # "a b c d e" duplicated at both ends, unique middle
+            (1, "a b c d e x y z a b c d e"),
+            (2, "p q a b c d e r s"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans(docs, n=3, min_docs=2).collect()
+    }
+    # doc1: dup trigram starts {1,2,3, 9,10,11} -> islands [1..3],[9..11],
+    # each covering 5 tokens
+    assert out[1]["n_tokens"] == 13
+    assert out[1]["n_spans"] == 2
+    assert out[1]["dup_tokens"] == 10
+    assert abs(out[1]["dup_coverage"] - 10 / 13) < 1e-6
+    # doc2: one island [3..5] covering "a b c d e"
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 5
+    assert abs(out[2]["dup_coverage"] - 5 / 9) < 1e-6
+
+
+def test_duplicated_spans_adjacent_starts_merge(spark):
+    """Starts exactly n apart produce contiguous coverage and merge
+    into ONE maximal span (pos - lag == n keeps the island open)."""
+    from s3logs_parquet_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans(docs, n=3, min_docs=2).collect()
+    }
+    # doc1 dup starts {1, 4}: spans [1,3] and [4,6] are adjacent -> one
+    # island covering the whole doc
+    assert out[1]["n_spans"] == 1
+    assert out[1]["dup_tokens"] == 6
+    assert out[1]["dup_coverage"] == 1.0
+    assert out[2]["n_spans"] == 1 and out[2]["dup_coverage"] == 1.0
+
+
+def test_duplicated_spans_reports_span_free_and_short_docs(spark):
+    """Unlike dup_ngram_fraction, every document appears in the output:
+    span-free and too-short docs report zero spans; an empty doc
+    reports NULL coverage (0/0 undefined)."""
+    from s3logs_parquet_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox jumped high"),
+            (2, "see the quick fox"),
+            (3, "completely different words here"),
+            (4, "too short"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans(docs, n=3, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # docs 1/2 share "the quick fox": one 3-token span each
+    assert out[1]["n_spans"] == 1 and out[1]["dup_tokens"] == 3
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 3
+    assert out[3]["n_spans"] == 0 and out[3]["dup_coverage"] == 0.0
+    assert out[4]["n_tokens"] == 2 and out[4]["n_spans"] == 0
+    assert out[5]["n_tokens"] == 0 and out[5]["dup_coverage"] is None
+
+
+def test_duplicated_spans_hash_mode_parity(spark):
+    """hash_ngrams=True (8-byte xxhash64 slice keys, the corpus-scale
+    exchange) must give the same answer as the content-exact string
+    keys on a collision-free corpus."""
+    from s3logs_parquet_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z a b c d e"),
+            (2, "p q a b c d e r s"),
+            (3, "completely different words here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        tuple(r) for r in duplicated_spans(docs, n=3, min_docs=2).collect()
+    )
+    hashed = sorted(
+        tuple(r)
+        for r in duplicated_spans(
+            docs, n=3, min_docs=2, hash_ngrams=True
+        ).collect()
+    )
+    assert exact == hashed
+
+
+def test_duplicated_spans_empty_input_and_param_guard(spark):
+    import pytest
+
+    from s3logs_parquet_spark.operators.dedup import duplicated_spans
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert duplicated_spans(empty).count() == 0
+    with pytest.raises(ValueError, match="n must be"):
+        duplicated_spans(empty, n=0)
+
+
 def test_tfidf_similar_pairs_hand_corpus(spark):
     """Near-identical docs (one rare-word edit) score high; docs
     sharing only ubiquitous terms score ~0 and never pair. Weights are

@@ -29,7 +29,9 @@ FLAGGED = [
     "events_tumbling_window",
     "tpch_q3_shipping_priority",
 ]
-CONTROLS = ["events_asof_click", "docs_token_stats"]
+# (events_asof_click was the r6 control; retired round 7 into the
+# chunked twin — same query, same oracle)
+CONTROLS = ["events_asof_click_chunked", "docs_token_stats"]
 
 
 def main() -> None:
