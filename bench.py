@@ -37,7 +37,10 @@ HEADLINE = [
     "events_tumbling_window",
     "events_sliding_means",
     "s3log_pipeline_roundtrip",
-    "docs_token_stats",
+    # round 7: docs_token_stats retired into docs_quality_score /
+    # docs_chunk_windows_bpe; its bench slot tracks the ExactSubstr
+    # excision (spans + position anti-join + ordered rebuild)
+    "docs_remove_dup_spans",
     "docs_minhash_lsh_pairs",
     # round 7: docs_simhash retired into its superset gate — track the
     # pigeonhole pair join (signatures + banded self-join) instead

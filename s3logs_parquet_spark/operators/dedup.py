@@ -1431,6 +1431,71 @@ def dup_ngram_fraction(
     )
 
 
+def _dup_span_islands(
+    toks: DataFrame,
+    id_col: str,
+    n: int,
+    min_docs: int,
+    hash_ngrams: bool,
+) -> DataFrame:
+    """Shared core of :func:`duplicated_spans` /
+    :func:`remove_duplicated_spans`: from (id, _w token-array) rows to
+    one row per MERGED duplicated span — (id, _isl, _start, _end),
+    1-based inclusive token positions, islands disjoint per document.
+    See duplicated_spans for the plan narrative."""
+    n = int(n)
+    if n < 1:
+        raise ValueError(f"duplicated_spans: n must be >= 1, got {n}")
+    n_lit = F.lit(n)
+    if hash_ngrams:
+        gram = lambda i: F.xxhash64(F.slice("_w", i, n_lit))  # noqa: E731
+        gram_t = "bigint"
+    else:
+        gram = lambda i: F.array_join(  # noqa: E731
+            F.slice("_w", i, n_lit), " "
+        )
+        gram_t = "string"
+    starts = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_w") >= n_lit,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - n_lit + 1),
+                    lambda i: F.struct(i.alias("pos"), gram(i).alias("ng")),
+                ),
+            ).otherwise(F.array().cast(f"array<struct<pos:int,ng:{gram_t}>>"))
+        ).alias("_s"),
+    ).select(
+        F.col(id_col), F.col("_s.pos").alias("_pos"), F.col("_s.ng").alias("_ng")
+    )
+    pairs = starts.select(id_col, "_ng").distinct()
+    frequent = (
+        pairs.groupBy("_ng")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+        .filter(F.col("_n_docs") >= F.lit(int(min_docs)))
+        .select("_ng")
+    )
+    dup_starts = starts.join(frequent, on="_ng", how="left_semi").select(
+        id_col, "_pos"
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    islands = dup_starts.withColumn(
+        "_brk",
+        F.when(F.col("_pos") - F.lag("_pos").over(w) <= n_lit, F.lit(0))
+        .otherwise(F.lit(1)),
+    ).withColumn(
+        "_isl",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return islands.groupBy(id_col, "_isl").agg(
+        F.min("_pos").alias("_start"),
+        (F.max("_pos") + n_lit - 1).alias("_end"),
+    )
+
+
 def duplicated_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1494,64 +1559,9 @@ def duplicated_spans(
     """
     from s3logs_parquet_spark.functions.text_analysis import words
 
-    n = int(n)
-    if n < 1:
-        raise ValueError(f"duplicated_spans: n must be >= 1, got {n}")
-    n_lit = F.lit(n)
     toks = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
-    if hash_ngrams:
-        gram = lambda i: F.xxhash64(F.slice("_w", i, n_lit))  # noqa: E731
-        gram_t = "bigint"
-    else:
-        gram = lambda i: F.array_join(  # noqa: E731
-            F.slice("_w", i, n_lit), " "
-        )
-        gram_t = "string"
-    starts = (
-        toks.select(
-            F.col(id_col),
-            F.explode(
-                F.when(
-                    F.size("_w") >= n_lit,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("_w") - n_lit + 1),
-                        lambda i: F.struct(
-                            i.alias("pos"), gram(i).alias("ng")
-                        ),
-                    ),
-                ).otherwise(
-                    F.array().cast(f"array<struct<pos:int,ng:{gram_t}>>")
-                )
-            ).alias("_s"),
-        )
-        .select(F.col(id_col), F.col("_s.pos").alias("_pos"), F.col("_s.ng").alias("_ng"))
-    )
-    pairs = starts.select(id_col, "_ng").distinct()
-    frequent = (
-        pairs.groupBy("_ng")
-        .agg(F.count(F.lit(1)).alias("_n_docs"))
-        .filter(F.col("_n_docs") >= F.lit(int(min_docs)))
-        .select("_ng")
-    )
-    dup_starts = starts.join(frequent, on="_ng", how="left_semi").select(
-        id_col, "_pos"
-    )
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    islands = (
-        dup_starts.withColumn(
-            "_brk",
-            F.when(F.col("_pos") - F.lag("_pos").over(w) <= n_lit, F.lit(0))
-            .otherwise(F.lit(1)),
-        )
-        .withColumn(
-            "_isl",
-            F.sum("_brk").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-    )
-    spans = islands.groupBy(id_col, "_isl").agg(
-        (F.max("_pos") - F.min("_pos") + n_lit).alias("_cov")
+    spans = _dup_span_islands(toks, id_col, n, min_docs, hash_ngrams).select(
+        id_col, "_isl", (F.col("_end") - F.col("_start") + 1).alias("_cov")
     )
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
@@ -1572,6 +1582,78 @@ def duplicated_spans(
                 6,
             ),
         ).alias("dup_coverage"),
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_docs: int = 2,
+    hash_ngrams: bool = False,
+) -> DataFrame:
+    """The APPLY half of ExactSubstr dedup: excise the merged
+    cross-document duplicated spans :func:`duplicated_spans` reports
+    and emit the cleaned TOKEN sequence per document — what the
+    training-data pipeline actually feeds downstream (Lee et al. 2022
+    cut the repeated substring from all but one occurrence; like that
+    paper's released pipeline, the simpler uniform policy here cuts it
+    everywhere — callers wanting keep-one join the span frame against
+    an exact-dedup survivor pick instead).
+
+    Token-level, not byte-level, by design: ``words()`` lowercases and
+    collapses whitespace, so the reconstruction is the cleaned
+    lowercase token stream joined by single spaces. Byte-faithful
+    excision needs character offsets the tokenizer deliberately does
+    not keep; the consumers of this stage (tokenize → pack → train)
+    re-tokenize anyway.
+
+    Plan: the shared island core (three hash-agg shuffles + one
+    doc-keyed window exchange), then covered positions re-expand from
+    the span bounds (explode(sequence(start, end)) — output rows ==
+    dup_tokens, disjoint islands so no position duplicates), a
+    left-anti join from the posexploded token stream on (doc, pos),
+    and one per-doc hash-agg whose in-group sort_array restores token
+    order. The rebuild stages key on (doc, pos) / doc — co-clustered
+    with the island exchange; nothing collects.
+
+    Output: (id_col, n_tokens, removed_tokens, clean_text) for EVERY
+    input document (clean_text = '' when everything was removed or the
+    doc was empty). removed_tokens always equals duplicated_spans'
+    dup_tokens on the same inputs (standing differential in
+    tests/test_similarity.py).
+    """
+    from s3logs_parquet_spark.functions.text_analysis import words
+
+    toks = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    spans = _dup_span_islands(toks, id_col, n, min_docs, hash_ngrams)
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("_start"), F.col("_end"))).alias("_pos"),
+    )
+    tok_stream = toks.select(
+        F.col(id_col), F.posexplode("_w").alias("_i", "_tok")
+    ).select(F.col(id_col), (F.col("_i") + 1).alias("_pos"), "_tok")
+    kept = tok_stream.join(covered, on=[id_col, "_pos"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = toks.select(F.col(id_col), F.size("_w").alias("n_tokens"))
+    return totals.join(rebuilt, on=id_col, how="left").select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
+        .cast("long")
+        .alias("removed_tokens"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
 
 

@@ -27,12 +27,10 @@ from s3logs_parquet_spark.functions.hashing import hash32_sql
 from s3logs_parquet_spark.functions.parse import parse_s3_access_log
 from s3logs_parquet_spark.functions.text_analysis import (
     STOPWORDS,
-    bpe_token_count,
     fingerprint,
     langid,
     quality_features,
     quality_score,
-    whitespace_token_count,
 )
 from s3logs_parquet_spark.operators.ann import brute_force_topk
 from s3logs_parquet_spark.operators.dedup import (
@@ -775,21 +773,12 @@ def _sql_stop_hits(lang: str) -> str:
     return f"len(list_filter(ws, w -> list_contains([{lst}], w)))"
 
 
-def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        whitespace_token_count(F.col("text")).alias("ws_tokens"),
-        bpe_token_count(F.col("text")).alias("bpe_tokens"),
-    )
-
-
-ORACLE_DOCS_TOKEN_STATS = f"""
-SELECT doc_id,
-       len({_SQL_WORDS})::INT AS ws_tokens,
-       len({_SQL_BPE})::INT  AS bpe_tokens
-FROM documents
-"""
+# (q_docs_token_stats retired round 7 into its two supersets: the
+# whitespace token count is value-checked as n_words inside
+# docs_quality_score, and the BPE segmentation is value-checked
+# token-by-token inside docs_chunk_windows_bpe, which materializes the
+# segment windows the count merely measures. Both counts also remain
+# pytest-covered in tests/test_text_functions.py.)
 
 
 def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2825,6 +2814,71 @@ FROM toks t LEFT JOIN per_doc p USING (doc_id)
 ORACLE_DOCS_DUP_SPANS = _oracle_docs_dup_spans()
 
 
+def q_docs_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr excision (operators/dedup.py remove_duplicated_spans):
+    the APPLY half of docs_duplicated_spans — cut every merged
+    cross-document 13-gram span and emit the cleaned token stream. The
+    oracle replays the same island SQL, re-expands covered positions
+    with generate_series, anti-joins the posexploded token stream, and
+    rebuilds with string_agg ORDER BY pos — value-checking the whole
+    reconstruction including token order."""
+    from s3logs_parquet_spark.operators.dedup import remove_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(d, "doc_id", "text", n=13, min_docs=2)
+
+
+def _oracle_docs_remove_spans(n: int = 13, min_docs: int = 2) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+), starts AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[i:i+{n - 1}], ' ') AS ng
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {n - 1})) AS i FROM toks)
+), pairs AS (
+  SELECT DISTINCT doc_id, ng FROM starts
+), freq AS (
+  SELECT ng FROM pairs GROUP BY ng HAVING count(*) >= {min_docs}
+), dup_starts AS (
+  SELECT s.doc_id, s.pos FROM starts s JOIN freq f USING (ng)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w <= {n} THEN 0 ELSE 1 END AS brk
+  FROM dup_starts WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), islands AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged
+), spans AS (
+  SELECT doc_id, isl, min(pos) AS s, max(pos) + {n - 1} AS e
+  FROM islands GROUP BY doc_id, isl
+), covered AS (
+  SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spans
+), stream AS (
+  SELECT doc_id, pos, ws[pos] AS tok
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos FROM toks)
+), kept AS (
+  SELECT st.doc_id, st.pos, st.tok
+  FROM stream st LEFT JOIN covered c
+    ON st.doc_id = c.doc_id AND st.pos = c.pos
+  WHERE c.pos IS NULL
+), rebuilt AS (
+  SELECT doc_id, count(*) AS kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(t.ws)::BIGINT AS n_tokens,
+       (len(t.ws) - coalesce(r.kept, 0))::BIGINT AS removed_tokens,
+       coalesce(r.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+ORACLE_DOCS_REMOVE_SPANS = _oracle_docs_remove_spans()
+
+
 def q_events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave key (operators/layout.py
     zorder_key): 10 bits each of a user bucket and a time bucket — the
@@ -3181,7 +3235,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "partition_prefix_tz": (q_partition_prefix_tz, ORACLE_PARTITION_PREFIX_TZ),
     "s3log_pipeline_roundtrip": (q_log_pipeline, ORACLE_LOG_PIPELINE),
     "s3log_parse_fields": (q_log_parse_fields, ORACLE_LOG_PARSE_FIELDS),
-    "docs_token_stats": (q_docs_token_stats, ORACLE_DOCS_TOKEN_STATS),
+    # docs_token_stats retired round 7 into its supersets (n_words in
+    # docs_quality_score; BPE segments materialized in
+    # docs_chunk_windows_bpe) — its window slot went to the new
+    # docs_remove_dup_spans gate
     # docs_winnowing retired round 7 into its superset docs_decontaminate
     # (the winnowing fingerprint pipeline is recomputed and hash-matched
     # inside the decontamination overlap oracle — the docs_simhash ->
@@ -3304,6 +3361,7 @@ QUERIES["orders_bloom_customer_revenue"] = (
 QUERIES["emb_ivfpq_topk"] = (q_emb_ivfpq_topk, _oracle_emb_ivfpq())
 QUERIES["docs_dup_ngram_fraction"] = (q_docs_dup_ngram_fraction, ORACLE_DOCS_DUP_NGRAM)
 QUERIES["docs_duplicated_spans"] = (q_docs_duplicated_spans, ORACLE_DOCS_DUP_SPANS)
+QUERIES["docs_remove_dup_spans"] = (q_docs_remove_dup_spans, ORACLE_DOCS_REMOVE_SPANS)
 QUERIES["docs_tfidf_similar_pairs"] = (q_docs_tfidf_similar_pairs, ORACLE_DOCS_TFIDF_PAIRS)
 QUERIES["events_zorder_key"] = (q_events_zorder_key, _oracle_events_zorder())
 QUERIES["events_hilbert_key"] = (q_events_hilbert_key, _oracle_events_hilbert())
@@ -3793,7 +3851,9 @@ _DRIVER_WINDOW_R07 = [
     "events_hourly_rollup",
     "log_schema_widening",
     "partition_prefix_tz",
-    "docs_token_stats",
+    # NEW round-7 gate: slot of retired docs_token_stats (counts
+    # value-checked inside docs_quality_score / docs_chunk_windows_bpe)
+    "docs_remove_dup_spans",
     # NEW round-7 gate: slot of retired docs_winnowing (fingerprints
     # value-checked inside docs_decontaminate)
     "events_hilbert_key",

@@ -573,6 +573,68 @@ def test_duplicated_spans_hash_mode_parity(spark):
     assert exact == hashed
 
 
+def test_remove_duplicated_spans_hand_corpus(spark):
+    """The excision emits the kept token stream in order; fully-unique
+    docs pass through (lowercased/space-joined), fully-duplicated docs
+    come back empty."""
+    from s3logs_parquet_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z a b c d e"),
+            (2, "p q a b c d e r s"),
+            (3, "Completely  Different words here"),
+            (4, "a b c"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(docs, n=3, min_docs=2).collect()
+    }
+    # doc1: spans [1..5] and [9..13] cut -> middle survives
+    assert out[1]["clean_text"] == "x y z"
+    assert out[1]["removed_tokens"] == 10
+    # doc2: span [3..7] cut
+    assert out[2]["clean_text"] == "p q r s"
+    # doc3 untouched, but normalized to the token stream
+    assert out[3]["clean_text"] == "completely different words here"
+    assert out[3]["removed_tokens"] == 0
+    # doc4 == a duplicated 3-gram with docs 1/2 -> everything removed
+    assert out[4]["clean_text"] == "" and out[4]["removed_tokens"] == 3
+    assert out[5]["clean_text"] == "" and out[5]["n_tokens"] == 0
+
+
+def test_remove_duplicated_spans_matches_span_report(spark, sf_dir):
+    """Standing differential on real documents: removed_tokens from the
+    excision operator == dup_tokens from the span report, per doc."""
+    from s3logs_parquet_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    report = duplicated_spans(docs, n=13, min_docs=2).select(
+        "doc_id", "dup_tokens"
+    )
+    removed = remove_duplicated_spans(docs, n=13, min_docs=2).select(
+        "doc_id", "removed_tokens", "n_tokens", "clean_text"
+    )
+    j = report.join(removed, on="doc_id", how="full_outer")
+    assert j.filter(F.col("dup_tokens") != F.col("removed_tokens")).count() == 0
+    # and the cleaned token count is consistent with the cut
+    kept_len = F.when(F.col("clean_text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("clean_text"), " "))
+    )
+    assert (
+        j.filter(
+            F.col("n_tokens") - F.col("removed_tokens") != kept_len
+        ).count()
+        == 0
+    )
+
+
 def test_duplicated_spans_empty_input_and_param_guard(spark):
     import pytest
 

@@ -85,6 +85,13 @@ def main() -> None:
     ap.add_argument("--pad", type=int, default=80)
     ap.add_argument("--n", type=int, default=13)
     ap.add_argument("--modes", type=str, default="string,hash")
+    ap.add_argument(
+        "--remove",
+        action="store_true",
+        help="also time remove_duplicated_spans (hash keys): spans + "
+        "position anti-join + ordered token-stream rebuild, checked "
+        "against the same planted expectation",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench-dup-spans-scale")
@@ -142,6 +149,35 @@ def main() -> None:
                 f"bg_clean={chk['bg_clean']:,}/{n_docs - n_cont:,}",
                 flush=True,
             )
+
+    if args.remove:
+        from s3logs_parquet_spark.operators.dedup import remove_duplicated_spans
+
+        t0 = time.time()
+        cleaned = remove_duplicated_spans(
+            docs_df, "doc_id", "text", n=args.n, hash_ngrams=True
+        )
+        chk = cleaned.agg(
+            F.sum("removed_tokens").alias("removed_total"),
+            F.sum(F.when(F.col("removed_tokens") > 0, 1).otherwise(0)).alias(
+                "docs_cut"
+            ),
+            # consume every clean_text byte so the rebuild isn't pruned
+            F.sum(F.length("clean_text")).alias("clean_bytes"),
+        ).first()
+        el = time.time() - t0
+        ok = (
+            chk["removed_total"] == n_cont * args.block
+            and chk["docs_cut"] == n_cont
+        )
+        results["remove_hash"] = dict(
+            sec=round(el, 1),
+            docs_per_sec=int(n_docs / el),
+            tokens_per_sec=int(tokens / el),
+            invariant_ok=bool(ok),
+            clean_bytes=chk["clean_bytes"],
+        )
+        print(f"remove_hash: {json.dumps(results['remove_hash'])}", flush=True)
 
     release(docs_df)
     print(json.dumps({"docs": n_docs, "tokens": tokens, "results": results}))
