@@ -57,7 +57,7 @@ HEADLINE = [
     "docs_duplicated_spans",
     "events_asof_click_chunked",
     "events_range_pairs",
-    "events_kmv_distinct",
+    "events_kmv_set_ops",
     "events_kmv_global",
     "events_hourly_rollup",
     "docs_incremental_neardup",
@@ -101,6 +101,10 @@ HEADLINE = [
     # scan + top-candidate exact rerank)
     "emb_semantic_dedup_incremental",
     "emb_sq8_topk",
+    # round 7 second session: the full fuzzy-dedup keep decision
+    # (LSH candidates → exact-Jaccard verify → components → quality
+    # argmax) — the heaviest new composition this round
+    "docs_neardup_canonical_keep",
 ]
 
 

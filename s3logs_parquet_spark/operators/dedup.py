@@ -1056,6 +1056,100 @@ def ngram_jaccard_pairs(
     )
 
 
+def canonical_keep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality: Column | None = None,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    est_threshold: float = 0.3,
+    exact_threshold: float = 0.4,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Quality-aware canonical selection: the END decision of a fuzzy
+    dedup pass — not just *that* documents are near-duplicates, but
+    *which copy to keep*. Production curation keeps the best-quality
+    member of each near-dup cluster (the min-id convention of
+    plans/curation.py is the quality-blind special case).
+
+    Pipeline: MinHash-LSH candidates (est_jaccard ≥ ``est_threshold``)
+    → exact word-``shingle_k``-gram Jaccard verify
+    (:func:`ngram_jaccard_pairs`, ≥ ``exact_threshold``) → connected
+    components over the VERIFIED edges → per cluster, keep the member
+    maximizing (quality, then min id on ties).
+
+    ``quality`` defaults to
+    :func:`~s3logs_parquet_spark.functions.text_analysis.quality_score`
+    rounded to 6 places (rounded so the argmax ordering is portable
+    across engines — the same convention the quality gate uses).
+
+    Returns per document: (id, cluster_id, quality, max_jaccard, keep)
+    where ``max_jaccard`` is the highest verified-edge similarity the
+    document participates in (0.0 for singletons) and ``keep`` is 1
+    for the cluster's canonical member, else 0.
+
+    Scale shape: candidate generation is banded LSH with the hot-bucket
+    star cap (never all-pairs), the verify join touches candidate pairs
+    only, clustering is :func:`connected_components_clusters` (edge-
+    budgeted driver union-find / partition-local contraction), and the
+    keep decision is one cluster-keyed hash aggregate (max_by) joined
+    back — no per-cluster sort window, no collect.
+    """
+    if quality is None:
+        from s3logs_parquet_spark.functions.text_analysis import quality_score
+
+        quality = F.round(quality_score(F.col(text_col)), 6)
+
+    pairs = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        jaccard_threshold=est_threshold,
+        max_bucket_size=max_bucket_size,
+        oversize_policy="star",
+    )
+    verified = ngram_jaccard_pairs(
+        df, id_col, text_col, k=shingle_k, threshold=exact_threshold, join_on=pairs
+    )
+    labels = connected_components_clusters(
+        verified.select("id_a", "id_b"), df.select(id_col), id_col
+    )
+    scored = labels.join(df.select(F.col(id_col), quality.alias("_ck_q")), id_col)
+    # per-doc best verified similarity (both endpoints of each edge)
+    mj = (
+        verified.select(F.col("id_a").alias(id_col), "jaccard")
+        .unionByName(verified.select(F.col("id_b").alias(id_col), "jaccard"))
+        .groupBy(id_col)
+        .agg(F.max("jaccard").alias("_ck_mj"))
+    )
+    scored = scored.join(mj, id_col, "left").withColumn(
+        "_ck_mj", F.coalesce(F.col("_ck_mj"), F.lit(0.0))
+    )
+    # canonical member per cluster: argmax (quality, -id) — one hash
+    # aggregate, merged map-side; ties on quality resolve to min id
+    best = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col("_ck_q"), (-F.col(id_col)).alias("_neg"))
+        ).alias("_ck_keep_id")
+    )
+    return (
+        scored.join(best, "cluster_id")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.col("_ck_q").alias("quality"),
+            F.round(F.col("_ck_mj"), 6).alias("max_jaccard"),
+            (F.col(id_col) == F.col("_ck_keep_id")).cast("int").alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------

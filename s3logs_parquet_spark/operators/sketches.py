@@ -107,6 +107,126 @@ def kmv_distinct_global(df: DataFrame, value_col: str, k: int = 64) -> DataFrame
     return agg.select(F.col("n_seen"), F.round(est, 4).alias("est_distinct"))
 
 
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise KMV set algebra between groups: union / intersection /
+    Jaccard estimates from the MERGED sketches, without touching the
+    raw data a second time.
+
+    This is the mergeable-sketch property that makes KMV useful at
+    100 TB: the per-group sketches (k smallest hashes each) are the
+    only state the set operations read. For groups A and B:
+
+    - **merged sketch** M = the k smallest of (kmin(A) ∪ kmin(B)) —
+      exactly the sketch KMV would have built over A ∪ B, so the union
+      estimate is the ordinary KMV estimator on M (with the standard
+      small-set rule when |M| < k);
+    - **Jaccard estimate** ĵ = |{h ∈ M : h ∈ kmin(A) ∧ h ∈ kmin(B)}|
+      / |M| (Beyer et al., SIGMOD'07 — M is a uniform bottom-k sample
+      of A ∪ B, so the fraction of it lying in both sets estimates
+      |A∩B|/|A∪B|);
+    - **intersection estimate** = ĵ · est_union (inclusion via the
+      Jaccard route, the low-variance form).
+
+    Returns one row per unordered group pair (g_a < g_b):
+    (g_a, g_b, n_seen_a, est_a, n_seen_b, est_b,
+     est_union, est_jaccard, est_intersection) — est_a/est_b are the
+    per-group KMV estimates, identical in value to
+    :func:`kmv_distinct`'s, so per-group cardinality reporting rides
+    along for free.
+
+    Scale shape: the per-group k-min stage is :func:`kmv_distinct`'s
+    (hash-distinct exchange + group-keyed rank window). Everything
+    after operates on sketches only — ≤ k rows per group, fanned out
+    to the pairs each group participates in (k·G·(G−1) rows for G
+    groups) and merged by a (g_a, g_b)-keyed window over ≤ 2k rows per
+    pair. Pair enumeration is quadratic in the number of GROUPS by
+    design (it is a cross-group similarity report, like the pair
+    outputs of the dedup family); the raw data is read once.
+    """
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), hash32(F.col(value_col).cast("string")).alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy("_g").orderBy("_h")
+    kmins = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    per = kmins.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_seen"), F.max("_h").alias("_hk")
+    )
+    norm = (F.col("_hk").cast("double") + F.lit(1.0)) / F.lit(_HASH_SPACE)
+    est = F.when(F.col("n_seen") < k, F.col("n_seen").cast("double")).otherwise(
+        F.lit(float(k - 1)) / norm
+    )
+    pg = per.select("_g", "n_seen", F.round(est, 4).alias("est"))
+
+    # unordered group pairs — the per-group sketch stats frame is tiny
+    # (one row per group), so the pair enumeration is a broadcast join
+    pair_frame = (
+        pg.select(
+            F.col("_g").alias("g_a"),
+            F.col("n_seen").alias("n_seen_a"),
+            F.col("est").alias("est_a"),
+        )
+        .join(
+            F.broadcast(
+                pg.select(
+                    F.col("_g").alias("g_b"),
+                    F.col("n_seen").alias("n_seen_b"),
+                    F.col("est").alias("est_b"),
+                )
+            ),
+            F.col("g_a") < F.col("g_b"),
+        )
+    )
+
+    # fan each group's k-min hashes out to its pairs, tag membership,
+    # merge per (pair, hash) so a hash in both sketches carries both
+    # flags, and keep the pair's k smallest — the merged sketch M
+    pair_keys = pair_frame.select("g_a", "g_b")
+    cand_a = kmins.select(F.col("_g").alias("g_a"), "_h").join(
+        F.broadcast(pair_keys), "g_a"
+    ).select("g_a", "g_b", "_h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    cand_b = kmins.select(F.col("_g").alias("g_b"), "_h").join(
+        F.broadcast(pair_keys), "g_b"
+    ).select("g_a", "g_b", "_h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        cand_a.unionByName(cand_b)
+        .groupBy("g_a", "g_b", "_h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wm = Window.partitionBy("g_a", "g_b").orderBy("_h")
+    topm = merged.withColumn("_rn", F.row_number().over(wm)).filter(F.col("_rn") <= k)
+    mstats = topm.groupBy("g_a", "g_b").agg(
+        F.count(F.lit(1)).alias("_k2"),
+        F.max("_h").alias("_mhk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("_n_both"),
+    )
+    mnorm = (F.col("_mhk").cast("double") + F.lit(1.0)) / F.lit(_HASH_SPACE)
+    est_union = F.when(F.col("_k2") < k, F.col("_k2").cast("double")).otherwise(
+        F.lit(float(k - 1)) / mnorm
+    )
+    est_j = F.col("_n_both").cast("double") / F.col("_k2").cast("double")
+    return (
+        pair_frame.join(mstats, ["g_a", "g_b"])
+        .select(
+            "g_a",
+            "g_b",
+            "n_seen_a",
+            "est_a",
+            "n_seen_b",
+            "est_b",
+            F.round(est_union, 4).alias("est_union"),
+            F.round(est_j, 6).alias("est_jaccard"),
+            F.round(est_j * est_union, 4).alias("est_intersection"),
+        )
+    )
+
+
 def bottomk_sample(df: DataFrame, id_col: str, k: int) -> DataFrame:
     """Deterministic uniform sample without replacement: the k rows
     whose hashed id is smallest (the sample half of KMV — same bottom-k

@@ -883,32 +883,99 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY md5(t
 """
 
 
-def q_docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs on a doc_id%20 subsample (the exact
-    op is quadratic by design — its scale path is LSH candidates)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
-    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.01, allow_quadratic=True).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+# (q_docs_jaccard_pairs retired round 7 into docs_neardup_canonical_keep:
+# the identical candidate-gated exact-Jaccard verify — same operator,
+# same shingle width — runs inside the new gate, its threshold
+# decisions ARE the cluster topology the oracle recomputes edge by
+# edge, and its values surface per-document as max_jaccard in the
+# hashed output. The standalone exact-quadratic form keeps a direct
+# DuckDB differential in tests/test_similarity.py.)
 
 
-ORACLE_DOCS_JACCARD = f"""
-WITH d AS (
-  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents WHERE doc_id % 20 = 0
+def q_docs_neardup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (operators/dedup.py
+    canonical_keep): LSH candidates → exact 3-gram Jaccard verify →
+    connected components over VERIFIED edges → keep the best-quality
+    member per cluster (ties → min doc_id). The DuckDB oracle replays
+    the entire chain — MinHash banding, exact Jaccard, recursive-CTE
+    components, the quality formula, and the argmax — so the keep
+    decision itself is value-checked end to end."""
+    from s3logs_parquet_spark.operators.dedup import canonical_keep
+
+    d = _t(spark, sf_dir, "documents")
+    return canonical_keep(d, "doc_id", "text")
+
+
+def _oracle_canonical_keep(exact_threshold: float = 0.4) -> str:
+    pair_sql = _oracle_minhash()  # identical candidates: 32 hashes / 8 bands / est >= 0.3
+    return f"""
+WITH RECURSIVE
+pairs AS ({pair_sql}),
+feat AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM documents
 ), g AS (
   SELECT doc_id,
          list_distinct(list_transform(
            generate_series(0, greatest(len(ws) - 3, 0)),
            i -> array_to_string(array_slice(ws, i + 1, i + 3), ' ')
          )) AS grams
-  FROM d
+  FROM feat
+), ver AS (
+  SELECT p.id_a, p.id_b,
+         len(list_intersect(a.grams, b.grams))::DOUBLE /
+         (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jac
+  FROM pairs p
+  JOIN g a ON a.doc_id = p.id_a
+  JOIN g b ON b.doc_id = p.id_b
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+        >= {exact_threshold}
+), ids(id) AS (SELECT doc_id FROM documents),
+edges(a, b) AS (SELECT id_a, id_b FROM ver UNION SELECT id_b, id_a FROM ver),
+reach(id, r) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+),
+labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+qm AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_words,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(ws) > 0 THEN {_sql_stop_hits('en')}::DOUBLE / len(ws) ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(ws) > 0
+              THEN list_aggregate(list_transform(ws, w -> length(w)), 'sum')::DOUBLE / len(ws)
+              ELSE 0.0 END AS mean_word_len
+  FROM feat
+), qual AS (
+  SELECT doc_id,
+         round(
+           least(n_words / 20.0, 1.0) * 0.3
+           + least(stopword_ratio * 4.0, 1.0) * 0.3
+           + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.2
+           + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         , 6) AS quality
+  FROM qm
+), mj AS (
+  SELECT id AS doc_id, max(jac) AS mj
+  FROM (SELECT id_a AS id, jac FROM ver UNION ALL SELECT id_b AS id, jac FROM ver)
+  GROUP BY 1
+), scored AS (
+  SELECT l.doc_id, l.cluster_id, q.quality, coalesce(m.mj, 0.0) AS mj
+  FROM labels l JOIN qual q USING (doc_id) LEFT JOIN mj m USING (doc_id)
+), best AS (
+  SELECT cluster_id, doc_id AS keep_id,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM scored
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
-FROM g a JOIN g b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
-      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.01
+SELECT s.doc_id, s.cluster_id, s.quality,
+       round(s.mj, 6) AS max_jaccard,
+       CASE WHEN s.doc_id = b.keep_id THEN 1 ELSE 0 END AS keep
+FROM scored s
+JOIN (SELECT cluster_id, keep_id FROM best WHERE rn = 1) b USING (cluster_id)
 """
 
 
@@ -2142,45 +2209,139 @@ GROUP BY a.user_id
 """
 
 
-def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV distinct-count sketch per event_type (users), checked
-    against its exact value AND the oracle's identical computation.
-    Unlike HLL (engine-specific registers), KMV over the portable hash
-    is a deterministic function of the data, so even the ESTIMATE is
-    value-checkable cross-engine (operators/sketches.py)."""
-    from s3logs_parquet_spark.operators.sketches import kmv_distinct
+# (q_events_kmv_distinct retired round 7 into events_kmv_set_ops: the
+# new gate's per-pair output carries each group's n_seen and KMV
+# estimate — computed by the identical per-group sketch stage with the
+# same k — next to the set-operation estimates, so every value the old
+# gate checked is still driver-value-checked. kmv_distinct also keeps
+# its direct accuracy/small-set/null pytests in test_scale_ops.)
+
+
+def q_events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra between event types (operators/sketches.py
+    kmv_set_ops): merged-sketch union / intersection / Jaccard
+    estimates of the user populations, per unordered type pair, next
+    to the exact values. Like the per-group KMV gate it absorbs, the
+    portable hash makes even the ESTIMATES deterministic functions of
+    the data, so DuckDB replays the whole sketch-merge chain and the
+    hash compare covers the estimator itself (Beyer et al. SIGMOD'07
+    bottom-k Jaccard; Bar-Yossef et al. RANDOM'02 estimator)."""
+    from s3logs_parquet_spark.operators.sketches import kmv_set_ops
 
     e = _t(spark, sf_dir, "events")
-    sk = kmv_distinct(e, ["event_type"], "user_id", k=64)
-    exact = e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_distinct")
+    sk = kmv_set_ops(e, "event_type", "user_id", k=64)
+    u2t = (
+        e.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
     )
-    return sk.join(exact, "event_type")
+    ex = u2t.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact"))
+    inter = (
+        u2t.alias("x")
+        .join(
+            u2t.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("g_a"), F.col("y.event_type").alias("g_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    out = (
+        sk.join(
+            F.broadcast(ex.select(F.col("event_type").alias("g_a"), F.col("exact").alias("exact_a"))),
+            "g_a",
+        )
+        .join(
+            F.broadcast(ex.select(F.col("event_type").alias("g_b"), F.col("exact").alias("exact_b"))),
+            "g_b",
+        )
+        .join(inter, ["g_a", "g_b"], "left")
+        .withColumn("exact_intersection", F.coalesce(F.col("exact_intersection"), F.lit(0)))
+        .withColumn(
+            "exact_union", F.col("exact_a") + F.col("exact_b") - F.col("exact_intersection")
+        )
+    )
+    return out.select(
+        "g_a",
+        "g_b",
+        "n_seen_a",
+        "est_a",
+        "n_seen_b",
+        "est_b",
+        "est_union",
+        "est_jaccard",
+        "est_intersection",
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        F.round(
+            F.col("exact_intersection").cast("double") / F.col("exact_union").cast("double"), 6
+        ).alias("exact_jaccard"),
+        "exact_intersection",
+    )
 
 
-ORACLE_EVENTS_KMV = f"""
+ORACLE_EVENTS_KMV_SET_OPS = f"""
 WITH hashed AS (
-  SELECT DISTINCT event_type, {hash32_sql("user_id::VARCHAR")} AS h FROM events
+  SELECT DISTINCT event_type AS g, {hash32_sql("user_id::VARCHAR")} AS h FROM events
   WHERE user_id IS NOT NULL
 ), ranked AS (
-  SELECT event_type, h,
-         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-  FROM hashed
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hashed
+), kmins AS (
+  SELECT g, h FROM ranked WHERE rn <= 64
 ), per_group AS (
-  SELECT event_type, count(*)::BIGINT AS n_seen, max(h) AS hk
-  FROM ranked WHERE rn <= 64 GROUP BY event_type
-), est AS (
-  SELECT event_type, n_seen,
+  SELECT g, count(*)::BIGINT AS n_seen, max(h) AS hk FROM kmins GROUP BY g
+), pg AS (
+  SELECT g, n_seen,
          round(CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
-                    ELSE 63.0 / ((hk::DOUBLE + 1.0) / 4294967296.0) END,
-               4) AS est_distinct
+                    ELSE 63.0 / ((hk::DOUBLE + 1.0) / 4294967296.0) END, 4) AS est
   FROM per_group
+), prs AS (
+  SELECT a.g AS g_a, a.n_seen AS n_seen_a, a.est AS est_a,
+         b.g AS g_b, b.n_seen AS n_seen_b, b.est AS est_b
+  FROM pg a JOIN pg b ON a.g < b.g
+), cand AS (
+  SELECT p.g_a, p.g_b, k.h, 1 AS in_a, 0 AS in_b
+  FROM prs p JOIN kmins k ON k.g = p.g_a
+  UNION ALL
+  SELECT p.g_a, p.g_b, k.h, 0, 1
+  FROM prs p JOIN kmins k ON k.g = p.g_b
+), mh AS (
+  SELECT g_a, g_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM cand GROUP BY 1, 2, 3
+), mr AS (
+  SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn FROM mh
+), mk AS (
+  SELECT g_a, g_b, count(*)::BIGINT AS k2, max(h) AS mhk,
+         sum(in_a * in_b)::BIGINT AS n_both
+  FROM mr WHERE rn <= 64 GROUP BY 1, 2
+), u2t AS (
+  SELECT DISTINCT event_type AS g, user_id AS v FROM events WHERE user_id IS NOT NULL
+), ex AS (
+  SELECT g, count(*)::BIGINT AS exact FROM u2t GROUP BY g
+), exi AS (
+  SELECT a.g AS g_a, b.g AS g_b, count(*)::BIGINT AS exact_intersection
+  FROM u2t a JOIN u2t b ON a.v = b.v AND a.g < b.g GROUP BY 1, 2
 )
-SELECT e.event_type, e.n_seen, e.est_distinct, x.exact_distinct
-FROM est e JOIN (
-  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
-  FROM events GROUP BY event_type
-) x USING (event_type)
+SELECT p.g_a, p.g_b, p.n_seen_a, p.est_a, p.n_seen_b, p.est_b,
+       round(CASE WHEN m.k2 < 64 THEN m.k2::DOUBLE
+                  ELSE 63.0 / ((m.mhk::DOUBLE + 1.0) / 4294967296.0) END, 4) AS est_union,
+       round(m.n_both::DOUBLE / m.k2::DOUBLE, 6) AS est_jaccard,
+       round((m.n_both::DOUBLE / m.k2::DOUBLE)
+             * (CASE WHEN m.k2 < 64 THEN m.k2::DOUBLE
+                     ELSE 63.0 / ((m.mhk::DOUBLE + 1.0) / 4294967296.0) END), 4) AS est_intersection,
+       ea.exact AS exact_a, eb.exact AS exact_b,
+       (ea.exact + eb.exact - coalesce(i.exact_intersection, 0))::BIGINT AS exact_union,
+       round(coalesce(i.exact_intersection, 0)::DOUBLE
+             / (ea.exact + eb.exact - coalesce(i.exact_intersection, 0))::DOUBLE, 6) AS exact_jaccard,
+       coalesce(i.exact_intersection, 0)::BIGINT AS exact_intersection
+FROM prs p
+JOIN mk m USING (g_a, g_b)
+JOIN ex ea ON ea.g = p.g_a
+JOIN ex eb ON eb.g = p.g_b
+LEFT JOIN exi i USING (g_a, g_b)
 """
 
 
@@ -3248,7 +3409,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_asof_next_click": (q_events_asof_next_click, ORACLE_EVENTS_ASOF_NEXT),
     "events_asof_nearest_click": (q_events_asof_nearest_click, ORACLE_EVENTS_ASOF_NEAREST),
     "events_range_pairs": (q_events_range_pairs, ORACLE_EVENTS_RANGE_PAIRS),
-    "events_kmv_distinct": (q_events_kmv_distinct, ORACLE_EVENTS_KMV),
+    "events_kmv_set_ops": (q_events_kmv_set_ops, ORACLE_EVENTS_KMV_SET_OPS),
     "events_kmv_global": (q_events_kmv_global, ORACLE_EVENTS_KMV_GLOBAL),
     "events_hourly_rollup": (q_events_hourly_rollup, ORACLE_EVENTS_HOURLY_ROLLUP),
     "log_schema_widening": (q_log_schema_widening, ORACLE_LOG_SCHEMA_WIDENING),
@@ -3265,7 +3426,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # docs_simhash_pairs retirement precedent); the function itself stays
     # pytest-covered (test_text_functions).
     "docs_exact_dedup": (q_docs_exact_dedup, ORACLE_DOCS_EXACT_DEDUP),
-    "docs_ngram_jaccard_pairs": (q_docs_jaccard_pairs, ORACLE_DOCS_JACCARD),
+    "docs_neardup_canonical_keep": (
+        q_docs_neardup_canonical_keep,
+        _oracle_canonical_keep(),
+    ),
     # docs_simhash retired round 7: the signature computation is fully
     # embedded (and value-checked per-pair) inside docs_simhash_pairs —
     # retire-and-replace keeps the registry at 100 = 2x window
@@ -3867,7 +4031,10 @@ _DRIVER_WINDOW_R07 = [
     # plain path through the next/nearest as-of gates below)
     "docs_duplicated_spans",
     "events_range_pairs",
-    "events_kmv_distinct",
+    # NEW round-7 gate: slot of retired events_kmv_distinct (its
+    # per-group sketch stage runs identically inside, n_seen/estimate
+    # surfaced per pair side; direct pytests retained)
+    "events_kmv_set_ops",
     "events_hourly_rollup",
     "log_schema_widening",
     "partition_prefix_tz",
@@ -3877,7 +4044,11 @@ _DRIVER_WINDOW_R07 = [
     # NEW round-7 gate: slot of retired docs_winnowing (fingerprints
     # value-checked inside docs_decontaminate)
     "events_hilbert_key",
-    "docs_ngram_jaccard_pairs",
+    # NEW round-7 gate: slot of retired docs_ngram_jaccard_pairs (the
+    # identical candidate-gated exact-Jaccard verify runs inside and
+    # its values surface as max_jaccard; standalone quadratic form
+    # keeps a direct DuckDB differential in tests/test_similarity.py)
+    "docs_neardup_canonical_keep",
     # NEW round-7 gate (VERDICT r6 #1): slot of retired docs_simhash
     # (signature computation value-checked per-pair inside
     # docs_simhash_pairs, below)

@@ -240,6 +240,56 @@ def test_kmv_excludes_nulls(spark):
     assert out[0]["est_distinct"] == 20.0
 
 
+def test_kmv_set_ops_exact_when_unsaturated(spark):
+    """With k >= every domain, the merged sketch IS the exact union set
+    and in_a/in_b flags ARE exact membership — so union, intersection,
+    and Jaccard estimates must all equal the exact values (the
+    small-set rule carried through the set algebra)."""
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.operators.sketches import kmv_set_ops
+
+    # A = {0..29}, B = {20..49}  -> |A∪B| = 50, |A∩B| = 10, J = 0.2
+    a = spark.range(30).select(F.lit("A").alias("g"), F.col("id").cast("string").alias("v"))
+    b = spark.range(20, 50).select(F.lit("B").alias("g"), F.col("id").cast("string").alias("v"))
+    row = kmv_set_ops(a.union(b), "g", "v", k=64).collect()[0]
+    assert (row["g_a"], row["g_b"]) == ("A", "B")
+    assert row["est_a"] == 30.0 and row["est_b"] == 30.0
+    assert row["est_union"] == 50.0
+    assert row["est_jaccard"] == 0.2
+    assert row["est_intersection"] == 10.0
+
+
+def test_kmv_set_ops_accuracy_and_disjoint(spark):
+    """Saturated sketches: union estimate within KMV error, Jaccard of
+    disjoint groups exactly 0, and of a planted 50%-overlap pair within
+    the bottom-k sampling error."""
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.operators.sketches import kmv_set_ops
+
+    n = 4000
+    a = spark.range(n).select(F.lit("A").alias("g"), F.col("id").cast("string").alias("v"))
+    b = spark.range(n // 2, n + n // 2).select(
+        F.lit("B").alias("g"), F.col("id").cast("string").alias("v")
+    )  # 50% overlap with A -> J = 1/3
+    c = spark.range(10 * n, 11 * n).select(
+        F.lit("C").alias("g"), F.col("id").cast("string").alias("v")
+    )  # disjoint from both
+    rows = {(r["g_a"], r["g_b"]): r for r in kmv_set_ops(a.union(b).union(c), "g", "v", k=256).collect()}
+    ab, ac, bc = rows[("A", "B")], rows[("A", "C")], rows[("B", "C")]
+    assert abs(ab["est_union"] - 1.5 * n) / (1.5 * n) < 0.25
+    assert abs(ab["est_jaccard"] - 1 / 3) < 0.15
+    assert ac["est_jaccard"] == 0.0 and bc["est_jaccard"] == 0.0
+    assert ac["est_intersection"] == 0.0
+    # per-group estimates ride along identically to kmv_distinct's
+    from s3logs_parquet_spark.operators.sketches import kmv_distinct
+
+    per = {r["g"]: r for r in kmv_distinct(a.union(b).union(c), ["g"], "v", k=256).collect()}
+    assert ab["est_a"] == per["A"]["est_distinct"]
+    assert bc["est_b"] == per["C"]["est_distinct"]
+
+
 def test_kmv_global_two_level(spark):
     """Global single-group KMV (VERDICT r2 #4): accuracy, small-set
     rule, null exclusion, and the plan property that makes it scale —

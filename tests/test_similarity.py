@@ -1120,3 +1120,101 @@ def test_semantic_assign_rejects_dim_mismatch(spark):
 
     ok = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
     assert semantic_assign(ok, "vec_id", "embedding", cents).count() == 1
+
+
+# --- canonical keep (round 7) ----------------------------------------------
+
+
+def test_canonical_keep_prefers_quality(spark):
+    """The cluster's canonical member is the quality argmax, not the
+    min id: doc 2 (NEAR, same content shape as BASE) and docs 1/4
+    (exact dups) cluster together; the keep flag must sit on exactly
+    one member, every cluster member must share cluster_id, and
+    singletons keep themselves with max_jaccard 0."""
+    from s3logs_parquet_spark.operators.dedup import canonical_keep
+
+    d = _docs(spark)
+    rows = {r["doc_id"]: r for r in canonical_keep(d, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # 1, 2, 4 near/exact dups -> one cluster; 3 singleton
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == rows[4]["cluster_id"]
+    assert rows[3]["cluster_id"] == 3
+    keeps = [i for i, r in rows.items() if r["keep"] == 1]
+    assert rows[3]["keep"] == 1 and rows[3]["max_jaccard"] == 0.0
+    cluster_keeps = [i for i in keeps if i != 3]
+    assert len(cluster_keeps) == 1
+    # identical quality (same text for 1/4, near-identical for 2):
+    # argmax ties resolve to the min id among the max-quality members
+    best_q = max(rows[i]["quality"] for i in (1, 2, 4))
+    expected = min(i for i in (1, 2, 4) if rows[i]["quality"] == best_q)
+    assert cluster_keeps[0] == expected
+    # exact duplicates share max_jaccard 1.0
+    assert rows[1]["max_jaccard"] == 1.0 and rows[4]["max_jaccard"] == 1.0
+
+
+def test_canonical_keep_explicit_quality_column(spark):
+    """A caller-supplied quality expression drives the argmax: plant a
+    low-id low-quality member so min-id and best-quality disagree."""
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.operators.dedup import canonical_keep
+
+    d = _docs(spark)
+    # doc 4 (exact dup of 1) gets the highest planted quality
+    planted = F.when(F.col("doc_id") == 4, 0.9).otherwise(0.1)
+    rows = {
+        r["doc_id"]: r
+        for r in canonical_keep(d, "doc_id", "text", quality=planted).collect()
+    }
+    keeps = sorted(i for i, r in rows.items() if r["keep"] == 1)
+    assert keeps == [3, 4]  # 4 beats min-id 1 on quality; 3 is a singleton
+
+
+def test_ngram_jaccard_quadratic_duckdb_differential(spark, sf_dir):
+    """Standing differential for the retired docs_ngram_jaccard_pairs
+    gate: the standalone quadratic exact-Jaccard form vs DuckDB on the
+    real sf0.001 documents subsample (same query + oracle the driver
+    used through round 6)."""
+    import duckdb
+
+    from s3logs_parquet_spark.functions.hashing import hash32_sql  # noqa: F401
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", k=3, threshold=0.01, allow_quadratic=True
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        (a, b): round(j, 6)
+        for a, b, j in con.execute(
+            """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w != '') AS ws
+  FROM documents WHERE doc_id % 20 = 0
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(ws) - 3, 0)),
+           i -> array_to_string(array_slice(ws, i + 1, i + 3), ' ')
+         )) AS grams
+  FROM d
+)
+SELECT a.doc_id, b.doc_id,
+       len(list_intersect(a.grams, b.grams))::DOUBLE /
+       (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jac
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.01
+"""
+        ).fetchall()
+    }
+    assert got == want
