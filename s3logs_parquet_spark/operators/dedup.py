@@ -1068,6 +1068,8 @@ def canonical_keep(
     est_threshold: float = 0.3,
     exact_threshold: float = 0.4,
     max_bucket_size: int | None = 10_000,
+    materialize: bool = True,
+    durable: bool = False,
 ) -> DataFrame:
     """Quality-aware canonical selection: the END decision of a fuzzy
     dedup pass — not just *that* documents are near-duplicates, but
@@ -1117,6 +1119,12 @@ def canonical_keep(
     verified = ngram_jaccard_pairs(
         df, id_col, text_col, k=shingle_k, threshold=exact_threshold, join_on=pairs
     )
+    if materialize:
+        # three consumers replay the verified edge list (CC's edge
+        # collect, both endpoint projections of the max-jaccard agg) —
+        # checkpoint the bounded post-filter pair frame once instead of
+        # re-running LSH banding + the grams verify join per consumer
+        verified = _materialize(verified, durable=durable)
     labels = connected_components_clusters(
         verified.select("id_a", "id_b"), df.select(id_col), id_col
     )

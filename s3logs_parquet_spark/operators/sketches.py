@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from s3logs_parquet_spark.functions.hashing import hash32
+from s3logs_parquet_spark.session import materialize as _materialize
 
 _HASH_SPACE = float(1 << 32)  # hash32 is uniform over [0, 2^32)
 
@@ -112,6 +113,8 @@ def kmv_set_ops(
     group_col: str,
     value_col: str,
     k: int = 64,
+    materialize: bool = True,
+    durable: bool = False,
 ) -> DataFrame:
     """Pairwise KMV set algebra between groups: union / intersection /
     Jaccard estimates from the MERGED sketches, without touching the
@@ -146,7 +149,11 @@ def kmv_set_ops(
     groups) and merged by a (g_a, g_b)-keyed window over ≤ 2k rows per
     pair. Pair enumeration is quadratic in the number of GROUPS by
     design (it is a cross-group similarity report, like the pair
-    outputs of the dedup family); the raw data is read once.
+    outputs of the dedup family); the raw data is read once —
+    ``materialize`` (default on) checkpoints the k-min frame (≤ k rows
+    per group), since four downstream consumers (both pair sides, both
+    candidate fans) would otherwise each replay the full scan +
+    distinct + window.
     """
     hashed = (
         df.filter(F.col(value_col).isNotNull())
@@ -155,6 +162,8 @@ def kmv_set_ops(
     )
     w = Window.partitionBy("_g").orderBy("_h")
     kmins = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    if materialize:
+        kmins = _materialize(kmins, durable=durable)
     per = kmins.groupBy("_g").agg(
         F.count(F.lit(1)).alias("n_seen"), F.max("_h").alias("_hk")
     )
