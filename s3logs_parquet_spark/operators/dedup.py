@@ -1030,7 +1030,20 @@ def ngram_jaccard_pairs(
             "pass a candidate set (e.g. minhash_lsh_pairs output) or opt in "
             "with allow_quadratic=True for small inputs"
         )
-    sh = df.select(
+    base = df
+    if join_on is not None:
+        # gram computation (regex split + shingle + distinct per doc) is
+        # the stage's CPU cost and only candidate ENDPOINTS need it — at
+        # scale the candidate mass is a sliver of the corpus, so prune
+        # with a semi-join on the candidate id set before shingling
+        # (values unchanged: the verify join only ever reads endpoints)
+        cand_ids = (
+            join_on.select(F.col("id_a").alias(id_col))
+            .unionByName(join_on.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        base = df.join(cand_ids, id_col, "left_semi")
+    sh = base.select(
         F.col(id_col),
         F.array_distinct(_word_shingles(F.col(text_col), k)).alias("grams"),
     )

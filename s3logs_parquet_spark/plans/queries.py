@@ -892,6 +892,13 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY md5(t
 # DuckDB differential in tests/test_similarity.py.)
 
 
+# built canonical-keep DataFrames, cached per (process, sf_dir) — the
+# prepared-statement semantic (see _span_gate / q_emb_semantic_dedup):
+# building is EAGER (LSH signature + verified-edge checkpoints, the CC
+# edge collect), so rebuilding per call repeats those jobs
+_CANONICAL_KEEP_PLANS: dict[str, DataFrame] = {}
+
+
 def q_docs_neardup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical selection (operators/dedup.py
     canonical_keep): LSH candidates → exact 3-gram Jaccard verify →
@@ -902,8 +909,13 @@ def q_docs_neardup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame
     decision itself is value-checked end to end."""
     from s3logs_parquet_spark.operators.dedup import canonical_keep
 
-    d = _t(spark, sf_dir, "documents")
-    return canonical_keep(d, "doc_id", "text")
+    cached = _CANONICAL_KEEP_PLANS.get(sf_dir)
+    if cached is not None and cached.sparkSession is not spark:
+        del _CANONICAL_KEEP_PLANS[sf_dir]
+    if sf_dir not in _CANONICAL_KEEP_PLANS:
+        d = _t(spark, sf_dir, "documents")
+        _CANONICAL_KEEP_PLANS[sf_dir] = canonical_keep(d, "doc_id", "text")
+    return _CANONICAL_KEEP_PLANS[sf_dir]
 
 
 def _oracle_canonical_keep(exact_threshold: float = 0.4) -> str:

@@ -161,3 +161,28 @@ def test_semantic_dedup_incremental_empty_batch(spark):
     out = semantic_dedup_incremental(empty, index, "vec_id", "embedding", cents, 0.9)
     assert out.count() == 0
     assert out.columns == ["vec_id", "cell", "is_semdup"]
+
+
+def test_kmv_set_ops_empty_and_single_group(spark):
+    """Round 7: the set-ops frame must be empty (not crash) with no
+    data and with fewer than two groups (no pairs to report)."""
+    from s3logs_parquet_spark.operators.sketches import kmv_set_ops
+
+    empty = spark.createDataFrame([], "g string, v string")
+    assert kmv_set_ops(empty, "g", "v", k=8).count() == 0
+    one = spark.createDataFrame([("a", "x"), ("a", "y")], "g string, v string")
+    assert kmv_set_ops(one, "g", "v", k=8).count() == 0
+
+
+def test_canonical_keep_empty_and_singleton(spark):
+    """Round 7: empty corpus -> empty frame; a single document is its
+    own cluster, kept, with max_jaccard 0."""
+    from s3logs_parquet_spark.operators.dedup import canonical_keep
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert canonical_keep(empty, "doc_id", "text").count() == 0
+    one = spark.createDataFrame([(7, "some plain text here")], "doc_id long, text string")
+    rows = canonical_keep(one, "doc_id", "text").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["cluster_id"], r["keep"], r["max_jaccard"]) == (7, 7, 1, 0.0)

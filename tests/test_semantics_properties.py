@@ -128,3 +128,128 @@ def test_span_family_matches_python_model(spark, docs, n):
     for d, w in want.items():
         assert cleaned[d]["clean_text"] == w["clean_text"], (d, docs)
         assert cleaned[d]["removed_tokens"] == w["dup_tokens"], (d, docs)
+
+
+# --- canonical_keep vs an independent Python model --------------------------
+
+_ck_doc = st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8)
+
+
+def _py_hash32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _round6(x: float) -> float:
+    # Spark F.round = BigDecimal(double) HALF_UP — NOT Python round()'s
+    # banker's rounding
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+
+def _model_canonical_keep(texts: dict[int, str]):
+    """Independent model of canonical_keep's full chain with the
+    operator's default parameters (32 hashes / 8 bands / 3-gram
+    shingles / est 0.3 / exact 0.4): md5-derived shingle hashes, affine
+    MinHash, banded candidates, exact-Jaccard verify, union-find
+    components, quality argmax."""
+    import re
+
+    M31 = (1 << 31) - 1
+    coeffs = []
+    state = 42
+    for _ in range(32):
+        state = (state * 1103515245 + 12345) % M31
+        a = state or 1
+        state = (state * 1103515245 + 12345) % M31
+        coeffs.append((a, state))
+
+    grams, sigs, qual = {}, {}, {}
+    stop = {"the", "and", "of", "to", "in", "is", "that", "for", "with", "was"}
+    for d, text in texts.items():
+        raw = re.split(r"\s+", text.strip().lower())  # NO empty filter (shingle path)
+        n = len(raw)
+        g = {" ".join(raw[i : i + 3]) for i in range(0, max(n - 3, 0) + 1)}
+        grams[d] = g
+        hs = {_py_hash32(s) % M31 for s in g}
+        sigs[d] = [min((a * x + b) % M31 for x in hs) for a, b in coeffs]
+        ws = [w for w in raw if w != ""]  # quality path filters empties
+        n_words = len(ws)
+        n_chars = len(text)
+        n_punct = len(re.findall(r"[^\w\s]", text))
+        punct_ratio = n_punct / n_chars if n_chars else 0.0
+        stop_ratio = sum(w in stop for w in ws) / n_words if n_words else 0.0
+        mwl = sum(len(w) for w in ws) / n_words if n_words else 0.0
+        q = (
+            min(n_words / 20.0, 1.0) * 0.3
+            + min(stop_ratio * 4.0, 1.0) * 0.3
+            + max(1.0 - punct_ratio * 5.0, 0.0) * 0.2
+            + (1.0 if 3.0 <= mwl <= 10.0 else 0.5) * 0.2
+        )
+        qual[d] = _round6(q)
+
+    ids = sorted(texts)
+    edges, mj = [], {d: 0.0 for d in ids}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sigs[a], sigs[b]
+            banded = any(sa[r * 4 : (r + 1) * 4] == sb[r * 4 : (r + 1) * 4] for r in range(8))
+            if not banded:
+                continue
+            est = sum(x == y for x, y in zip(sa, sb)) / 32
+            if est < 0.3:
+                continue
+            inter = len(grams[a] & grams[b])
+            union = len(grams[a] | grams[b])
+            jac = inter / union
+            if jac >= 0.4:
+                edges.append((a, b))
+                mj[a] = max(mj[a], jac)
+                mj[b] = max(mj[b], jac)
+
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    cluster = {d: find(d) for d in ids}
+    keep = {}
+    for c in set(cluster.values()):
+        members = [d for d in ids if cluster[d] == c]
+        keep[c] = min(members, key=lambda d: (-qual[d], d))
+    return {
+        d: dict(
+            cluster_id=cluster[d],
+            quality=qual[d],
+            max_jaccard=_round6(mj[d]),
+            keep=int(keep[cluster[d]] == d),
+        )
+        for d in ids
+    }
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=st.lists(_ck_doc, min_size=1, max_size=5))
+def test_canonical_keep_matches_python_model(spark, docs):
+    from s3logs_parquet_spark.operators.dedup import canonical_keep
+
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs)}
+    frame = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    want = _model_canonical_keep(texts)
+    got = {r["doc_id"]: r for r in canonical_keep(frame, "doc_id", "text").collect()}
+    assert set(got) == set(want)
+    for d, w in want.items():
+        g = got[d]
+        assert g["cluster_id"] == w["cluster_id"], (d, docs)
+        assert g["keep"] == w["keep"], (d, docs)
+        assert abs(g["quality"] - w["quality"]) < 1e-12, (d, docs)
+        assert abs(g["max_jaccard"] - w["max_jaccard"]) < 1e-12, (d, docs)
