@@ -34,6 +34,58 @@ from s3logs_parquet_spark.session import materialize as _materialize
 _HASH_SPACE = float(1 << 32)  # hash32 is uniform over [0, 2^32)
 
 
+def group_kmins(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """The per-group sketch STATE: the k smallest hashes of the
+    non-null value domain, as (group_cols..., _h) rows — the shared
+    first stage of :func:`kmv_distinct`, :func:`kmv_set_ops`, and the
+    streaming sketch maintenance. Mergeable: the k-mins of a union are
+    the k-mins of the concatenated k-min sets.
+
+    Standard KMV semantics: the sketch estimates the NON-NULL domain.
+    (A NULL value would hash to NULL, which Spark's ascending window
+    sorts first — occupying rank 1 and displacing a real k-min —
+    while DuckDB sorts NULLs last; filtering is both correct and the
+    only cross-engine-stable choice.)
+    """
+    group_cols = list(group_cols)
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, hash32(F.col(value_col).cast("string")).alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate_from_kmins(kmins: DataFrame, group_cols: Sequence[str], k: int) -> DataFrame:
+    """The KMV estimator over a k-min frame from :func:`group_kmins`:
+    (group_cols..., n_seen, est_distinct) with the small-set rule
+    (n_seen < k → the sketch IS the domain, estimate exactly)."""
+    group_cols = list(group_cols)
+    per_group = kmins.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max(F.col("_h")).alias("_hk"),
+    )
+    norm = (F.col("_hk").cast("double") + F.lit(1.0)) / F.lit(_HASH_SPACE)
+    est = F.when(F.col("n_seen") < k, F.col("n_seen").cast("double")).otherwise(
+        (F.lit(float(k - 1))) / norm
+    )
+    return per_group.select(
+        *group_cols,
+        F.col("n_seen"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -48,30 +100,8 @@ def kmv_distinct(
     standard KMV small-set rule) and ``est_distinct`` the estimate.
     """
     group_cols = list(group_cols)
-    # standard KMV semantics: the sketch estimates the NON-NULL domain.
-    # (A NULL value would hash to NULL, which Spark's ascending window
-    # sorts first — occupying rank 1 and displacing a real k-min —
-    # while DuckDB sorts NULLs last; filtering is both correct and the
-    # only cross-engine-stable choice.)
-    hashed = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, hash32(F.col(value_col).cast("string")).alias("_h"))
-        .distinct()
-    )
-    w = Window.partitionBy(*group_cols).orderBy("_h")
-    topk = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
-    per_group = topk.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_seen"),
-        F.max(F.col("_h")).alias("_hk"),
-    )
-    norm = (F.col("_hk").cast("double") + F.lit(1.0)) / F.lit(_HASH_SPACE)
-    est = F.when(F.col("n_seen") < k, F.col("n_seen").cast("double")).otherwise(
-        (F.lit(float(k - 1))) / norm
-    )
-    return per_group.select(
-        *group_cols,
-        F.col("n_seen"),
-        F.round(est, 4).alias("est_distinct"),
+    return kmv_estimate_from_kmins(
+        group_kmins(df, group_cols, value_col, k), group_cols, k
     )
 
 
@@ -155,23 +185,14 @@ def kmv_set_ops(
     candidate fans) would otherwise each replay the full scan +
     distinct + window.
     """
-    hashed = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(F.col(group_col).alias("_g"), hash32(F.col(value_col).cast("string")).alias("_h"))
-        .distinct()
+    kmins = group_kmins(df, [group_col], value_col, k).select(
+        F.col(group_col).alias("_g"), "_h"
     )
-    w = Window.partitionBy("_g").orderBy("_h")
-    kmins = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
     if materialize:
         kmins = _materialize(kmins, durable=durable)
-    per = kmins.groupBy("_g").agg(
-        F.count(F.lit(1)).alias("n_seen"), F.max("_h").alias("_hk")
+    pg = kmv_estimate_from_kmins(kmins, ["_g"], k).withColumnRenamed(
+        "est_distinct", "est"
     )
-    norm = (F.col("_hk").cast("double") + F.lit(1.0)) / F.lit(_HASH_SPACE)
-    est = F.when(F.col("n_seen") < k, F.col("n_seen").cast("double")).otherwise(
-        F.lit(float(k - 1)) / norm
-    )
-    pg = per.select("_g", "n_seen", F.round(est, 4).alias("est"))
 
     # unordered group pairs — the per-group sketch stats frame is tiny
     # (one row per group), so the pair enumeration is a broadcast join

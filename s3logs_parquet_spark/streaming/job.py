@@ -371,3 +371,82 @@ def run_stream_semantic_dedup(
     else:
         writer = writer.trigger(processingTime=scfg.processing_time)
     return writer.start()
+
+
+def run_stream_kmv(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema,
+    sketch_path: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    scfg: StreamingJobConfig | None = None,
+) -> StreamingQuery:
+    """Continuously-maintained KMV cardinality sketches over a stream —
+    the mergeable-sketch property in its production form (incremental
+    per-group distinct-count reporting without reprocessing history).
+
+    Each micro-batch writes its OWN k-min contribution (≤ k rows per
+    group present in the batch: operators/sketches.group_kmins) to
+    ``{sketch_path}/batch=<id>`` with mode=overwrite — the per-batch
+    commit shape of run_manifest_stream (T4): a replayed batch
+    rewrites its directory bit-identically, so crash/replay cannot
+    corrupt the sketch, and no cross-batch state is ever mutated.
+
+    The CURRENT sketch is derived on read (:func:`read_kmv_sketch`):
+    per-group k smallest over all contributions — because k-mins of a
+    union are the k-mins of concatenated k-min sets, the streamed
+    sketch is EXACTLY the sketch :func:`kmv_distinct` computes over
+    the full history (a tested equivalence, not an approximation of an
+    approximation). The read merges ≤ k·groups·batches tiny rows; fold
+    old contribution dirs in drain windows (plans/compact.py
+    fold_stream_batches) exactly like any batch=... stream output —
+    folding replaces many per-batch k-min sets by their merged k-min
+    set, which the mergeable property keeps lossless.
+    """
+    from s3logs_parquet_spark.operators.sketches import group_kmins
+
+    scfg = scfg or StreamingJobConfig()
+    stream = (
+        spark.readStream.schema(input_schema)
+        .option("maxFilesPerTrigger", scfg.max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        group_kmins(batch_df, [group_col], value_col, k).write.mode(
+            "overwrite"
+        ).parquet(f"{sketch_path}/batch={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if scfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=scfg.processing_time)
+    return writer.start()
+
+
+def read_kmv_sketch(
+    spark: SparkSession, sketch_path: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """Merge the per-batch k-min contributions under ``sketch_path``
+    into the current per-group sketch and apply the KMV estimator:
+    (group, n_seen, est_distinct) — bit-identical to running
+    :func:`~s3logs_parquet_spark.operators.sketches.kmv_distinct`
+    over the full ingested history."""
+    from pyspark.sql import Window
+
+    from s3logs_parquet_spark.operators.sketches import kmv_estimate_from_kmins
+
+    contrib = spark.read.parquet(sketch_path).select(group_col, "_h").distinct()
+    w = Window.partitionBy(group_col).orderBy("_h")
+    merged = (
+        contrib.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return kmv_estimate_from_kmins(merged, [group_col], k)

@@ -545,3 +545,51 @@ def test_stream_semantic_dedup_grows_index(spark, tmp_path):
         r["vec_id"]
         for r in spark.read.parquet(idx).filter("batch = 0").collect()
     ) == [11, 13]
+
+
+def test_stream_kmv_equals_batch_sketch(spark, tmp_path):
+    """Streaming KMV maintenance: per-batch k-min contributions merged
+    on read must be BIT-IDENTICAL to kmv_distinct over the full
+    ingested history (k-mins of a union == k-mins of concatenated
+    k-min sets), across multiple micro-batches; and a replay with a
+    fresh checkpoint — which may regroup files into different batch
+    dirs, leaving stale contribution dirs behind — must not change the
+    merged sketch (every contribution is a subset's k-mins, so the
+    merge stays lossless)."""
+    from pyspark.sql import types as T
+
+    from s3logs_parquet_spark.operators.sketches import kmv_distinct
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        read_kmv_sketch,
+        run_stream_kmv,
+    )
+
+    schema = T.StructType(
+        [T.StructField("g", T.StringType()), T.StructField("v", T.StringType())]
+    )
+    inp, sk, ck1, ck2 = (str(tmp_path / d) for d in ("in", "sk", "ck1", "ck2"))
+    full = spark.createDataFrame(
+        [(f"g{i % 3}", f"v{i % 40}") for i in range(400)]
+        + [("g0", None)],  # null must not occupy a k-min slot
+        schema,
+    )
+    # 4 files -> multiple micro-batches at max_files_per_trigger=1
+    full.repartition(4).write.parquet(inp)
+
+    scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
+    q = run_stream_kmv(spark, inp, schema, sk, ck1, "g", "v", k=16, scfg=scfg)
+    q.awaitTermination(120)
+
+    want = sorted(map(tuple, kmv_distinct(full, ["g"], "v", k=16).collect()))
+    got = sorted(map(tuple, read_kmv_sketch(spark, sk, "g", k=16).collect()))
+    assert got == want
+
+    # replay: fresh checkpoint, different batching (all files in one
+    # trigger) — overwrites batch=0, leaves dirs 1..3 stale; merged
+    # sketch must be unchanged
+    scfg2 = StreamingJobConfig(available_now=True, max_files_per_trigger=10)
+    q2 = run_stream_kmv(spark, inp, schema, sk, ck2, "g", "v", k=16, scfg=scfg2)
+    q2.awaitTermination(120)
+    again = sorted(map(tuple, read_kmv_sketch(spark, sk, "g", k=16).collect()))
+    assert again == want
