@@ -112,6 +112,10 @@ HEADLINE = [
     # convention as emb_ivf_indexed_topk's probe-only timing)
     "events_kmv_set_ops",
     "docs_neardup_canonical_keep",
+    # round 7 third session: Misra–Gries exact heavy hitters (bounded
+    # sketch state: one mapInPandas pass -> candidate broadcast ->
+    # exact recount keyed by candidates only)
+    "docs_heavy_hitter_words",
 ]
 
 

@@ -311,3 +311,138 @@ def sampled_quantiles(
         ranked.join(F.broadcast(probs_df), target == F.col("_sq_rn"))
         .select("p", F.col("_sq_v").alias("est_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries frequent items (heavy hitters)
+# ---------------------------------------------------------------------------
+
+
+def _mg_reduce_series(counters, k: int):
+    """Reduce a counter Series to ≤ k entries by subtracting the
+    (k+1)-th largest count and dropping non-positive counters — the
+    batched Misra–Gries decrement (Agarwal et al., "Mergeable
+    Summaries", PODS'12 §3: MG summaries merge by summing counters and
+    re-reducing; the merged error stays ≤ n/(k+1))."""
+    counters = counters.astype("int64")
+    if len(counters) <= k:
+        return counters
+    d = int(counters.nlargest(k + 1).iloc[-1])
+    return counters[counters > d] - d
+
+
+def mg_partition_summaries(df: DataFrame, item_col: str, k: int = 128) -> DataFrame:
+    """Per-partition Misra–Gries summaries — the bounded-memory
+    frequent-items sketch STATE (Misra & Gries, "Finding repeated
+    elements", Sci. Comput. Program. 1982).
+
+    Emits ≤ k ``(_mg_item, _mg_lb)`` rows per input partition plus one
+    sentinel row (``_mg_item`` NULL, ``_mg_lb`` = the partition's
+    non-null item count). ``_mg_lb`` is a LOWER bound on the item's
+    in-partition frequency, undercounting by at most
+    ``N_p / (k + 1)``; an item absent from a partition's summary has
+    in-partition frequency ≤ ``N_p / (k + 1)``. Summing summaries
+    across partitions therefore bounds the global undercount by
+    ``N / (k + 1)`` — the mergeable-summaries guarantee.
+
+    Scale shape: the WHOLE point at 100 TB — executor state is k
+    counters per task regardless of item cardinality (a full
+    ``groupBy(item).count()`` over a token stream shuffles the entire
+    vocabulary, dominated by the billions-of-distinct-tokens noise
+    tail), and the exchange after this stage carries ≤ (k+1) rows per
+    partition. Arrow-batched ``mapInPandas``: per batch one vectorized
+    ``value_counts`` merge (O(unique-in-batch)), then one bounded
+    reduce — no per-row Python.
+
+    NULL items are not counted (SQL aggregate semantics); they do not
+    contribute to the sentinel total either.
+    """
+    src = df.select(F.col(item_col).cast("string").alias("_mg_item"))
+
+    def fn(batches):
+        import pandas as pd
+
+        counters = None
+        total = 0
+        for pdf in batches:
+            s = pdf["_mg_item"].dropna()
+            total += int(len(s))
+            vc = s.value_counts()
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            counters = _mg_reduce_series(counters, k)
+        if counters is None:
+            items, lbs = [], []
+        else:
+            items = counters.index.tolist()
+            lbs = [int(v) for v in counters.tolist()]
+        items.append(None)
+        lbs.append(total)
+        yield pd.DataFrame({"_mg_item": items, "_mg_lb": lbs})
+
+    return src.mapInPandas(fn, schema="_mg_item string, _mg_lb long")
+
+
+def mg_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    phi: float,
+    k: int | None = None,
+    durable: bool = False,
+) -> DataFrame:
+    """EXACT heavy hitters — every item with frequency ≥ ⌈phi·N⌉ over
+    the non-null item stream (N = its length) — computed with bounded
+    state via a Misra–Gries candidate pass plus an exact recount of the
+    candidates only.
+
+    Guarantee chain (what makes the output exact and partition-layout
+    invariant even though the sketch itself is not): per-partition MG
+    undercounts by ≤ N_p/(k+1), so the summed summary undercounts any
+    item by ≤ N/(k+1); with ``(k+1)·phi ≥ 1`` every true heavy hitter
+    survives into the candidate set (candidates keep
+    ``Σlb + ⌊N/(k+1)⌋ ≥ ⌈phi·N⌉``), and the exact recount then removes
+    every false positive. Two passes over the data, never more than
+    ``(k+1)·partitions`` rows of sketch state in between, and the final
+    aggregate is keyed by the candidate set alone (non-candidates drop
+    map-side at the broadcast semi-join, BEFORE the exchange).
+
+    Returns (item, cnt) with exact BIGINT counts — a DuckDB
+    GROUP BY/HAVING oracle reproduces it bit-for-bit.
+    """
+    if k is None:
+        import math
+
+        k = max(128, 2 * math.ceil(1.0 / phi))
+    if (k + 1) * phi < 1.0:
+        raise ValueError(
+            f"mg_heavy_hitters: k={k} cannot guarantee phi={phi}; "
+            f"need (k+1)*phi >= 1 (k >= {int(1.0 / phi)})"
+        )
+    import math
+
+    summ = _materialize(mg_partition_summaries(df, item_col, k), durable=durable)
+    n_total = (
+        summ.filter(F.col("_mg_item").isNull())
+        .agg(F.sum("_mg_lb").alias("n"))
+        .collect()[0]["n"]
+    )
+    spark = df.sparkSession
+    if not n_total:
+        return spark.createDataFrame([], "item string, cnt long")
+    thresh = int(math.ceil(phi * float(n_total)))
+    slack = int(n_total) // (k + 1)
+    cands = (
+        summ.filter(F.col("_mg_item").isNotNull())
+        .groupBy("_mg_item")
+        .agg(F.sum("_mg_lb").alias("_mg_sum"))
+        .filter(F.col("_mg_sum") + F.lit(slack) >= F.lit(thresh))
+        .select(F.col("_mg_item").alias("item"))
+    )
+    stream = df.select(F.col(item_col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    return (
+        stream.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(thresh))
+    )

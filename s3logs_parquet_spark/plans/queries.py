@@ -1373,7 +1373,50 @@ ORDER BY df DESC, term ASC
 LIMIT 20
 """
 
+# (q_docs_doc_frequency retired round 7 for the docs_heavy_hitter_words
+# slot: the identical words()-tokenized df hash-agg runs inside
+# docs_tfidf_similar_pairs, whose integer weights are tf·(idf_scale DIV
+# df) — every df value is value-checked through the pair cosines that
+# gate hash-matches. The function and oracle stay for direct use.)
 
+
+def q_docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language vocabulary heavy hitters via a bounded-state
+    Misra–Gries candidate pass + exact recount
+    (operators/sketches.py mg_heavy_hitters): every (lang, word) token
+    with frequency ≥ ⌈1% of the corpus token stream⌉. The gate data
+    keeps ~155 live items against k=128 counters, so the MG decrement
+    path genuinely engages while the exact rejoin keeps the answer a
+    pure function of the data — partition-layout invariant and
+    reproducible by a DuckDB GROUP BY/HAVING oracle. Scale shape: at
+    100 TB the full-vocabulary groupBy this replaces shuffles billions
+    of noise-tail tokens; here executor state is k counters per task
+    and the only vocabulary-keyed exchange carries candidates alone."""
+    from s3logs_parquet_spark.functions.text_analysis import words
+    from s3logs_parquet_spark.operators.sketches import mg_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("lang"), F.explode(words(F.col("text"))).alias("_w")
+    ).select(F.concat(F.col("lang"), F.lit(":"), F.col("_w")).alias("item"))
+    out = mg_heavy_hitters(toks, "item", phi=0.01, k=128)
+    return out.orderBy(F.desc("cnt"), F.asc("item"))
+
+
+ORACLE_DOCS_HEAVY_HITTERS = f"""
+WITH w AS (
+  SELECT lang || ':' || unnest({_SQL_WORDS}) AS item FROM documents
+), nn AS (
+  SELECT item FROM w WHERE item IS NOT NULL
+), t AS (
+  SELECT count(*) AS n FROM nn
+)
+SELECT item, count(*)::BIGINT AS cnt
+FROM nn
+GROUP BY item
+HAVING count(*) >= (SELECT ceil(0.01 * n) FROM t)
+ORDER BY cnt DESC, item ASC
+"""
 
 
 def q_docs_tfidf_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3456,7 +3499,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_global_shuffle": (q_docs_global_shuffle, ORACLE_DOCS_GLOBAL_SHUFFLE),
     "docs_clean_and_repetition": (q_docs_clean_and_repetition, ORACLE_DOCS_CLEAN_REP),
     "docs_pii_redact": (q_docs_pii_redact, _oracle_pii_redact()),
-    "docs_doc_frequency": (q_docs_doc_frequency, ORACLE_DOCS_DOC_FREQUENCY),
+    # docs_doc_frequency retired round 7: the identical words()-df
+    # hash-agg is value-checked through docs_tfidf_similar_pairs'
+    # integer tf·(idf_scale DIV df) weights (the docs_simhash ->
+    # docs_simhash_pairs precedent); function + oracle stay above.
+    "docs_heavy_hitter_words": (q_docs_heavy_hitters, ORACLE_DOCS_HEAVY_HITTERS),
     "emb_cosine_topk": (q_emb_topk, ORACLE_EMB_TOPK),
     # emb_lsh_topk retired round 7 (see the comment at its former
     # definition); its oracle builder lives on inside emb_lsh_recall's
@@ -4072,7 +4119,10 @@ _DRIVER_WINDOW_R07 = [
     "docs_global_shuffle",
     "docs_clean_and_repetition",
     "docs_pii_redact",
-    "docs_doc_frequency",
+    # NEW round-7 gate: slot of retired docs_doc_frequency (its df
+    # hash-agg is value-checked inside docs_tfidf_similar_pairs; see
+    # the registry comment). Misra–Gries exact heavy hitters.
+    "docs_heavy_hitter_words",
     # NEW round-7 gate: slot of retired emb_lsh_topk (emb_lsh_recall
     # runs lsh_topk with identical parameters and embeds its oracle)
     "emb_sq8_topk",

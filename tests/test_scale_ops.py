@@ -369,3 +369,79 @@ def test_bucketed_join_and_agg_have_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bdocs")
         spark.sql("DROP TABLE IF EXISTS t_bstats")
+
+
+# --- Misra–Gries heavy hitters ---------------------------------------------
+
+
+def _zipf_items(n=20_000, vocab=1_000, seed=11):
+    import random
+
+    rng = random.Random(seed)
+    pop = [f"tok{i}" for i in range(vocab)]
+    w = [1.0 / (i + 1) for i in range(vocab)]
+    return rng.choices(pop, weights=w, k=n)
+
+
+def test_mg_heavy_hitters_exact_across_partitionings(spark):
+    """The output is EXACT (candidate superset guarantee + exact
+    recount), so it must equal the brute-force answer and be invariant
+    to partition layout even though the sketch itself is not."""
+    import collections
+    import math
+
+    items = _zipf_items()
+    exact = collections.Counter(items)
+    phi = 1.0 / 50.0
+    thresh = math.ceil(phi * len(items))
+    truth = sorted((i, c) for i, c in exact.items() if c >= thresh)
+    assert truth, "fixture must contain heavy hitters"
+
+    from s3logs_parquet_spark.operators.sketches import mg_heavy_hitters
+
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    for parts in (1, 7, 32):
+        out = mg_heavy_hitters(df.repartition(parts), "item", phi=phi, k=64)
+        got = sorted((r["item"], r["cnt"]) for r in out.collect())
+        assert got == truth, f"parts={parts}"
+
+
+def test_mg_summary_bound_nulls_and_guarantee_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.operators.sketches import (
+        mg_heavy_hitters,
+        mg_partition_summaries,
+    )
+
+    items = _zipf_items(n=5_000, vocab=400)
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(16)
+    summ = mg_partition_summaries(df, "item", k=32)
+    assert summ.count() <= (32 + 1) * 16  # bounded sketch state
+    # sentinel rows carry the partition totals; their sum is N
+    n = summ.filter(F.col("_mg_item").isNull()).agg(F.sum("_mg_lb")).collect()[0][0]
+    assert n == len(items)
+
+    # nulls are not counted and do not inflate N
+    with_nulls = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,), ("b",)], "item string"
+    )
+    out = mg_heavy_hitters(with_nulls, "item", phi=0.5, k=8)
+    assert sorted((r["item"], r["cnt"]) for r in out.collect()) == [("a", 2)]
+
+    # (k+1)*phi >= 1 is the superset-guarantee precondition: fail loud
+    with pytest.raises(ValueError, match="cannot guarantee"):
+        mg_heavy_hitters(df, "item", phi=0.001, k=64)
+
+
+def test_mg_empty_and_no_hitters(spark):
+    from s3logs_parquet_spark.operators.sketches import mg_heavy_hitters
+
+    empty = spark.createDataFrame([], "item string")
+    out = mg_heavy_hitters(empty, "item", phi=0.1)
+    assert out.columns == ["item", "cnt"] and out.count() == 0
+
+    # uniform data with every count below threshold -> empty, not noise
+    uni = spark.createDataFrame([(f"u{i % 500}",) for i in range(2_000)], "item string")
+    assert mg_heavy_hitters(uni, "item", phi=0.01, k=256).count() == 0
