@@ -412,16 +412,40 @@ def mg_heavy_hitters(
         import math
 
         k = max(128, 2 * math.ceil(1.0 / phi))
+    if (k + 1) * phi < 1.0:  # fail loud BEFORE the summary pass
+        raise ValueError(
+            f"mg_heavy_hitters: k={k} cannot guarantee phi={phi}; "
+            f"need (k+1)*phi >= 1 (k >= {int(1.0 / phi)})"
+        )
+    summ = _materialize(mg_partition_summaries(df, item_col, k), durable=durable)
+    return heavy_hitters_from_summaries(df, item_col, summ, phi, k)
+
+
+def heavy_hitters_from_summaries(
+    df: DataFrame,
+    item_col: str,
+    summaries: DataFrame,
+    phi: float,
+    k: int,
+) -> DataFrame:
+    """Stages 2+3 of :func:`mg_heavy_hitters` from an already-built
+    summaries frame (``_mg_item``/``_mg_lb`` rows with NULL-item
+    sentinels carrying stream totals): candidate pruning by the merged
+    ``Σlb + ⌊N/(k+1)⌋`` upper bound, then the exact broadcast-semi-join
+    recount over ``df``. Because MG summary sums are associative, the
+    summaries may come from ANY partitioning of the same stream —
+    including the per-micro-batch contributions a streaming job appends
+    (streaming/job.py run_stream_mg) — and the result is identical to
+    running the batch operator over the full history."""
+    import math
+
     if (k + 1) * phi < 1.0:
         raise ValueError(
             f"mg_heavy_hitters: k={k} cannot guarantee phi={phi}; "
             f"need (k+1)*phi >= 1 (k >= {int(1.0 / phi)})"
         )
-    import math
-
-    summ = _materialize(mg_partition_summaries(df, item_col, k), durable=durable)
     n_total = (
-        summ.filter(F.col("_mg_item").isNull())
+        summaries.filter(F.col("_mg_item").isNull())
         .agg(F.sum("_mg_lb").alias("n"))
         .collect()[0]["n"]
     )
@@ -431,7 +455,7 @@ def mg_heavy_hitters(
     thresh = int(math.ceil(phi * float(n_total)))
     slack = int(n_total) // (k + 1)
     cands = (
-        summ.filter(F.col("_mg_item").isNotNull())
+        summaries.filter(F.col("_mg_item").isNotNull())
         .groupBy("_mg_item")
         .agg(F.sum("_mg_lb").alias("_mg_sum"))
         .filter(F.col("_mg_sum") + F.lit(slack) >= F.lit(thresh))

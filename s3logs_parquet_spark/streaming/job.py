@@ -450,3 +450,76 @@ def read_kmv_sketch(
         .drop("_rn")
     )
     return kmv_estimate_from_kmins(merged, [group_col], k)
+
+
+def run_stream_mg(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema,
+    sketch_path: str,
+    checkpoint_dir: str,
+    item_col: str,
+    k: int = 128,
+    scfg: StreamingJobConfig | None = None,
+) -> StreamingQuery:
+    """Continuously-maintained Misra–Gries frequent-items state over a
+    stream — the heavy-hitter complement of :func:`run_stream_kmv`
+    (incremental "what's trending" reporting without reprocessing
+    history).
+
+    Each micro-batch writes its OWN bounded summary contribution
+    (≤ (k+1) rows per batch partition:
+    operators/sketches.mg_partition_summaries, sentinel rows carrying
+    the batch's item totals) to ``{sketch_path}/batch=<id>`` with
+    mode=overwrite — the per-batch commit shape of run_manifest_stream
+    (T4): a replayed batch rewrites its directory bit-identically, so
+    crash/replay cannot corrupt the sketch and no cross-batch state is
+    ever mutated.
+
+    Because MG summary sums are associative with merged undercount
+    ≤ N/(k+1) (Agarwal et al. PODS'12), the appended contributions are
+    just another partitioning of the full history: feeding them to
+    sketches.heavy_hitters_from_summaries (via :func:`read_mg_sketch`)
+    yields EXACTLY the heavy hitters the batch operator computes over
+    everything ingested — a tested equivalence. The store stays tiny
+    (≤ (k+1)·partitions rows per batch); fold old contribution dirs in
+    drain windows like any batch=... stream output.
+
+    One property KMV has that MG fundamentally lacks: k-min merges are
+    duplicate-insensitive, summary SUMS are not. Same-lineage replay is
+    safe (a replayed batch id re-derives the same file set and
+    overwrites its directory), but re-ingesting history under a FRESH
+    checkpoint would double-count — point a re-ingest at a fresh
+    ``sketch_path``.
+    """
+    from s3logs_parquet_spark.operators.sketches import mg_partition_summaries
+
+    scfg = scfg or StreamingJobConfig()
+    stream = (
+        spark.readStream.schema(input_schema)
+        .option("maxFilesPerTrigger", scfg.max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        mg_partition_summaries(batch_df, item_col, k).write.mode(
+            "overwrite"
+        ).parquet(f"{sketch_path}/batch={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if scfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=scfg.processing_time)
+    return writer.start()
+
+
+def read_mg_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """The accumulated MG contribution store under ``sketch_path``, in
+    the exact shape sketches.heavy_hitters_from_summaries consumes
+    (``_mg_item``/``_mg_lb`` with NULL-item sentinels) — per-batch
+    summaries concatenate losslessly because the downstream merge is a
+    sum."""
+    return spark.read.parquet(sketch_path).select("_mg_item", "_mg_lb")

@@ -593,3 +593,56 @@ def test_stream_kmv_equals_batch_sketch(spark, tmp_path):
     q2.awaitTermination(120)
     again = sorted(map(tuple, read_kmv_sketch(spark, sk, "g", k=16).collect()))
     assert again == want
+
+
+def test_stream_mg_matches_batch_and_same_lineage_replay(spark, tmp_path):
+    """run_stream_mg contributions + heavy_hitters_from_summaries must
+    equal the batch operator (and brute force) over the full ingested
+    history — the MG-sum associativity claim — and a same-checkpoint
+    rerun must leave the answer unchanged."""
+    import collections
+    import math
+
+    from pyspark.sql import types as T
+
+    from s3logs_parquet_spark.operators.sketches import (
+        heavy_hitters_from_summaries,
+        mg_heavy_hitters,
+    )
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        read_mg_sketch,
+        run_stream_mg,
+    )
+
+    schema = T.StructType([T.StructField("item", T.StringType())])
+    inp, sk, ck = (str(tmp_path / d) for d in ("in", "sk", "ck"))
+    items = [f"tok{min(i % 97, i % 13)}" for i in range(3_000)] + [None]
+    full = spark.createDataFrame([(x,) for x in items], schema)
+    full.repartition(4).write.parquet(inp)
+    full = spark.read.parquet(inp)  # the ingested history, file order
+
+    phi, k = 1.0 / 20.0, 32
+    scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
+    run_stream_mg(spark, inp, schema, sk, ck, "item", k=k, scfg=scfg).awaitTermination(120)
+
+    exact = collections.Counter(x for x in items if x is not None)
+    thresh = math.ceil(phi * sum(exact.values()))
+    truth = sorted((i, c) for i, c in exact.items() if c >= thresh)
+    assert truth, "fixture must contain heavy hitters"
+
+    streamed = heavy_hitters_from_summaries(
+        full, "item", read_mg_sketch(spark, sk), phi, k
+    )
+    got = sorted((r["item"], r["cnt"]) for r in streamed.collect())
+    assert got == truth
+    batch = mg_heavy_hitters(full, "item", phi=phi, k=k)
+    assert sorted((r["item"], r["cnt"]) for r in batch.collect()) == truth
+
+    # same-lineage restart: checkpoint already has all files committed,
+    # so nothing reprocesses and the sketch answer is unchanged
+    run_stream_mg(spark, inp, schema, sk, ck, "item", k=k, scfg=scfg).awaitTermination(120)
+    again = heavy_hitters_from_summaries(
+        full, "item", read_mg_sketch(spark, sk), phi, k
+    )
+    assert sorted((r["item"], r["cnt"]) for r in again.collect()) == truth
