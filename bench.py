@@ -114,8 +114,10 @@ HEADLINE = [
     "docs_neardup_canonical_keep",
     # round 7 third session: Misra–Gries exact heavy hitters (bounded
     # sketch state: one mapInPandas pass -> candidate broadcast ->
-    # exact recount keyed by candidates only)
+    # exact recount keyed by candidates only) and grouped two-level
+    # bottom-k quantiles (per-type windows + the global ALL leg)
     "docs_heavy_hitter_words",
+    "events_quantiles_by_type",
 ]
 
 

@@ -470,3 +470,72 @@ def heavy_hitters_from_summaries(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= F.lit(thresh))
     )
+
+
+def group_bottomk_sample(
+    df: DataFrame, group_cols: Sequence[str], id_col: str, k: int
+) -> DataFrame:
+    """Per-group deterministic bottom-k-hash sample — :func:`bottomk_sample`
+    with a grouping, in the two-level mergeable formulation: a first
+    rank window keyed by (group, input partition) keeps k rows per
+    group PER PARTITION (a hot group's sort spreads across the cluster
+    instead of funneling into one task — the skew posture), then the
+    final per-group rank runs over ≤ k·partitions pre-reduced rows.
+    Bottom-k of a union is the bottom-k of the two bottom-k's, so the
+    result is identical to a single global rank — and identical on any
+    engine (hash-deterministic, id tie-break)."""
+    group_cols = list(group_cols)
+    h = hash32(F.col(id_col).cast("string"))
+    local_w = Window.partitionBy(
+        *group_cols, F.spark_partition_id()
+    ).orderBy("_bk_h", id_col)
+    final_w = Window.partitionBy(*group_cols).orderBy("_bk_h", id_col)
+    return (
+        df.withColumn("_bk_h", h)
+        .withColumn("_rn", F.row_number().over(local_w))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn", F.row_number().over(final_w))
+        .filter(F.col("_rn") <= k)
+        .drop("_bk_h", "_rn")
+    )
+
+
+def group_sampled_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group :func:`sampled_quantiles` — exact order statistics of
+    each group's deterministic bottom-k-hash sample (grouped
+    percentile_approx, but a pure function of the data a SQL oracle
+    reproduces bit-for-bit; estimates are raw value passthroughs, no
+    cross-engine float arithmetic). Groups with fewer than k non-null
+    rows sample themselves entirely — exact quantiles, the small-set
+    rule. NULL values are excluded per group (a NULL can't order).
+
+    Returns (group_cols..., p, est_value) per requested probability;
+    the order-statistic index is ``1 + floor(p·(n_g - 1))`` with n_g
+    the group's actual sample size. The final ranking window runs on
+    ≤ k rows per group — bounded work after the two-level sample
+    reduction in :func:`group_bottomk_sample`."""
+    group_cols = list(group_cols)
+    s = group_bottomk_sample(
+        df.filter(F.col(value_col).isNotNull()), group_cols, id_col, k
+    ).select(*group_cols, F.col(value_col).alias("_sq_v"))
+    w = Window.partitionBy(*group_cols).orderBy("_sq_v")
+    ranked = s.select(
+        *group_cols,
+        "_sq_v",
+        F.row_number().over(w).alias("_sq_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*group_cols)).alias("_sq_n"),
+    )
+    probs_df = df.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    target = F.lit(1) + F.floor(F.col("p") * (F.col("_sq_n") - F.lit(1)).cast("double"))
+    return ranked.join(F.broadcast(probs_df), target == F.col("_sq_rn")).select(
+        *group_cols, "p", F.col("_sq_v").alias("est_value")
+    )

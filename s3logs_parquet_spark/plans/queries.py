@@ -3296,6 +3296,69 @@ FROM (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) pr(p)
 JOIN r ON r.rn = 1 + floor(pr.p * (r.n - 1))::BIGINT
 """
 
+# (q_events_sampled_quantiles retired round 7 for the
+# events_quantiles_by_type slot: its exact computation — same k=256
+# bottom-k-hash sample, same probs, same order-statistic index — runs
+# verbatim as the gate's ALL leg below, value-checked row for row.
+# Function and oracle stay for direct use.)
+
+
+def q_events_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mergeable quantile estimation
+    (operators/sketches.py group_sampled_quantiles): per-event-type
+    exact order statistics of each group's deterministic 256-row
+    bottom-k-hash sample, plus an ALL row computed by the global
+    sampled_quantiles — the grouped percentile_approx report, as a
+    pure function of the data. Scale shape: the per-group sample is
+    two-level (partition-local bottom-k first, so a hot group's sort
+    spreads across the cluster; the final per-group rank sees
+    ≤ k·partitions rows), and every estimate is a raw value
+    passthrough, so no float arithmetic crosses engines."""
+    from s3logs_parquet_spark.operators.sketches import (
+        group_sampled_quantiles,
+        sampled_quantiles,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    probs = (0.25, 0.5, 0.9, 0.99)
+    per = group_sampled_quantiles(
+        e, ["event_type"], "value", "event_id", k=256, probs=probs
+    )
+    allq = sampled_quantiles(e, "value", "event_id", k=256, probs=probs).select(
+        F.lit("ALL").alias("event_type"), "p", "est_value"
+    )
+    return per.unionByName(allq).orderBy("event_type", "p")
+
+
+ORACLE_EVENTS_QUANTILES_BY_TYPE = f"""
+WITH s AS (
+  SELECT event_type AS g, value AS v,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY {hash32_sql("event_id::VARCHAR")}, event_id
+         ) AS srn
+  FROM events WHERE value IS NOT NULL
+), sk AS (
+  SELECT g, v FROM s WHERE srn <= 256
+), ga AS (
+  SELECT 'ALL' AS g, value AS v FROM (
+    SELECT value, {hash32_sql("event_id::VARCHAR")} AS h, event_id
+    FROM events WHERE value IS NOT NULL
+    ORDER BY h, event_id LIMIT 256
+  )
+), u AS (
+  SELECT g, v FROM sk UNION ALL SELECT g, v FROM ga
+), r AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM u
+)
+SELECT r.g AS event_type, pr.p, r.v AS est_value
+FROM (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) pr(p)
+JOIN r ON r.rn = 1 + floor(pr.p * (r.n - 1))::BIGINT
+ORDER BY event_type, p
+"""
+
 
 def q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (operators/dedup.py
@@ -3537,7 +3600,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # round 5: deterministic sampling family + embedding near-dup gate
     "docs_weighted_sample": (q_docs_weighted_sample, ORACLE_DOCS_WEIGHTED_SAMPLE),
     "docs_mixture_sample": (q_docs_mixture_sample, ORACLE_DOCS_MIXTURE_SAMPLE),
-    "events_sampled_quantiles": (q_events_sampled_quantiles, ORACLE_EVENTS_SAMPLED_QUANTILES),
+    # events_sampled_quantiles retired round 7: its exact computation
+    # (same k/probs/hash/order-statistic index) runs verbatim as the
+    # ALL leg of events_quantiles_by_type, value-checked row for row.
+    "events_quantiles_by_type": (
+        q_events_quantiles_by_type,
+        ORACLE_EVENTS_QUANTILES_BY_TYPE,
+    ),
     "emb_neardup_pairs": (q_emb_neardup_pairs, _oracle_emb_neardup()),
     "events_interval_pairs": (q_events_interval_pairs, ORACLE_EVENTS_INTERVAL_PAIRS),
 }
@@ -4139,7 +4208,10 @@ _DRIVER_WINDOW_R07 = [
     "events_zorder_key",
     "docs_weighted_sample",
     "docs_mixture_sample",
-    "events_sampled_quantiles",
+    # NEW round-7 gate: slot of retired events_sampled_quantiles (its
+    # computation runs verbatim as this gate's ALL leg). Grouped
+    # two-level bottom-k quantiles.
+    "events_quantiles_by_type",
     "emb_neardup_pairs",
     "events_interval_pairs",
     "s3log_pipeline_roundtrip",

@@ -74,6 +74,7 @@ def get_spark(
     app_name: str = "s3logs-parquet-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -107,4 +108,8 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
     )
+    # tool-level overrides (e.g. spark.ui.enabled=true for REST stage
+    # metrics in the scale benches); no-op on an already-running session
+    for key, val in (extra_conf or {}).items():
+        builder = builder.config(key, val)
     return builder.getOrCreate()

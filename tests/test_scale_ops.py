@@ -445,3 +445,94 @@ def test_mg_empty_and_no_hitters(spark):
     # uniform data with every count below threshold -> empty, not noise
     uni = spark.createDataFrame([(f"u{i % 500}",) for i in range(2_000)], "item string")
     assert mg_heavy_hitters(uni, "item", phi=0.01, k=256).count() == 0
+
+
+def test_group_sampled_quantiles_exact_smallset_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.operators.sketches import (
+        group_bottomk_sample,
+        group_sampled_quantiles,
+    )
+
+    rows = [(i, f"g{i % 3}", float((i * 37) % 101)) for i in range(600)]
+    rows.append((9_999, "g0", None))  # null must not enter any sample
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+
+    # k >= every group size -> the sample IS the group -> exact quantiles
+    got = {
+        (r["g"], r["p"]): r["est_value"]
+        for r in group_sampled_quantiles(
+            df, ["g"], "v", "id", k=1_000, probs=(0.25, 0.5, 0.9)
+        ).collect()
+    }
+    import collections
+
+    vals = collections.defaultdict(list)
+    for i, g, v in rows:
+        if v is not None:
+            vals[g].append(v)
+    for g, vs in vals.items():
+        vs.sort()
+        for p in (0.25, 0.5, 0.9):
+            assert got[(g, p)] == vs[int(p * (len(vs) - 1))]
+
+    # two-level sample == single-level (partition-layout invariance)
+    a = sorted(
+        map(tuple, group_bottomk_sample(df.repartition(1), ["g"], "id", 16).collect())
+    )
+    for parts in (5, 32):
+        b = sorted(
+            map(
+                tuple,
+                group_bottomk_sample(df.repartition(parts), ["g"], "id", 16).collect(),
+            )
+        )
+        assert b == a
+
+    # sampled estimates are deterministic under re-layout too
+    e1 = sorted(
+        map(
+            tuple,
+            group_sampled_quantiles(
+                df.repartition(4), ["g"], "v", "id", k=32, probs=(0.5,)
+            ).collect(),
+        )
+    )
+    e2 = sorted(
+        map(
+            tuple,
+            group_sampled_quantiles(
+                df.repartition(17), ["g"], "v", "id", k=32, probs=(0.5,)
+            ).collect(),
+        )
+    )
+    assert e1 == e2
+
+
+def test_group_sampled_quantiles_all_leg_matches_global(spark):
+    """A single constant group must reproduce the global
+    sampled_quantiles exactly — the superset claim behind retiring the
+    events_sampled_quantiles gate into events_quantiles_by_type."""
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.operators.sketches import (
+        group_sampled_quantiles,
+        sampled_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float((i * 61) % 307)) for i in range(800)], "id long, v double"
+    )
+    g = df.withColumn("g", F.lit("ALL"))
+    grouped = {
+        r["p"]: r["est_value"]
+        for r in group_sampled_quantiles(
+            g, ["g"], "v", "id", k=64, probs=(0.25, 0.5, 0.99)
+        ).collect()
+    }
+    glob = {
+        r["p"]: r["est_value"]
+        for r in sampled_quantiles(df, "v", "id", k=64, probs=(0.25, 0.5, 0.99)).collect()
+    }
+    assert grouped == glob
