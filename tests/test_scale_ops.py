@@ -536,3 +536,49 @@ def test_group_sampled_quantiles_all_leg_matches_global(spark):
         for r in sampled_quantiles(df, "v", "id", k=64, probs=(0.25, 0.5, 0.99)).collect()
     }
     assert grouped == glob
+
+
+def test_cm_heavy_hitters_matches_mg_and_brute_force(spark):
+    """The Count-Min candidate variant shares mg_heavy_hitters' exact
+    output contract: bucket counts upper-bound member items, so true
+    heavy hitters always survive the per-depth isin filter and the
+    exact recount drops every false positive — including in the
+    degenerate tiny-bucket regime where every bucket goes heavy."""
+    import collections
+    import math
+
+    from s3logs_parquet_spark.operators.sketches import (
+        cm_heavy_hitters,
+        mg_heavy_hitters,
+    )
+
+    items = _zipf_items(n=20_000, vocab=1_000, seed=23)
+    exact = collections.Counter(items)
+    phi = 1.0 / 50.0
+    thresh = math.ceil(phi * len(items))
+    truth = sorted((i, c) for i, c in exact.items() if c >= thresh)
+    assert truth
+
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    for parts in (1, 11):
+        got = sorted(
+            (r["item"], r["cnt"])
+            for r in cm_heavy_hitters(df.repartition(parts), "item", phi).collect()
+        )
+        assert got == truth, f"parts={parts}"
+    mg = sorted(
+        (r["item"], r["cnt"])
+        for r in mg_heavy_hitters(df, "item", phi=phi, k=64).collect()
+    )
+    assert mg == truth
+
+    # tiny bucket space: correct (unbounded-candidates regime, documented)
+    tiny = sorted(
+        (r["item"], r["cnt"])
+        for r in cm_heavy_hitters(df, "item", phi, n_buckets=8).collect()
+    )
+    assert tiny == truth
+
+    # empty input
+    empty = cm_heavy_hitters(spark.createDataFrame([], "item string"), "item", 0.1)
+    assert empty.columns == ["item", "cnt"] and empty.count() == 0

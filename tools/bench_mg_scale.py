@@ -1,5 +1,8 @@
-"""Misra–Gries heavy hitters vs the full-vocabulary groupBy at scale:
-wall time AND exchange volume (the claim the operator exists for).
+"""Heavy-hitter strategies vs the full-vocabulary groupBy at scale:
+wall time AND exchange volume (the claim the operators exist for).
+Three legs — naive groupBy, Misra–Gries (bounded state, Python
+summary pass), Count-Min candidates (all-JVM, fixed bucket key
+space) — all required to produce identical exact output.
 
 Token stream model: 10% of draws hit a 100-item hot head (the true
 heavy hitters), 90% spread near-uniformly over a --tail-sized noise
@@ -31,7 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from s3logs_parquet_spark.operators.sketches import mg_heavy_hitters  # noqa: E402
+from s3logs_parquet_spark.operators.sketches import (  # noqa: E402
+    cm_heavy_hitters,
+    mg_heavy_hitters,
+)
 from s3logs_parquet_spark.session import get_spark  # noqa: E402
 
 HOT = 100
@@ -114,10 +120,18 @@ def main() -> None:
     m2 = stage_metrics(spark)
     mg_delta = leg_delta(m1, m2)
 
+    # leg 3: Count-Min candidate pass + exact recount (all-JVM)
+    t0 = time.time()
+    cm = cm_heavy_hitters(df, "item", phi=args.phi).collect()
+    t_cm = time.time() - t0
+    m3 = stage_metrics(spark)
+    cm_delta = leg_delta(m2, m3)
+
     got_naive = sorted((r["item"], r["cnt"]) for r in naive)
     got_mg = sorted((r["item"], r["cnt"]) for r in mg)
-    assert got_naive == got_mg, (
-        f"parity FAILED: naive={len(got_naive)} mg={len(got_mg)}"
+    got_cm = sorted((r["item"], r["cnt"]) for r in cm)
+    assert got_naive == got_mg == got_cm, (
+        f"parity FAILED: naive={len(got_naive)} mg={len(got_mg)} cm={len(got_cm)}"
     )
 
     vocab = df.select(F.countDistinct("item")).collect()[0][0]
@@ -134,8 +148,10 @@ def main() -> None:
                 "parity": True,
                 "naive_sec": round(t_naive, 1),
                 "mg_sec": round(t_mg, 1),
+                "cm_sec": round(t_cm, 1),
                 "naive_stage_metrics": naive_delta,
                 "mg_stage_metrics": mg_delta,
+                "cm_stage_metrics": cm_delta,
             }
         ),
         flush=True,
