@@ -523,3 +523,179 @@ def read_mg_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
     summaries concatenate losslessly because the downstream merge is a
     sum."""
     return spark.read.parquet(sketch_path).select("_mg_item", "_mg_lb")
+
+
+def _prior_batch_dirs(spark: SparkSession, root: str, batch_id: int) -> list[str]:
+    """``batch=<id>`` directories under ``root`` with id < batch_id —
+    the replay guard for per-batch index stores: a crashed attempt may
+    have already written THIS batch's contribution, and reading it back
+    would make the batch's own rows match themselves. Hadoop-FS listing
+    (fsutil), so the store may live on s3a:// etc."""
+    import posixpath
+    import re
+
+    from s3logs_parquet_spark.fsutil import list_files
+
+    dirs = set()
+    for f in list_files(spark, root, recursive=True):
+        if not f.name.endswith(".parquet"):
+            continue
+        d = posixpath.dirname(f.path)
+        m = re.search(r"batch=(\d+)$", d)
+        if m and int(m.group(1)) < batch_id:
+            dirs.add(d)
+    return sorted(dirs)
+
+
+def run_stream_curation(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] = ("en",),
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.3,
+    lsh_max_bucket_size: int | None = 10_000,
+    scfg: StreamingJobConfig | None = None,
+) -> StreamingQuery:
+    """Continuous training-data curation — plans/curation.py's pipeline
+    (quality/language gate → exact dedup → near-dup dedup) as a
+    streaming job over persisted indexes, the shape a 100 TB ingestion
+    pipeline actually runs: each arriving micro-batch is curated
+    against EVERYTHING already ingested in O(batch) work, never
+    reprocessing history.
+
+    Per micro-batch: (1) quality/langid filter; (2) exact dedup within
+    the batch (min-id canonical) and against the persisted digest
+    index; (3) near-dup dedup within the batch (LSH candidates → CC →
+    min-id canonical, exactly curate_documents' semantics) and against
+    the persisted MinHash band index via incremental_neardup_pairs;
+    (4) append survivors to ``{out_dir}/batch=<id>`` and the batch's
+    contributions to ``{index_dir}/digests|bands/batch=<id>`` — all
+    mode=overwrite per-batch dirs, the T4 commit shape.
+
+    The indexes cover every exact-unique arrived doc that passed the
+    quality gate (INCLUDING near-dup-dropped ones), so a future doc
+    matching only a dropped doc is still caught — the longest
+    arrival-order transitive chain the online setting can honor.
+
+    Online-vs-offline semantics, stated honestly: the streamed output
+    guarantees NO SURVIVOR IS AN EXACT OR NEAR DUP OF ANY
+    EARLIER-ARRIVED DOC (and within a batch, cluster-min canonicals —
+    a single drained batch reproduces curate_documents exactly; both
+    pinned by pytest). It does NOT equal global batch curation on
+    every history: offline CC closes transitive chains through
+    LATER-arriving hubs (doc A ~ C and B ~ C with A≁B: offline keeps
+    min(A,B,C) only; online keeps A and B if C arrives last) — the
+    inherent online/offline clustering gap, not an implementation
+    artifact.
+
+    Replay safety: contribution reads exclude the current batch id
+    (:func:`_prior_batch_dirs`), so a crashed attempt's own writes are
+    invisible to its retry and the rewrite is bit-identical.
+    """
+    from s3logs_parquet_spark.functions.hashing import hash32
+    from s3logs_parquet_spark.functions.text_analysis import langid, quality_score
+    from s3logs_parquet_spark.operators.dedup import (
+        _content_digest,
+        connected_components_clusters,
+        exact_dedup,
+        incremental_neardup_pairs,
+        minhash_banded,
+        minhash_lsh_pairs,
+    )
+    from s3logs_parquet_spark.session import materialize
+
+    scfg = scfg or StreamingJobConfig()
+    stream = (
+        spark.readStream.schema(input_schema)
+        .option("maxFilesPerTrigger", scfg.max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        kept = (
+            batch_df.withColumn(
+                "quality", F.round(quality_score(F.col(text_col)), 6)
+            )
+            .withColumn("lang_pred", langid(F.col(text_col)))
+            .filter(
+                (F.col("quality") >= min_quality)
+                & F.col("lang_pred").isin(*languages)
+            )
+        )
+        exact = exact_dedup(kept, text_col, keep_order_col=id_col, id_col=id_col)
+        prior_dg = _prior_batch_dirs(spark, f"{index_dir}/digests", batch_id)
+        fresh = exact.withColumn("_dg", _content_digest(text_col))
+        if prior_dg:
+            hist = spark.read.parquet(*prior_dg)
+            fresh = fresh.join(hist, on="_dg", how="left_anti")
+        # several consumers below (pairs, banding, digest write, output)
+        # re-scan this frame — materialize once per batch
+        fresh = materialize(fresh)
+
+        pairs = minhash_lsh_pairs(
+            fresh,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            jaccard_threshold=jaccard_threshold,
+            max_bucket_size=lsh_max_bucket_size,
+            oversize_policy="star",
+        )
+        labels = connected_components_clusters(pairs, fresh.select(id_col), id_col)
+        canon = labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+        survivors = fresh.join(canon, id_col, "left_semi")
+
+        prior_bands = _prior_batch_dirs(spark, f"{index_dir}/bands", batch_id)
+        if prior_bands:
+            idx = spark.read.parquet(*prior_bands)
+            hits = incremental_neardup_pairs(
+                survivors,
+                idx,
+                id_col,
+                text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+                jaccard_threshold=jaccard_threshold,
+            )
+            dup_ids = hits.select(F.col("batch_id").alias(id_col)).distinct()
+            survivors = survivors.join(dup_ids, id_col, "left_anti")
+
+        # contributions index every exact-unique ARRIVED doc (survivor
+        # or near-dup-dropped) — see the transitive-chain note above
+        fresh.select(F.col("_dg")).write.mode("overwrite").parquet(
+            f"{index_dir}/digests/batch={batch_id}"
+        )
+        minhash_banded(
+            fresh, id_col, text_col, num_hashes, bands, shingle_k
+        ).write.mode("overwrite").parquet(f"{index_dir}/bands/batch={batch_id}")
+
+        bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(100))
+        split = (
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+        survivors.select(
+            id_col, "lang_pred", "quality", split.alias("split")
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if scfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=scfg.processing_time)
+    return writer.start()

@@ -646,3 +646,156 @@ def test_stream_mg_matches_batch_and_same_lineage_replay(spark, tmp_path):
         full, "item", read_mg_sketch(spark, sk), phi, k
     )
     assert sorted((r["item"], r["cnt"]) for r in again.collect()) == truth
+
+
+def _curation_fixture_docs():
+    """Doc rows with planted cross-batch exact dups, near-dups, a
+    punctuation-soup low-quality doc, and a German doc. English base
+    texts are stopword-rich so langid='en' and quality clears 0.3."""
+    en = "the quick brown fox and the lazy dog is that for with was happy"
+
+    def base(i):
+        return f"{en} alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+
+    files = []
+    files.append([(i, base(i)) for i in range(10)])
+    f1 = [(10, base(0)), (11, base(1) + " zeta")]  # exact dup; near dup
+    f1 += [(i, base(i)) for i in range(12, 20)]
+    files.append(f1)
+    f2 = [(20, base(0)), (21, base(1) + " eta")]  # dup of dup; near dup
+    f2 += [(22, "??? !!! ... ;;; ::: @@@ ###")]  # punctuation soup
+    f2 += [(23, "der hund und die katze ist von mit nicht ein das haus")]
+    f2 += [(i, base(i)) for i in range(24, 30)]
+    files.append(f2)
+    files.append([(i, base(i)) for i in range(30, 40)])
+    return files
+
+
+def test_stream_curation_invariants_and_single_batch_equality(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from s3logs_parquet_spark.operators.dedup import (
+        _content_digest,
+        incremental_neardup_pairs,
+    )
+    from s3logs_parquet_spark.plans.curation import curate_documents
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        run_stream_curation,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    inp, out, idx, ck = (str(tmp_path / d) for d in ("in", "out", "idx", "ck"))
+    files = _curation_fixture_docs()
+    for rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(inp)
+
+    params = dict(
+        min_quality=0.3,
+        languages=("en",),
+        num_hashes=32,
+        bands=8,
+        shingle_k=3,
+        jaccard_threshold=0.3,
+    )
+    scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
+    q = run_stream_curation(
+        spark, inp, schema, out, idx, ck, scfg=scfg, **params
+    )
+    q.awaitTermination(180)
+
+    all_docs = spark.read.parquet(inp)
+    survivors = spark.read.parquet(out)  # batch becomes a partition col
+    surv_docs = survivors.join(all_docs, "doc_id")
+
+    # quality / language invariants hold on every output row
+    assert survivors.filter(F.col("quality") < 0.3).count() == 0
+    assert survivors.filter(F.col("lang_pred") != "en").count() == 0
+    assert surv_docs.count() == survivors.count()  # ids ⊆ input
+
+    # planted junk is gone
+    out_ids = {r["doc_id"] for r in survivors.collect()}
+    assert {10, 20, 22, 23}.isdisjoint(out_ids)  # exact dups + quality + lang
+    assert {11, 21}.isdisjoint(out_ids)  # near dups of doc 1's base
+    assert {0, 1}.issubset(out_ids)
+
+    # no two survivors share a digest (global exact-dedup invariant)
+    n_dg = surv_docs.select(_content_digest("text").alias("d")).distinct().count()
+    assert n_dg == survivors.count()
+
+    # no survivor is a near-dup of ANY earlier-arrived doc: probe each
+    # batch's survivors against the persisted band index of prior batches
+    batches = sorted(r["batch"] for r in survivors.select("batch").distinct().collect())
+    for b in batches[1:]:
+        prior = [
+            f"{idx}/bands/batch={pb}"
+            for pb in range(b)
+            if (tmp_path / "idx" / "bands" / f"batch={pb}").exists()
+        ]
+        if not prior:
+            continue
+        probe = surv_docs.filter(F.col("batch") == b).select("doc_id", "text")
+        hits = incremental_neardup_pairs(
+            probe,
+            spark.read.parquet(*prior),
+            "doc_id",
+            "text",
+            num_hashes=32,
+            bands=8,
+            shingle_k=3,
+            jaccard_threshold=0.3,
+        )
+        assert hits.count() == 0, f"batch {b} survivor near-dups history"
+
+    # a single drained batch reproduces curate_documents exactly
+    inp1, out1, idx1, ck1 = (
+        str(tmp_path / d) for d in ("in1", "out1", "idx1", "ck1")
+    )
+    one = spark.createDataFrame(
+        [r for rows in files for r in rows], schema
+    )
+    one.coalesce(1).write.parquet(inp1)
+    scfg1 = StreamingJobConfig(available_now=True, max_files_per_trigger=10)
+    q1 = run_stream_curation(
+        spark, inp1, schema, out1, idx1, ck1, scfg=scfg1, **params
+    )
+    q1.awaitTermination(180)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out1)
+            .select("doc_id", "lang_pred", "quality", "split")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            curate_documents(
+                one,
+                min_quality=0.3,
+                languages=("en",),
+                jaccard_threshold=0.3,
+                num_hashes=32,
+                bands=8,
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_prior_batch_dirs_excludes_current_and_later(spark, tmp_path):
+    """The replay guard: a crashed attempt's own contribution dir (and
+    any later one) must be invisible when re-deriving its batch."""
+    from s3logs_parquet_spark.streaming.job import _prior_batch_dirs
+
+    root = str(tmp_path / "store")
+    for b in (0, 1, 2):
+        spark.range(3).write.parquet(f"{root}/batch={b}")
+    got = _prior_batch_dirs(spark, root, 2)
+    assert [d.rsplit("=", 1)[1] for d in got] == ["0", "1"]
+    assert _prior_batch_dirs(spark, root, 0) == []
+    assert _prior_batch_dirs(spark, str(tmp_path / "missing"), 5) == []
