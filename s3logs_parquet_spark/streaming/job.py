@@ -563,6 +563,7 @@ def run_stream_curation(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.3,
     lsh_max_bucket_size: int | None = 10_000,
+    index_dropped: bool = True,
     scfg: StreamingJobConfig | None = None,
 ) -> StreamingQuery:
     """Continuous training-data curation — plans/curation.py's pipeline
@@ -581,10 +582,20 @@ def run_stream_curation(
     contributions to ``{index_dir}/digests|bands/batch=<id>`` — all
     mode=overwrite per-batch dirs, the T4 commit shape.
 
-    The indexes cover every exact-unique arrived doc that passed the
-    quality gate (INCLUDING near-dup-dropped ones), so a future doc
-    matching only a dropped doc is still caught — the longest
-    arrival-order transitive chain the online setting can honor.
+    With ``index_dropped=True`` (default) the BAND index covers every
+    exact-unique arrived doc that passed the quality gate (INCLUDING
+    near-dup-dropped ones), so a future doc matching only a dropped
+    doc is still caught — the longest arrival-order transitive chain
+    the online setting can honor. The cost on template-flood corpora:
+    dropped variants pile into the same band buckets, so the
+    batch×corpus probe join grows with HISTORY, not batch.
+    ``index_dropped=False`` indexes survivors only — near-dup
+    canonicals, so flood buckets hold one representative per family
+    and the probe stays O(batch) — trading away the dropped-doc
+    transitive chain (a doc similar only to a dropped variant, below
+    threshold against its surviving canonical, now survives). The
+    DIGEST index always covers all arrived exact-uniques either way
+    (16-byte rows; an exact copy of a dropped doc must always drop).
 
     Online-vs-offline semantics, stated honestly: the streamed output
     guarantees NO SURVIVOR IS AN EXACT OR NEAR DUP OF ANY
@@ -672,13 +683,14 @@ def run_stream_curation(
             dup_ids = hits.select(F.col("batch_id").alias(id_col)).distinct()
             survivors = survivors.join(dup_ids, id_col, "left_anti")
 
-        # contributions index every exact-unique ARRIVED doc (survivor
-        # or near-dup-dropped) — see the transitive-chain note above
+        # digest contributions always cover every exact-unique ARRIVED
+        # doc; band contributions follow index_dropped (see docstring)
         fresh.select(F.col("_dg")).write.mode("overwrite").parquet(
             f"{index_dir}/digests/batch={batch_id}"
         )
+        band_src = fresh if index_dropped else survivors
         minhash_banded(
-            fresh, id_col, text_col, num_hashes, bands, shingle_k
+            band_src, id_col, text_col, num_hashes, bands, shingle_k
         ).write.mode("overwrite").parquet(f"{index_dir}/bands/batch={batch_id}")
 
         bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(100))

@@ -799,3 +799,45 @@ def test_prior_batch_dirs_excludes_current_and_later(spark, tmp_path):
     assert [d.rsplit("=", 1)[1] for d in got] == ["0", "1"]
     assert _prior_batch_dirs(spark, root, 0) == []
     assert _prior_batch_dirs(spark, str(tmp_path / "missing"), 5) == []
+
+
+def test_stream_curation_survivors_only_index_mode(spark, tmp_path):
+    """index_dropped=False (the flood posture): band buckets hold only
+    canonical survivors, but an EXACT copy of a near-dup-dropped doc
+    must still drop — the digest index always covers all arrived
+    exact-uniques."""
+    from pyspark.sql import types as T
+
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        run_stream_curation,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    en = "the quick brown fox and the lazy dog is that for with was happy"
+    base = f"{en} alpha beta gamma delta epsilon"
+    near = base + " zeta"  # near-dup of base -> dropped in batch 0
+    inp, out, idx, ck = (str(tmp_path / d) for d in ("in", "out", "idx", "ck"))
+    spark.createDataFrame([(0, base), (1, near)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    # batch 1: exact copy of the DROPPED doc + a fresh unique doc
+    spark.createDataFrame(
+        [(2, near), (3, f"{en} omicron sigma tau upsilon phi")], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
+    q = run_stream_curation(
+        spark, inp, schema, out, idx, ck,
+        min_quality=0.3, jaccard_threshold=0.3, index_dropped=False, scfg=scfg,
+    )
+    q.awaitTermination(120)
+    out_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 0 in out_ids and 3 in out_ids
+    assert 1 not in out_ids  # near-dup within batch 0
+    assert 2 not in out_ids  # exact copy of a dropped doc: digest path
+    # band store holds only survivors' signatures (one id per band)
+    bands = spark.read.parquet(f"{idx}/bands")
+    assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} <= out_ids | {0, 3}

@@ -1,0 +1,130 @@
+"""Streaming curation at scale: per-batch latency as the persisted
+indexes grow — the O(batch) claim, measured, in BOTH band-index modes.
+
+Corpus: bench_curation_scale.synth_docs (the boilerplate-flood shape —
+40% template variants, 10% verbatim dups of early ids, 50% unique
+salads), split into --batches equal id ranges written as one file per
+batch; maxFilesPerTrigger=1 makes each file a micro-batch, so every
+batch carries cross-batch exact dups (ids ≥ 1000 duplicate batch-0
+salads) and cross-batch near-dup flood mass (template variants land in
+the same band buckets in every batch).
+
+Per-batch wall times come from the StreamingQuery progress log
+(triggerExecution durationMs). The flood corpus is exactly the case
+the run_stream_curation docstring warns about: with
+index_dropped=True the dropped variants accumulate in hot band
+buckets and the batch×corpus probe grows with history; with
+index_dropped=False (survivors-only bands) buckets hold one canonical
+per family and the curve should stay flat.
+
+Usage: python tools/bench_stream_curation_scale.py
+    [--rows-per-batch 100000] [--batches 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from s3logs_parquet_spark.session import get_spark  # noqa: E402
+from s3logs_parquet_spark.streaming.job import (  # noqa: E402
+    StreamingJobConfig,
+    run_stream_curation,
+)
+from tools.bench_curation_scale import synth_docs  # noqa: E402
+
+SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+)
+
+
+def run_mode(spark, inp: str, work: str, index_dropped: bool) -> dict:
+    out = os.path.join(work, f"out-{index_dropped}")
+    idx = os.path.join(work, f"idx-{index_dropped}")
+    ck = os.path.join(work, f"ck-{index_dropped}")
+    t0 = time.time()
+    q = run_stream_curation(
+        spark,
+        inp,
+        SCHEMA,
+        out,
+        idx,
+        ck,
+        min_quality=0.5,
+        languages=("en",),
+        lsh_max_bucket_size=500,
+        index_dropped=index_dropped,
+        scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
+    )
+    q.awaitTermination(3600)
+    wall = time.time() - t0
+    per_batch = [
+        {
+            "batch": p["batchId"],
+            "rows": p["numInputRows"],
+            "sec": round(p["durationMs"]["triggerExecution"] / 1000.0, 1),
+        }
+        for p in q.recentProgress
+        if p["numInputRows"] > 0
+    ]
+    survivors = spark.read.parquet(out).count()
+    bands_rows = spark.read.parquet(os.path.join(idx, "bands")).count()
+    return {
+        "index_dropped": index_dropped,
+        "wall_sec": round(wall, 1),
+        "survivors": survivors,
+        "band_index_rows": bands_rows,
+        "per_batch_sec": per_batch,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows-per-batch", type=int, default=100_000)
+    ap.add_argument("--batches", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="bench-stream-curation")
+    work = tempfile.mkdtemp(prefix="stream-curation-")
+    inp = os.path.join(work, "in")
+    docs = synth_docs(spark, args.rows_per_batch * args.batches)
+    for b in range(args.batches):
+        lo, hi = b * args.rows_per_batch, (b + 1) * args.rows_per_batch
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+
+    results = [run_mode(spark, inp, work, True), run_mode(spark, inp, work, False)]
+    n = args.rows_per_batch * args.batches
+    print(
+        json.dumps(
+            {
+                "metric": "stream_curation_scale",
+                "rows": n,
+                "batches": args.batches,
+                "modes": results,
+                "docs_per_sec": {
+                    ("dropped" if r["index_dropped"] else "survivors"): round(
+                        n / r["wall_sec"], 1
+                    )
+                    for r in results
+                },
+            }
+        ),
+        flush=True,
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
