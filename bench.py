@@ -118,6 +118,11 @@ HEADLINE = [
     # bottom-k quantiles (per-type windows + the global ALL leg)
     "docs_heavy_hitter_words",
     "events_quantiles_by_type",
+    # round 7 fourth session: corpus selection — per-source hash-rank
+    # cap (count-aware: under-cap groups map-only, over-cap through
+    # the two-level rank) + token-budget boundary-find prefix (binned
+    # aggregate -> driver boundary -> one bin-keyed window)
+    "docs_selection_budget",
 ]
 
 

@@ -2086,32 +2086,109 @@ FROM s GROUP BY source
 """
 
 
-def q_docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global shuffle: the corpus ordered by content
-    hash (ties by id) — the reproducible pseudo-random permutation a
-    training run reads. At scale `orderBy(hash)` is a range-partitioned
-    sort (sampled boundaries, no single-reducer); here the first 50
-    positions are returned via distributed top-k + a 50-row window."""
-    from pyspark.sql import Window as W
+# (q_docs_global_shuffle retired round 7 into q_docs_selection_budget
+# below: its (hash32(doc_id), doc_id) total-order rank selection is
+# value-checked per doc as the new gate's within-source cap_rk — the
+# same hash, the same comparator, rank surfaced per row — and the
+# global top-k form keeps a direct DuckDB differential in
+# tests/test_selection.py::test_global_shuffle_duckdb_differential.)
 
+
+def q_docs_selection_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus selection pipeline: per-source frequency cap (at most
+    cap(source) docs per source, deterministic bottom-cap by content
+    hash — the RefinedWeb-style domain cap) followed by greedy
+    token-budget prefix selection over the survivors in (quality DESC,
+    id) order (operators/selection.py). Caps are hash-derived per
+    source (15-34) so BOTH the under-cap map-only passthrough and the
+    over-cap two-level rank path face the driver oracle; quality is
+    the rounded quality_score convention, surfaced per doc for EVERY
+    row (the retired docs_quality_score per-doc values live on here).
+    Budget semantics: running sum of whitespace-token counts of capped
+    survivors ≤ 12,000 in quality order; zero-cost rows inside the
+    prefix select."""
     from s3logs_parquet_spark.functions.hashing import hash32
+    from s3logs_parquet_spark.operators.selection import (
+        budget_select,
+        cap_per_group,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    top = (
-        d.select(hash32(F.col("doc_id").cast("string")).alias("_h"), "doc_id")
-        .orderBy("_h", "doc_id")
-        .limit(50)
+    cap = F.lit(15) + F.pmod(hash32(F.col("source")), F.lit(20))
+    capped = cap_per_group(d, "source", cap, "doc_id")
+    feats = quality_features(F.col("text"))
+    scored = capped.select(
+        "doc_id",
+        "source",
+        "cap_rk",
+        "cap_keep",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        feats["n_words"].alias("tok"),
+    ).withColumn(
+        "_w", F.when(F.col("cap_keep"), F.col("tok")).otherwise(F.lit(0))
     )
-    pos = F.row_number().over(W.orderBy("_h", "doc_id"))
-    return top.select(pos.alias("pos"), "doc_id")
+    out = budget_select(scored, "quality", "doc_id", "_w", 12_000)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("cap_rk").cast("long").alias("cap_rk"),
+        F.col("cap_keep").cast("int").alias("cap_keep"),
+        "quality",
+        F.col("tok").cast("long").alias("tok"),
+        (F.col("selected") & F.col("cap_keep")).cast("int").alias("selected"),
+    )
 
 
-ORACLE_DOCS_GLOBAL_SHUFFLE = f"""
-WITH h AS (
-  SELECT doc_id, {hash32_sql("doc_id::VARCHAR")} AS hh FROM documents
+ORACLE_DOCS_SELECTION_BUDGET = f"""
+WITH feat AS (
+  SELECT doc_id, source,
+         {_SQL_WORDS} AS ws,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, source,
+         len(ws)::BIGINT AS tok,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(ws) > 0 THEN {_sql_stop_hits('en')}::DOUBLE / len(ws) ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(ws) > 0
+              THEN list_aggregate(list_transform(ws, w -> length(w)), 'sum')::DOUBLE / len(ws)
+              ELSE 0.0 END AS mean_word_len
+  FROM feat
+), q AS (
+  SELECT doc_id, source, tok,
+         round(
+           least(tok / 20.0, 1.0) * 0.3
+           + least(stopword_ratio * 4.0, 1.0) * 0.3
+           + greatest(1.0 - punct_ratio * 5.0, 0.0) * 0.2
+           + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+         , 6) AS quality
+  FROM m
+), rk AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {hash32_sql("doc_id::VARCHAR")}, doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt,
+         15 + ({hash32_sql("source")} % 20) AS cap
+  FROM q
+), c AS (
+  SELECT doc_id, source, quality, tok,
+         (cnt <= cap OR rn <= cap) AS keep,
+         CASE WHEN cnt > cap AND rn <= cap THEN rn END::BIGINT AS cap_rk
+  FROM rk
+), b AS (
+  SELECT *,
+         sum(CASE WHEN keep THEN tok ELSE 0 END) OVER (
+           ORDER BY quality DESC, doc_id
+         ) AS cum
+  FROM c
 )
-SELECT row_number() OVER (ORDER BY hh, doc_id)::INT AS pos, doc_id
-FROM h ORDER BY hh, doc_id LIMIT 50
+SELECT doc_id, source, cap_rk,
+       keep::INT AS cap_keep, quality, tok,
+       (keep AND cum <= 12000)::INT AS selected
+FROM b
 """
 
 
@@ -3559,7 +3636,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_curation_pipeline": (q_docs_curation_pipeline, _oracle_curation()),
     "docs_decontaminate": (q_docs_decontaminate, ORACLE_DOCS_DECONTAMINATE),
     "docs_stratified_sample": (q_docs_stratified_sample, ORACLE_DOCS_STRATIFIED),
-    "docs_global_shuffle": (q_docs_global_shuffle, ORACLE_DOCS_GLOBAL_SHUFFLE),
+    "docs_selection_budget": (q_docs_selection_budget, ORACLE_DOCS_SELECTION_BUDGET),
     "docs_clean_and_repetition": (q_docs_clean_and_repetition, ORACLE_DOCS_CLEAN_REP),
     "docs_pii_redact": (q_docs_pii_redact, _oracle_pii_redact()),
     # docs_doc_frequency retired round 7: the identical words()-df
@@ -4185,7 +4262,14 @@ _DRIVER_WINDOW_R07 = [
     "docs_leakage_safe_split",
     "docs_decontaminate",
     "docs_stratified_sample",
-    "docs_global_shuffle",
+    # NEW round-7 gate (fourth session): slot of retired
+    # docs_global_shuffle (its hash-total-order rank selection is
+    # value-checked per doc as cap_rk inside; direct DuckDB
+    # differential kept in tests/test_selection.py). Per-source
+    # frequency cap + token-budget prefix selection — also a strict
+    # per-doc superset of docs_quality_score's quality values, which
+    # stays registered and rotates normally.
+    "docs_selection_budget",
     "docs_clean_and_repetition",
     "docs_pii_redact",
     # NEW round-7 gate: slot of retired docs_doc_frequency (its df
