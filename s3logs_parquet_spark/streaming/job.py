@@ -622,7 +622,7 @@ def run_stream_curation(
         minhash_banded,
         minhash_lsh_pairs,
     )
-    from s3logs_parquet_spark.session import materialize
+    from s3logs_parquet_spark.session import materialize, release
 
     scfg = scfg or StreamingJobConfig()
     stream = (
@@ -642,6 +642,12 @@ def run_stream_curation(
                 & F.col("lang_pred").isin(*languages)
             )
         )
+        # exact_dedup's narrow (id-keyed) path scans its input twice by
+        # design (dedup.py trade-off note); checkpoint the filtered
+        # batch once so the second scan hits executor blocks instead of
+        # re-reading the source and re-evaluating quality/langid — this
+        # also makes numInputRows report true batch sizes
+        kept = materialize(kept)
         exact = exact_dedup(kept, text_col, keep_order_col=id_col, id_col=id_col)
         prior_dg = _prior_batch_dirs(spark, f"{index_dir}/digests", batch_id)
         fresh = exact.withColumn("_dg", _content_digest(text_col))
@@ -702,6 +708,11 @@ def run_stream_curation(
         survivors.select(
             id_col, "lang_pred", "quality", split.alias("split")
         ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        # all consumers above are actions that already ran — drop this
+        # batch's checkpoint blocks so a long-running stream's executor
+        # storage stays bounded by ONE batch, not the whole history
+        release(fresh)
+        release(kept)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
