@@ -44,9 +44,35 @@ TEMPLATES = [
 ]
 
 
+def _salad(src):
+    """Deterministic 14-word salad for a source id expression; en-only
+    stopwords interleave so the docs PASS the curation quality/langid
+    gates (see the note inside synth_docs). Module-level so the
+    streaming bench's flood corpus can reuse the identical kernel."""
+    stoplit = F.array(*[F.lit(w) for w in ["the", "and", "to", "with", "for", "was", "that"]])
+    wordlit = F.array(*[F.lit(w) for w in WORDS])
+    parts = []
+    for i in range(14):
+        parts.append(
+            wordlit[F.pmod(F.xxhash64(src, F.lit(10 + i)), F.lit(len(WORDS))).cast("int")]
+        )
+        if i % 2 == 1:
+            parts.append(
+                stoplit[F.pmod(F.xxhash64(src, F.lit(100 + i)), F.lit(7)).cast("int")]
+            )
+    return F.concat_ws(" ", *parts, src.cast("string"))
+
+
 def synth_docs(spark, n: int):
     """Deterministic mixed corpus: 40% boilerplate variants, 10% exact
-    dups of earlier docs, 50% unique-ish word salads."""
+    dups of earlier docs, 50% unique-ish word salads.
+
+    Salads interleave en-only stopwords so they PASS the curation
+    quality/langid gates — otherwise everything but the ~200 distinct
+    boilerplate strings dies at the filter and the downstream
+    dedup/CC stages run on a broadcast-trivial survivor set (the
+    original 10M run's failure to exercise them; PERF.md "Curation
+    at 10M docs", round 6)."""
     df = spark.range(n)
     kind = F.pmod(F.xxhash64("id"), F.lit(10))  # 0-3 boiler, 4 dup, 5-9 unique
 
@@ -57,27 +83,6 @@ def synth_docs(spark, n: int):
     boiler = F.concat(
         tpl, F.lit(" edition "), F.pmod(F.xxhash64("id", F.lit(2)), F.lit(50)).cast("string")
     )
-
-    # salads interleave en-only stopwords so they PASS the curation
-    # quality/langid gates — otherwise everything but the ~200 distinct
-    # boilerplate strings dies at the filter and the downstream
-    # dedup/CC stages run on a broadcast-trivial survivor set (the
-    # original 10M run's failure to exercise them; PERF.md "Curation
-    # at 10M docs", round 6)
-    stoplit = F.array(*[F.lit(w) for w in ["the", "and", "to", "with", "for", "was", "that"]])
-    wordlit = F.array(*[F.lit(w) for w in WORDS])
-
-    def _salad(src):
-        parts = []
-        for i in range(14):
-            parts.append(
-                wordlit[F.pmod(F.xxhash64(src, F.lit(10 + i)), F.lit(len(WORDS))).cast("int")]
-            )
-            if i % 2 == 1:
-                parts.append(
-                    stoplit[F.pmod(F.xxhash64(src, F.lit(100 + i)), F.lit(7)).cast("int")]
-                )
-        return F.concat_ws(" ", *parts, src.cast("string"))
 
     salad = _salad(F.col("id"))
     # exact dup: regenerate the salad of doc (id % 1000) — verbatim copy

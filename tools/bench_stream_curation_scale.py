@@ -48,6 +48,30 @@ SCHEMA = T.StructType(
 )
 
 
+def synth_neardup_flood(spark, n: int, n_families: int = 200):
+    """The corpus the index_dropped knob exists for: 40% NEAR-dup flood
+    (the family salad plus a unique trailing token — exact-UNIQUE, so
+    the digest index never catches them; every member lands in its
+    family's band buckets) + 60% unique salads. synth_docs' mixed
+    corpus is mostly EXACT dups after the quality gate, which the
+    digest path absorbs — its near-dup mass is ~1% and both index
+    modes stay O(batch). Here the full-recall mode indexes every
+    arrived flood member, so the batch x history probe join grows
+    linearly with history; survivors-only keeps one representative
+    per family and stays flat."""
+    from tools.bench_curation_scale import _salad  # reuse the salad kernel
+
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    kind = F.pmod(F.xxhash64("doc_id"), F.lit(10))  # 0-3 flood, 4-9 unique
+    flood = F.concat(
+        _salad(F.pmod(F.col("doc_id"), F.lit(n_families))),
+        F.lit(" tail "),
+        F.col("doc_id").cast("string"),
+    )
+    text = F.when(kind <= 3, flood).otherwise(_salad(F.col("doc_id")))
+    return df.select("doc_id", text.alias("text"))
+
+
 def run_mode(spark, inp: str, work: str, index_dropped: bool) -> dict:
     out = os.path.join(work, f"out-{index_dropped}")
     idx = os.path.join(work, f"idx-{index_dropped}")
@@ -92,12 +116,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows-per-batch", type=int, default=100_000)
     ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--corpus", choices=["mixed", "flood"], default="mixed")
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench-stream-curation")
     work = tempfile.mkdtemp(prefix="stream-curation-")
     inp = os.path.join(work, "in")
-    docs = synth_docs(spark, args.rows_per_batch * args.batches)
+    synth = synth_docs if args.corpus == "mixed" else synth_neardup_flood
+    docs = synth(spark, args.rows_per_batch * args.batches)
     for b in range(args.batches):
         lo, hi = b * args.rows_per_batch, (b + 1) * args.rows_per_batch
         docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
@@ -111,6 +137,7 @@ def main() -> None:
             {
                 "metric": "stream_curation_scale",
                 "rows": n,
+                "corpus": args.corpus,
                 "batches": args.batches,
                 "modes": results,
                 "docs_per_sec": {
