@@ -27,15 +27,16 @@ Scale posture shared by both:
   sums run under a window keyed by bin — parallelism = B, per-task
   state = one bin. Rows in bins strictly above the boundary are
   selected map-side; strictly below, rejected map-side.
-- **Skew-safe capping.** ``cap_per_group`` never funnels a hot group
-  into one sort task: a first rank window keyed by (group, input
-  partition) prunes to ≤ cap rows per group PER PARTITION (a row whose
-  local rank exceeds the cap cannot rank inside the cap globally —
-  its global rank is at least its local rank), then the final
-  per-group rank runs over the ≤ cap·P pre-reduced candidates only.
-  Groups already under their cap bypass both windows entirely via the
-  per-group count join — at 100 TB the long tail of small domains is
-  most of the group mass and it stays map-only.
+- **Skew-safe capping.** ``cap_per_group`` never window-sorts a hot
+  group's full mass in one task: kept keys come from one rank window
+  over a narrow (group, id, hash) projection of the RAW SCAN whose
+  literal ``rn <= max_cap`` filter Spark 4 rewrites into map-side +
+  final WindowGroupLimit prunes (each task keeps ≤ cap rows per group
+  BEFORE the exchange — the two-level bottom-k, natively). Per-group
+  counts join only the pruned kept keys (≤ cap per group), and the
+  full-width rows rejoin by the UNIQUE id — a perfectly balanced
+  exchange with no hot-key reducer (AQE-broadcast when the kept side
+  fits).
 - **Integer-exact.** Budgets and weights are integers; cumulative
   sums never cross a float; the only float comparison (score order)
   is on values both engines compute identically (the rounded-score
@@ -58,64 +59,76 @@ def cap_per_group(
     *,
     rank_col: str = "cap_rk",
     keep_col: str = "cap_keep",
+    max_cap: int | None = None,
 ) -> DataFrame:
     """Flag at most ``cap`` rows per group, chosen deterministically as
     the bottom-``cap`` by (content hash of id, id) within the group.
 
     ``cap`` may be an int or a Column expression over ``group_col``
     (e.g. a per-domain quota table expressed as a hash-derived
-    function) — it must be constant within a group.
+    function) — it must be constant within a group. For Column caps,
+    pass ``max_cap`` (an upper bound on any group's cap) to enable the
+    WindowGroupLimit map-side prune — without it the rank window is
+    still correct but unbounded per task.
 
     Returns ``df`` plus two columns: ``keep_col`` (boolean — row is
     within its group's cap) and ``rank_col`` (the row's within-group
     hash rank, populated ONLY where the cap binds: rows of over-cap
-    groups that made the cut. Under-cap groups bypass ranking — the
-    whole point of the count-aware split — and dropped rows never get
-    an exact global rank, because the two-level prune discards them
-    before the final window; both carry NULL).
+    groups that made the cut. Under-cap groups' ranks are NULLed —
+    the cap carries no information there — and dropped rows never get
+    an exact global rank, because the WindowGroupLimit prune discards
+    them before the final rank; both carry NULL).
 
     Every input row is preserved (report shape); filter on
     ``keep_col`` for the production cut.
     """
     cap_expr = F.lit(cap) if isinstance(cap, int) else cap
+    if max_cap is None and isinstance(cap, int):
+        max_cap = cap
+
+    # Kept keys via ONE rank window over a NARROW (group, id, hash)
+    # projection of the RAW frame — all groups, not just over-cap
+    # ones. The literal rn <= max_cap filter is what Spark 4 rewrites
+    # into map-side + final WindowGroupLimit prunes (plan-asserted in
+    # tests): each scan task keeps ≤ max_cap rows per group BEFORE the
+    # exchange, so a hot group never funnels its full mass into one
+    # sort task. This only works because the window's child is the
+    # scan itself — an earlier design joined per-group counts onto the
+    # full frame FIRST, and that join's by-group exchange put the hot
+    # group's entire mass into one reducer task before the prune could
+    # run (measured: the straggler was the whole cost at 50M rows /
+    # 80% hot, tools/bench_selection_scale.py). NOTE the rewrite fires
+    # only for literal limits ≤ spark.sql.optimizer.
+    # windowGroupLimitThreshold (default 1000); pass ``max_cap`` when
+    # ``cap`` is a Column, and raise the threshold conf for caps
+    # beyond it.
+    h = hash32(F.col(id_col).cast("string"))
+    proj = df.select(group_col, id_col).withColumn("_cg_h", h)
+    w = Window.partitionBy(group_col).orderBy("_cg_h", id_col)
+    ranked = proj.withColumn("_cg_rk", F.row_number().over(w))
+    if max_cap is not None:
+        ranked = ranked.filter(F.col("_cg_rk") <= F.lit(int(max_cap)))
+    kept_keys = ranked.filter(F.col("_cg_rk") <= cap_expr)
+
+    # Per-group counts join the PRUNED kept keys (≤ cap rows per
+    # group — skew-free by construction), never the full frame; they
+    # only decide whether the rank is surfaced (the cap binds) or
+    # NULLed (under-cap passthrough).
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cg_n"))
-    # per-group counts are one row per group — tiny against the corpus;
-    # AQE broadcasts the join at runtime when they fit
-    base = df.join(counts, group_col).withColumn("_cg_cap", cap_expr)
-
-    under = base.filter(F.col("_cg_n") <= F.col("_cg_cap")).select(
+    kept = kept_keys.join(counts, group_col).select(
+        id_col,
+        F.when(F.col("_cg_n") > cap_expr, F.col("_cg_rk"))
+        .cast("long")
+        .alias(rank_col),
+        F.lit(True).alias("_cg_keep"),
+    )
+    # Full-width rows rejoin by id: unique key, perfectly balanced —
+    # no hot-group reducer; AQE broadcasts the kept side when it fits.
+    return df.join(kept, id_col, "left").select(
         *df.columns,
-        F.lit(None).cast("long").alias(rank_col),
-        F.lit(True).alias(keep_col),
+        F.col(rank_col),
+        F.coalesce(F.col("_cg_keep"), F.lit(False)).alias(keep_col),
     )
-
-    over = base.filter(F.col("_cg_n") > F.col("_cg_cap")).withColumn(
-        "_cg_h", hash32(F.col(id_col).cast("string"))
-    )
-    local_w = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(
-        "_cg_h", id_col
-    )
-    pruned = over.withColumn("_cg_rn", F.row_number().over(local_w))
-    # local rank > cap ⇒ global rank > cap ⇒ dropped, decided map-side
-    # after the partition-local window — no second exchange for these
-    dropped_early = pruned.filter(F.col("_cg_rn") > F.col("_cg_cap")).select(
-        *df.columns,
-        F.lit(None).cast("long").alias(rank_col),
-        F.lit(False).alias(keep_col),
-    )
-    final_w = Window.partitionBy(group_col).orderBy("_cg_h", id_col)
-    finalists = (
-        pruned.filter(F.col("_cg_rn") <= F.col("_cg_cap"))
-        .withColumn("_cg_rk", F.row_number().over(final_w))
-        .select(
-            *df.columns,
-            F.when(F.col("_cg_rk") <= F.col("_cg_cap"), F.col("_cg_rk"))
-            .cast("long")
-            .alias(rank_col),
-            (F.col("_cg_rk") <= F.col("_cg_cap")).alias(keep_col),
-        )
-    )
-    return under.unionByName(dropped_early).unionByName(finalists)
 
 
 def budget_select(

@@ -2115,7 +2115,7 @@ def q_docs_selection_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     cap = F.lit(15) + F.pmod(hash32(F.col("source")), F.lit(20))
-    capped = cap_per_group(d, "source", cap, "doc_id")
+    capped = cap_per_group(d, "source", cap, "doc_id", max_cap=34)
     feats = quality_features(F.col("text"))
     scored = capped.select(
         "doc_id",

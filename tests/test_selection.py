@@ -189,3 +189,19 @@ def test_global_shuffle_duckdb_differential(spark, sf_dir):
         """
     ).fetchall()
     assert got == [(int(p), int(i)) for p, i in want]
+
+
+def test_cap_per_group_plan_has_window_group_limit(spark):
+    """The skew posture relies on Spark 4 rewriting the rn <= cap
+    filter into map-side + final WindowGroupLimit prunes, so the
+    over-cap mass is never fully window-sorted — pin it in the plan."""
+    import contextlib
+    import io
+
+    df = spark.range(1000).selectExpr("id", "concat('g', id % 3) as grp")
+    out = cap_per_group(df, "grp", 10, "id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final

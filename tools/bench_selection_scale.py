@@ -49,9 +49,12 @@ def synth(spark, rows: int, tail_sources: int, hot_frac: float):
 
 
 def fingerprint(df, cols) -> tuple[int, int]:
+    # pmod before the sum: ANSI mode makes a raw sum of 10M xxhash64
+    # longs overflow; the modded sum is still order-insensitive and
+    # collision-negligible for an A/B parity check
     agg = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*cols)).alias("fp"),
+        F.sum(F.pmod(F.xxhash64(*cols), F.lit(1_000_000_007))).alias("fp"),
     ).collect()[0]
     return int(agg["n"]), int(agg["fp"] or 0)
 
@@ -65,8 +68,19 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench-selection")
-    base = synth(spark, args.rows, args.tail_sources, args.hot_frac)
-    base.write.format("noop").mode("overwrite").save()  # warm codegen/scan
+    # land the corpus in parquet and read it back: every leg then pays
+    # a column-pruned storage scan per pass (the real usage shape)
+    # instead of replaying the md5-heavy synth expressions — which
+    # dominate and penalize multi-pass plans, an A/B artifact
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="selection-bench-")
+    synth(spark, args.rows, args.tail_sources, args.hot_frac).write.mode(
+        "overwrite"
+    ).parquet(work + "/corpus")
+    base = spark.read.parquet(work + "/corpus")
+    base.write.format("noop").mode("overwrite").save()  # warm scan
 
     out = {"rows": args.rows, "tail_sources": args.tail_sources,
            "hot_frac": args.hot_frac, "cap": args.cap}
@@ -118,6 +132,7 @@ def main() -> None:
     n_sel = sel.filter("selected").count()
     out["n_selected"] = n_sel
     print(json.dumps({"metric": "selection_scale", **out}), flush=True)
+    shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
