@@ -46,24 +46,41 @@ def pack_documents(
     """
 
     def pack_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        # first-fit-decreasing: big docs first, stable id tie-break
+        # best-fit-decreasing: big docs first, stable id tie-break;
+        # each doc goes to the open pack with the SMALLEST remaining
+        # capacity that fits (bisect over a sorted open-remainder
+        # list), and a pack whose remainder drops below the shard's
+        # smallest document can never receive another doc, so it
+        # retires from the open list. The original first-fit linear
+        # scan over all packs was measured quadratic (PERF.md round 7
+        # "Sequence packing at 10M docs": 10x docs -> 22x wall); with
+        # near-full packs retiring immediately, the open list here
+        # stays tiny and per-doc cost is O(log open).
+        import bisect
+
         pdf = pdf.sort_values(["_tok", "_id"], ascending=[False, True])
         shard = int(key[0])
-        packs: list[tuple[int, int]] = []  # (remaining, local_pack_idx)
-        assignment, totals = [], {}
-        for _id, tok in zip(pdf["_id"], pdf["_tok"]):
-            tok = int(tok)
-            placed = None
-            for i, (rem, idx) in enumerate(packs):
-                if tok <= rem:
-                    packs[i] = (rem - tok, idx)
-                    placed = idx
-                    break
-            if placed is None:
-                placed = len(packs)
-                packs.append((max(0, max_tokens - tok), placed))
-            assignment.append(placed)
-            totals[placed] = totals.get(placed, 0) + tok
+        toks = pdf["_tok"].astype("int64").tolist()
+        global_min = toks[-1] if toks else 0  # sorted desc: last = min
+        rem_vals: list[int] = []  # open remainders, ascending
+        rem_idx: list[int] = []  # parallel local pack indexes
+        assignment: list[int] = []
+        totals: list[int] = []  # per local pack token sum
+        for tok in toks:
+            i = bisect.bisect_left(rem_vals, tok)
+            if i == len(rem_vals):
+                idx = len(totals)
+                totals.append(tok)
+                rem = max_tokens - tok  # oversized doc: rem < 0, retires
+            else:
+                idx = rem_idx.pop(i)
+                rem = rem_vals.pop(i) - tok
+                totals[idx] += tok
+            if rem >= global_min:
+                ins = bisect.bisect_left(rem_vals, rem)
+                rem_vals.insert(ins, rem)
+                rem_idx.insert(ins, idx)
+            assignment.append(idx)
         pack_ids = [shard * 1_000_000_000 + a for a in assignment]
         return pd.DataFrame(
             {
