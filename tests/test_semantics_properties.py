@@ -253,3 +253,74 @@ def test_canonical_keep_matches_python_model(spark, docs):
         assert g["keep"] == w["keep"], (d, docs)
         assert abs(g["quality"] - w["quality"]) < 1e-12, (d, docs)
         assert abs(g["max_jaccard"] - w["max_jaccard"]) < 1e-12, (d, docs)
+
+
+# --- corpus selection (operators/selection.py) --------------------------
+
+_sel_row = st.tuples(
+    st.integers(min_value=0, max_value=9),  # group
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False, width=32),
+    st.integers(min_value=0, max_value=50),  # weight
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(_sel_row, min_size=1, max_size=60),
+    cap=st.integers(min_value=1, max_value=8),
+    budget=st.integers(min_value=0, max_value=800),
+)
+def test_selection_pipeline_matches_python_model(spark, rows, cap, budget):
+    """cap_per_group + budget_select vs an independent Python model:
+    bottom-cap by (md5 hash, id) per group, then greedy (score desc,
+    id) prefix over kept rows under the weight budget — the full
+    docs_selection_budget composition on adversarial shapes (ties,
+    zero weights, groups exactly at cap)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.operators.selection import (
+        budget_select,
+        cap_per_group,
+    )
+
+    data = [
+        (i, f"g{g}", round(s, 6), w) for i, (g, s, w) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "id bigint, grp string, score double, w bigint"
+    ).repartition(5)
+    capped = cap_per_group(df, "grp", cap, "id", max_cap=cap)
+    out = budget_select(
+        capped.withColumn(
+            "_w", F.when(F.col("cap_keep"), F.col("w")).otherwise(F.lit(0))
+        ),
+        "score",
+        "id",
+        "_w",
+        budget,
+    )
+    got = {
+        r["id"]: (r["cap_keep"], r["cap_rk"], bool(r["selected"] and r["cap_keep"]))
+        for r in out.collect()
+    }
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    by_g: dict = {}
+    for i, g, _s, _w in data:
+        by_g.setdefault(g, []).append(i)
+    keep, rank = {}, {}
+    for g, ids in by_g.items():
+        order = sorted(ids, key=lambda i: (h32(str(i)), i))
+        for pos, i in enumerate(order, start=1):
+            keep[i] = len(ids) <= cap or pos <= cap
+            rank[i] = pos if (len(ids) > cap and pos <= cap) else None
+    cum, sel = 0, {}
+    for i, _g, s, w in sorted(data, key=lambda r: (-r[2], r[0])):
+        cum += w if keep[i] else 0
+        sel[i] = keep[i] and cum <= budget
+    want = {i: (keep[i], rank[i], sel[i]) for i, _g, _s, _w in data}
+    assert got == want
