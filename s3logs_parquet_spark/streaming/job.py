@@ -516,6 +516,86 @@ def run_stream_mg(
     return writer.start()
 
 
+def run_stream_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema,
+    rollup_path: str,
+    checkpoint_dir: str,
+    window_seconds: int = 3600,
+    by=("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scfg: StreamingJobConfig | None = None,
+) -> StreamingQuery:
+    """Continuously-maintained materialized time-rollup over a stream —
+    the hypertable continuous aggregate kept current per micro-batch
+    (the streaming closure of plans/rollup.py).
+
+    Each micro-batch writes its OWN rollup contribution
+    (plans/rollup.rollup_events over just the batch — mergeable
+    count/sum/min/max rows) to ``{rollup_path}/batch=<id>`` with
+    mode=overwrite — the per-batch commit shape of run_manifest_stream
+    (T4): a replayed batch rewrites its directory bit-identically, so
+    crash/replay cannot corrupt the table. This is deliberately NOT
+    plans/rollup.update_rollup's in-place additive fold, whose
+    delivery contract (docstring) forbids replays: under streaming
+    retry semantics the fold would double-count, while per-batch
+    contribution dirs make replays idempotent with no cross-batch
+    mutation.
+
+    The CURRENT rollup is derived on read (:func:`read_stream_rollup`)
+    by re-aggregating contributions with the same (window, by..., dt)
+    key — mergeability makes the streamed table EXACTLY equal to
+    rollup_events over the full ingested history (a tested
+    equivalence). Contribution dirs accumulate ≤ windows·groups rows
+    per batch; fold old ones in drain windows
+    (plans/compact.fold_stream_batches) — the fold concatenates rows
+    losslessly because the read-side merge is the aggregator.
+
+    Like run_stream_mg (and unlike KMV's duplicate-insensitive
+    k-mins), contribution SUMS are not replay-insensitive across
+    lineages: same-lineage replay is safe (same batch id → same dir
+    overwritten bit-identically), but re-ingesting history under a
+    FRESH checkpoint double-counts — point a re-ingest at a fresh
+    ``rollup_path``.
+    """
+    from s3logs_parquet_spark.plans.rollup import rollup_events
+
+    scfg = scfg or StreamingJobConfig()
+    stream = (
+        spark.readStream.schema(input_schema)
+        .option("maxFilesPerTrigger", scfg.max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        rollup_events(batch_df, window_seconds, list(by), ts_col, value_col).write.mode(
+            "overwrite"
+        ).parquet(f"{rollup_path}/batch={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if scfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=scfg.processing_time)
+    return writer.start()
+
+
+def read_stream_rollup(
+    spark: SparkSession, rollup_path: str, by=("event_type",)
+) -> DataFrame:
+    """Merge the per-batch rollup contributions under ``rollup_path``
+    into the current table: one row per (window, by..., dt) with
+    count/sum/min/max — bit-identical to
+    plans/rollup.rollup_events over the full ingested history."""
+    from s3logs_parquet_spark.plans.rollup import _merge
+
+    return _merge(spark.read.parquet(rollup_path), list(by))
+
+
 def read_mg_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
     """The accumulated MG contribution store under ``sketch_path``, in
     the exact shape sketches.heavy_hitters_from_summaries consumes

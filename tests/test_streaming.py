@@ -841,3 +841,62 @@ def test_stream_curation_survivors_only_index_mode(spark, tmp_path):
     # band store holds only survivors' signatures (one id per band)
     bands = spark.read.parquet(f"{idx}/bands")
     assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} <= out_ids | {0, 3}
+
+
+def test_stream_rollup_equals_batch_rollup(spark, tmp_path):
+    """Streaming rollup maintenance: per-batch mergeable contributions
+    re-aggregated on read must be BIT-IDENTICAL to rollup_events over
+    the full ingested history, across multiple micro-batches; and a
+    same-lineage replay (rewriting a batch's contribution dir with the
+    same content, the T4 overwrite shape) must not change the table."""
+    from pyspark.sql import types as T
+
+    from s3logs_parquet_spark.plans.rollup import rollup_events
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        read_stream_rollup,
+        run_stream_rollup,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    inp, ru, ck = (str(tmp_path / d) for d in ("in", "ru", "ck"))
+    full = spark.range(400).selectExpr(
+        "timestamp_seconds(1704067200 + id * 937) as ts",
+        "concat('t', id % 3) as event_type",
+        "cast(id % 50 as double) as value",
+    )
+    full.repartition(4).write.parquet(inp)
+
+    scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
+    q = run_stream_rollup(spark, inp, schema, ru, ck, window_seconds=3600, scfg=scfg)
+    q.awaitTermination(120)
+
+    cols = ["w", "event_type", "dt", "n_rows", "sum_value", "min_value", "max_value"]
+    want = sorted(
+        tuple(r[c] for c in cols) for r in rollup_events(full).collect()
+    )
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in read_stream_rollup(spark, ru).collect()
+    )
+    assert got == want
+
+    # same-lineage replay: rewrite batch=0's contribution with the
+    # same rows (checkpointed first — the write targets the directory
+    # the frame reads); merged table must be unchanged
+    first = (
+        spark.read.parquet(ru).filter("batch = 0").drop("batch").localCheckpoint()
+    )
+    first.write.mode("overwrite").parquet(f"{ru}/batch=0")
+    spark.catalog.refreshByPath(ru)
+    got2 = sorted(
+        tuple(r[c] for c in cols)
+        for r in read_stream_rollup(spark, ru).collect()
+    )
+    assert got2 == want
