@@ -1,7 +1,7 @@
-"""Selection operators at scale: cap_per_group's count-aware two-level
-rank vs the naive per-group window, and budget_select's boundary-find
-vs the naive global running-sum window — same-session A/B legs with
-answer-fingerprint parity.
+"""Selection operators at scale: cap_per_group's scan-level
+WindowGroupLimit prune + id rejoin vs the naive per-group window, and
+budget_select's boundary-find vs the naive global running-sum window —
+same-session A/B legs with answer-fingerprint parity.
 
 Corpus shape is the adversarial one for both operators: one HOT source
 holding ``--hot-frac`` of all rows (the naive per-group window funnels
@@ -92,7 +92,7 @@ def main() -> None:
         capped.select("doc_id", F.col("cap_keep").cast("int").alias("k")),
         ["doc_id", "k"],
     )
-    out["cap_two_level_sec"] = round(time.time() - t0, 1)
+    out["cap_op_sec"] = round(time.time() - t0, 1)
 
     # --- cap_per_group: naive single per-group rank window ---
     t0 = time.time()
