@@ -1116,6 +1116,7 @@ def sq8_topk(
     k: int = 10,
     n_candidates: int | None = 50,
     encoded: DataFrame | None = None,
+    code_col: str = "sq_code",
 ) -> DataFrame:
     """Asymmetric SQ8 search: score every corpus row by the cosine of
     the FULL-PRECISION query against the DEQUANTIZED corpus code (the
@@ -1136,20 +1137,43 @@ def sq8_topk(
     float arithmetic), so the whole quantize -> score -> rerank chain
     is oracle-checkable (plans/queries.py emb_sq8_topk)."""
     dim = len(stats)
+    if encoded is not None:
+        # validate the externally-supplied frame's contract up front —
+        # a non-default encode out_col or a codes-only (vector-pruned)
+        # store would otherwise surface as an opaque unresolved-column
+        # error deep in the plan (ADVICE r7)
+        need = [code_col] + (["_cv"] if n_candidates is not None else [])
+        missing = [c for c in need if c not in encoded.columns]
+        if missing:
+            raise ValueError(
+                f"sq8_topk: `encoded` is missing column(s) {missing}; it must "
+                f"carry the SQ8 codes as {code_col!r} (pass code_col= for a "
+                f"non-default encode out_col)"
+                + (
+                    " and the full vectors as '_cv' for the exact rerank "
+                    "(codes-only stores must pass n_candidates=None to use "
+                    "the quantized-rank mode)"
+                    if n_candidates is not None
+                    else ""
+                )
+                + f". Got columns: {encoded.columns}"
+            )
     enc = encoded if encoded is not None else sq_encode(
         corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv")), "_cv", stats
     )
+    if encoded is None:
+        code_col = "sq_code"  # sq_encode's default out_col
     if "sq_norm" not in enc.columns:
         # older/minimal encodes: derive the norm from the codes (same
         # fixed-order arithmetic sq_encode stores)
-        dqn = _sq_dequant_cols("sq_code", stats)
+        dqn = _sq_dequant_cols(code_col, stats)
         sqsum = None
         for c in dqn:
             s = c * c
             sqsum = s if sqsum is None else sqsum + s
         enc = enc.withColumn("sq_norm", F.sqrt(sqsum))
     q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec).alias("_qv")))
-    dq = _sq_dequant_cols("sq_code", stats)
+    dq = _sq_dequant_cols(code_col, stats)
     qn = l2_norm_expanded("_qv", dim)
     # expanded fixed-order dot over the reconstruction columns; the
     # corpus-side norm is the STORED sq_norm (query-independent —

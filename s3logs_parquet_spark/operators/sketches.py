@@ -397,8 +397,9 @@ def mg_heavy_hitters(
     Guarantee chain (what makes the output exact and partition-layout
     invariant even though the sketch itself is not): per-partition MG
     undercounts by ≤ N_p/(k+1), so the summed summary undercounts any
-    item by ≤ N/(k+1); with ``(k+1)·phi ≥ 1`` every true heavy hitter
-    survives into the candidate set (candidates keep
+    item by ≤ N/(k+1); with ``(k+1)·phi > 1`` (strict — at equality an
+    item at exactly N/(k+1) can vanish from every summary) every true
+    heavy hitter survives into the candidate set (candidates keep
     ``Σlb + ⌊N/(k+1)⌋ ≥ ⌈phi·N⌉``), and the exact recount then removes
     every false positive. Two passes over the data, never more than
     ``(k+1)·partitions`` rows of sketch state in between, and the final
@@ -412,10 +413,15 @@ def mg_heavy_hitters(
         import math
 
         k = max(128, 2 * math.ceil(1.0 / phi))
-    if (k + 1) * phi < 1.0:  # fail loud BEFORE the summary pass
+    if (k + 1) * phi <= 1.0:  # fail loud BEFORE the summary pass
+        # STRICT inequality: at (k+1)*phi == 1 an item with frequency
+        # exactly N/(k+1) = ceil(phi*N) is a heavy hitter by the
+        # recount definition yet can be decremented to 0 in every
+        # partition summary (worst-case MG underestimate is exactly
+        # N/(k+1)), so it would never enter the candidate set.
         raise ValueError(
             f"mg_heavy_hitters: k={k} cannot guarantee phi={phi}; "
-            f"need (k+1)*phi >= 1 (k >= {int(1.0 / phi)})"
+            f"need (k+1)*phi > 1 strictly (k >= {int(1.0 / phi) + 1})"
         )
     summ = _materialize(mg_partition_summaries(df, item_col, k), durable=durable)
     return heavy_hitters_from_summaries(df, item_col, summ, phi, k)
@@ -439,10 +445,10 @@ def heavy_hitters_from_summaries(
     running the batch operator over the full history."""
     import math
 
-    if (k + 1) * phi < 1.0:
+    if (k + 1) * phi <= 1.0:  # strict — see mg_heavy_hitters
         raise ValueError(
             f"mg_heavy_hitters: k={k} cannot guarantee phi={phi}; "
-            f"need (k+1)*phi >= 1 (k >= {int(1.0 / phi)})"
+            f"need (k+1)*phi > 1 strictly (k >= {int(1.0 / phi) + 1})"
         )
     n_total = (
         summaries.filter(F.col("_mg_item").isNull())

@@ -609,7 +609,10 @@ def _prior_batch_dirs(spark: SparkSession, root: str, batch_id: int) -> list[str
     """``batch=<id>`` directories under ``root`` with id < batch_id —
     the replay guard for per-batch index stores: a crashed attempt may
     have already written THIS batch's contribution, and reading it back
-    would make the batch's own rows match themselves. Hadoop-FS listing
+    would make the batch's own rows match themselves. Negative ids are
+    matched too: ``batch=-1`` is the documented seeding convention for
+    pre-stream history (run_stream_semantic_dedup), and seeded history
+    must participate in every batch's dedup. Hadoop-FS listing
     (fsutil), so the store may live on s3a:// etc."""
     import posixpath
     import re
@@ -621,7 +624,7 @@ def _prior_batch_dirs(spark: SparkSession, root: str, batch_id: int) -> list[str
         if not f.name.endswith(".parquet"):
             continue
         d = posixpath.dirname(f.path)
-        m = re.search(r"batch=(\d+)$", d)
+        m = re.search(r"batch=(-?\d+)$", d)
         if m and int(m.group(1)) < batch_id:
             dirs.add(d)
     return sorted(dirs)
@@ -651,7 +654,11 @@ def run_stream_curation(
     streaming job over persisted indexes, the shape a 100 TB ingestion
     pipeline actually runs: each arriving micro-batch is curated
     against EVERYTHING already ingested in O(batch) work, never
-    reprocessing history.
+    reprocessing history. To seed pre-stream history, write digest /
+    band contributions under ``batch=-1`` in ``index_dir`` (the same
+    convention run_stream_semantic_dedup documents); the replay guard
+    matches negative ids, so seeded history is deduped against from
+    the first micro-batch.
 
     Per micro-batch: (1) quality/langid filter; (2) exact dedup within
     the batch (min-id canonical) and against the persisted digest

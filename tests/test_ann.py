@@ -386,3 +386,52 @@ def test_sq8_minimal_encode_derives_norm(spark):
         ).collect())
     )
     assert got == want and len(got) == 10
+
+
+def test_sq8_code_col_and_contract_errors(spark):
+    """ADVICE r7: an encode built with a non-default out_col works via
+    code_col=, and a contract violation (missing codes, or codes-only
+    store on the rerank path) raises a descriptive ValueError up front
+    instead of an unresolved-column plan error."""
+    import pytest
+
+    from s3logs_parquet_spark.operators.ann import sq8_topk, sq_encode, sq_stats
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    stats = sq_stats(df, "embedding", 3)
+    queries = df.filter("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+
+    base = sq_encode(df.selectExpr("vec_id", "embedding AS _cv"), "_cv", stats)
+    renamed = base.withColumnRenamed("sq_code", "codes8")
+    want = sorted(
+        map(tuple, sq8_topk(
+            df, queries, "vec_id", "query_id", stats, k=5, encoded=base
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, sq8_topk(
+            df, queries, "vec_id", "query_id", stats, k=5,
+            encoded=renamed, code_col="codes8",
+        ).collect())
+    )
+    assert got == want and len(got) == 10
+
+    # default code_col against the renamed store: clear contract error
+    with pytest.raises(ValueError, match="missing column.*sq_code"):
+        sq8_topk(df, queries, "vec_id", "query_id", stats, k=5, encoded=renamed)
+
+    # codes-only (vector-pruned) store on the rerank path: names '_cv'
+    # and points at the quantized-rank escape hatch
+    codes_only = renamed.drop("_cv")
+    with pytest.raises(ValueError, match="_cv.*n_candidates=None"):
+        sq8_topk(
+            df, queries, "vec_id", "query_id", stats, k=5,
+            encoded=codes_only, code_col="codes8",
+        )
+    # ...and the quantized-rank mode itself accepts the codes-only store
+    approx = sq8_topk(
+        df, queries, "vec_id", "query_id", stats, k=5,
+        encoded=codes_only, code_col="codes8", n_candidates=None,
+    )
+    assert approx.count() == 10

@@ -430,9 +430,15 @@ def test_mg_summary_bound_nulls_and_guarantee_guard(spark):
     out = mg_heavy_hitters(with_nulls, "item", phi=0.5, k=8)
     assert sorted((r["item"], r["cnt"]) for r in out.collect()) == [("a", 2)]
 
-    # (k+1)*phi >= 1 is the superset-guarantee precondition: fail loud
+    # (k+1)*phi > 1 STRICTLY is the superset-guarantee precondition:
+    # fail loud, including at exact equality (ADVICE r7: at
+    # (k+1)*phi == 1 an item with frequency exactly N/(k+1) is a heavy
+    # hitter by the recount definition yet can be decremented out of
+    # every partition summary and never enter the candidate set)
     with pytest.raises(ValueError, match="cannot guarantee"):
         mg_heavy_hitters(df, "item", phi=0.001, k=64)
+    with pytest.raises(ValueError, match="strictly"):
+        mg_heavy_hitters(df, "item", phi=0.25, k=3)  # (3+1)*0.25 == 1.0
 
 
 def test_mg_empty_and_no_hitters(spark):

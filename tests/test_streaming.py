@@ -800,6 +800,17 @@ def test_prior_batch_dirs_excludes_current_and_later(spark, tmp_path):
     assert _prior_batch_dirs(spark, root, 0) == []
     assert _prior_batch_dirs(spark, str(tmp_path / "missing"), 5) == []
 
+    # seeded pre-stream history at batch=-1 (the documented index-store
+    # seeding convention) must be visible to every real batch (ADVICE r7)
+    spark.range(3).write.parquet(f"{root}/batch=-1")
+    seeded = _prior_batch_dirs(spark, root, 0)
+    assert [d.rsplit("=", 1)[1] for d in seeded] == ["-1"]
+    assert [d.rsplit("=", 1)[1] for d in _prior_batch_dirs(spark, root, 2)] == [
+        "-1",
+        "0",
+        "1",
+    ]
+
 
 def test_stream_curation_survivors_only_index_mode(spark, tmp_path):
     """index_dropped=False (the flood posture): band buckets hold only
