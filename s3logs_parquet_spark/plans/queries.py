@@ -743,19 +743,31 @@ FROM events WHERE event_id < 200
 
 def q_partition_prefix_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4/W5 — the Hive prefix computation in a non-UTC fixed offset
-    (UTC+8, the reference's transform.sh example): per-prefix row
-    counts."""
+    (UTC+8, the reference's transform.sh example), under BOTH sign
+    conventions config.parse_posix_tz_offset resolves: the intuitive
+    east-positive default (prefix) and the POSIX/tzif semantics the
+    reference binary actually computes for that string — UTC−8
+    (prefix_posix; s3logs/src/utils.rs:477-494, SURVEY §7.4.3). Both
+    offsets are resolved through the config parser, not hardcoded, so
+    the gate covers the sign-mode path end-to-end."""
+    from s3logs_parquet_spark.config import parse_posix_tz_offset
     from s3logs_parquet_spark.functions.timeops import partition_prefix
 
+    fmt = "year=%Y/month=%m/day=%d/hour=%H"
+    east = parse_posix_tz_offset("UTC+8")  # +28800 (intuitive default)
+    west = parse_posix_tz_offset("UTC+8", mode="posix")  # -28800 (tzif parity)
     e = _t(spark, sf_dir, "events")
-    pfx = partition_prefix(F.col("ts"), "year=%Y/month=%m/day=%d/hour=%H", 8 * 3600)
-    return e.groupBy(pfx.alias("prefix")).agg(F.count(F.lit(1)).alias("n_rows"))
+    return e.groupBy(
+        partition_prefix(F.col("ts"), fmt, east).alias("prefix"),
+        partition_prefix(F.col("ts"), fmt, west).alias("prefix_posix"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
 
 
 ORACLE_PARTITION_PREFIX_TZ = """
 SELECT strftime(ts + INTERVAL 8 HOUR, 'year=%Y/month=%m/day=%d/hour=%H') AS prefix,
+       strftime(ts - INTERVAL 8 HOUR, 'year=%Y/month=%m/day=%d/hour=%H') AS prefix_posix,
        count(*) AS n_rows
-FROM events GROUP BY 1
+FROM events GROUP BY 1, 2
 """
 
 

@@ -48,6 +48,48 @@ def test_config_validation_and_tz():
         parse_posix_tz_offset("PST8PDT")
 
 
+def test_posix_tz_sign_modes():
+    """Both sign conventions pinned (SURVEY §7.4.3, VERDICT r7 #2).
+
+    POSIX.1-2017 §8.3: the TZ offset is added to LOCAL time to reach
+    UTC (west-positive), so "UTC+8" names UTC−8; the reference's tzif
+    crate normalizes POSIX strings to TZif's east-positive ``utoff``
+    (RFC 8536 §3.2) and the reference applies it with
+    FixedOffset::east (s3logs/src/utils.rs:477-494) — so the binary
+    partitions "UTC+8" at UTC−8 even though its own examples
+    (transform.sh:19) plainly intend east. mode='posix' gives byte
+    parity with the binary; the intuitive reading stays the default."""
+    # posix mode inverts every non-zero sign; zero is identical
+    assert parse_posix_tz_offset("UTC+8", mode="posix") == -8 * 3600
+    assert parse_posix_tz_offset("UTC-5", mode="posix") == 5 * 3600
+    assert parse_posix_tz_offset("utc+5:30", mode="posix") == -(5 * 3600 + 30 * 60)
+    assert parse_posix_tz_offset("UTC+0", mode="posix") == 0
+    with pytest.raises(ValueError, match="sign mode"):
+        parse_posix_tz_offset("UTC+8", mode="rustish")
+
+    # concrete partition-prefix fixture: epoch 2024-05-12T00:30:00Z
+    # under "UTC+8" lands in hour=08 of the same day on the intuitive
+    # reading, but hour=16 of the PREVIOUS day under tzif parity
+    import datetime as dt
+
+    epoch = dt.datetime(2024, 5, 12, 0, 30, tzinfo=dt.timezone.utc)
+    for mode, want in (
+        ("intuitive", "year=2024/month=05/day=12/hour=08"),
+        ("posix", "year=2024/month=05/day=11/hour=16"),
+    ):
+        off = parse_posix_tz_offset("UTC+8", mode=mode)
+        local = epoch + dt.timedelta(seconds=off)
+        assert local.strftime("year=%Y/month=%m/day=%d/hour=%H") == want
+
+
+def test_tz_sign_mode_env(monkeypatch):
+    monkeypatch.setenv("S3LOGS_STAGGING_PARTITION_TZIF", "UTC+8")
+    monkeypatch.setenv("SPARK_GRAFT_TZ_SIGN_MODE", "posix")
+    assert EngineConfig.from_env().tz_offset_seconds == -8 * 3600
+    monkeypatch.setenv("SPARK_GRAFT_TZ_SIGN_MODE", "intuitive")
+    assert EngineConfig.from_env().tz_offset_seconds == 8 * 3600
+
+
 def test_config_from_env(monkeypatch):
     monkeypatch.setenv("S3LOGS_STAGGING_PARTITION_SECOND", "300")
     monkeypatch.setenv("S3LOGS_TRANSFORM_AGGREGATE_SECOND", "900")
