@@ -80,6 +80,12 @@ class EngineConfig:
     threshold_lines: int = 10_000_000
     extra_field_prefix: str = "ExtraField"  # widening names (utils.rs:1217-1222)
     corrupt_column: str = "_corrupt_line"
+    # Base field names loaded from a config schema FILE (the
+    # reference's startup path: S3LOGS_CONFIG_ROOT_PATH +
+    # S3LOGS_CONFIG_PARQUET_SCHEMA_FILE -> parse_message_type,
+    # utils.rs:781-791). None -> the built-in 26-name list
+    # (schema.LOG_FIELDS, identical to the shipped parquet.schema).
+    schema_fields: tuple[str, ...] | None = None
 
     # training-data / query-layer extensions (no reference counterpart)
     shuffle_partitions: int = 32
@@ -96,6 +102,26 @@ class EngineConfig:
             )
         if self.aggregate_second % self.stagging_second != 0:
             raise ValueError("aggregate_second must be a multiple of stagging_second")
+        if self.schema_fields is not None:
+            self.schema_fields = tuple(self.schema_fields)
+            if len(self.schema_fields) < 6:
+                # positional semantics need bucket (idx 1), time (idx 2)
+                # and the dedup key (idx 5) to exist (utils.rs:43-45,1076)
+                raise ValueError(
+                    "schema_fields must declare at least 6 fields "
+                    f"(bucket/time/dedup positions), got {len(self.schema_fields)}"
+                )
+            if len(set(self.schema_fields)) != len(self.schema_fields):
+                raise ValueError("schema_fields contains duplicate names")
+
+    @property
+    def n_base_fields(self) -> int:
+        """Width of the base schema (widening counts from here)."""
+        if self.schema_fields is not None:
+            return len(self.schema_fields)
+        from s3logs_parquet_spark.schema import NUM_LOG_FIELDS
+
+        return NUM_LOG_FIELDS
 
     @classmethod
     def from_ini(
@@ -146,7 +172,24 @@ class EngineConfig:
     def from_env(cls) -> "EngineConfig":
         """Build from the reference's environment variables."""
         tz = _env_str("S3LOGS_STAGGING_PARTITION_TZIF", "UTC+0")
+        # schema file: loaded only when the operator points at one (the
+        # reference unconditionally loads its default path and panics
+        # if absent, utils.rs:786-791 — here the built-in list IS the
+        # shipped default file, so an unset env keeps byte parity
+        # without requiring /mnt/s3logs to exist); a SET env with an
+        # unreadable/invalid file fails loud, like the expect().
+        schema_fields = None
+        if os.environ.get("S3LOGS_CONFIG_ROOT_PATH") or os.environ.get(
+            "S3LOGS_CONFIG_PARQUET_SCHEMA_FILE"
+        ):
+            from s3logs_parquet_spark.schema import (
+                log_schema_from_file,
+                schema_field_names,
+            )
+
+            schema_fields = schema_field_names(log_schema_from_file())
         return cls(
+            schema_fields=schema_fields,
             stagging_second=_env_int("S3LOGS_STAGGING_PARTITION_SECOND", 900),
             aggregate_second=_env_int("S3LOGS_TRANSFORM_AGGREGATE_SECOND", 900),
             merge_orig_buckets=_env_bool("S3LOGS_STAGGING_MERGE_ORIG_BUCKETS", True),

@@ -85,6 +85,7 @@ def parse_s3_access_log(
     extra_prefix: str = "ExtraField",
     replace_time: bool = False,
     keep_fields_array: bool = False,
+    fields: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """P1-P7 fused: raw lines → typed log rows.
 
@@ -100,21 +101,28 @@ def parse_s3_access_log(
     local[32]); outcomes are identical for both well-formed and garbage
     lines (either way a non-time third token fails try_to_timestamp).
     """
-    fields = tokenize(F.col(line_col))
-    ts = F.try_to_timestamp(F.get(fields, 2), F.lit(TIME_FORMAT))
+    # ``fields`` overrides the built-in 26-name list with one loaded
+    # from a config schema file (schema.log_schema_from_file — the
+    # reference's startup path, utils.rs:781-791); widening numbers
+    # continue from the custom schema's width, like the reference's
+    # ExtraField{N} naming continues from its loaded schema's len.
+    names = tuple(fields) if fields is not None else LOG_FIELDS
+    n_names = len(names)
+    toks = tokenize(F.col(line_col))
+    ts = F.try_to_timestamp(F.get(toks, 2), F.lit(TIME_FORMAT))
     cols: list[Column] = []
-    for i, name in enumerate(LOG_FIELDS):
-        c = F.coalesce(F.get(fields, i), F.lit(""))  # F.get: NULL past end, ANSI-safe
-        if replace_time and name == "Time":
+    for i, name in enumerate(names):
+        c = F.coalesce(F.get(toks, i), F.lit(""))  # F.get: NULL past end, ANSI-safe
+        if replace_time and i == 2:  # Time is positionally field 3 (utils.rs:43)
             c = F.coalesce(epoch_string(ts), c)
         cols.append(c.alias(name))
     for j in range(extra_fields):
-        idx = NUM_LOG_FIELDS + j
-        cols.append(F.get(fields, idx).alias(f"{extra_prefix}{idx + 1}"))
+        idx = n_names + j
+        cols.append(F.get(toks, idx).alias(f"{extra_prefix}{idx + 1}"))
     cols.append(ts.alias("ts"))
-    cols.append(F.size(fields).alias("n_fields"))
+    cols.append(F.size(toks).alias("n_fields"))
     if keep_fields_array:
-        cols.append(fields.alias("_fields"))
+        cols.append(toks.alias("_fields"))
     return df.select(*cols)
 
 

@@ -37,7 +37,7 @@ def dedup_log_rows(
     cfg: EngineConfig,
     window_col: str = "agg_window",
     bucket_col: str = "bucket_key",
-    id_col: str = DEDUP_FIELD,
+    id_col: str | None = None,
 ) -> DataFrame:
     """D1 — keep one row per (bucket, agg window, RequestID).
 
@@ -46,9 +46,14 @@ def dedup_log_rows(
     motivating crash-redelivery case, so survivor choice is unobservable.
     Gated by cfg.deduplication (S3LOGS_TRANSFORM_LOG_DEDUPLICATION,
     default true; short-circuit parity with utils.rs:1071-1073).
+    The id column is POSITIONAL like the reference's (token index 5,
+    utils.rs:1076): under a config-file schema with custom names the
+    6th loaded field is the dedup key, whatever it is called.
     """
     if not cfg.deduplication:
         return df
+    if id_col is None:
+        id_col = cfg.schema_fields[5] if cfg.schema_fields else DEDUP_FIELD
     return df.dropDuplicates([bucket_col, window_col, id_col])
 
 

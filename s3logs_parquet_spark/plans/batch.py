@@ -31,7 +31,6 @@ from s3logs_parquet_spark.config import EngineConfig
 from s3logs_parquet_spark.functions.parse import extract_ts, max_field_count, parse_s3_access_log
 from s3logs_parquet_spark.operators.dedup import dedup_log_rows
 from s3logs_parquet_spark.operators.windows import with_agg_window, with_bucket_key
-from s3logs_parquet_spark.schema import NUM_LOG_FIELDS
 from s3logs_parquet_spark.sources.text_source import read_log_lines
 from s3logs_parquet_spark.writer import with_partition_columns, write_partitioned_parquet
 
@@ -93,13 +92,19 @@ def parse_and_dedup(
             .select("value")
         )
         parsed = parse_s3_access_log(
-            survivors, extra_fields=extra_fields, extra_prefix=cfg.extra_field_prefix
+            survivors,
+            extra_fields=extra_fields,
+            extra_prefix=cfg.extra_field_prefix,
+            fields=cfg.schema_fields,
         )
         clean = parsed.filter(F.col("ts").isNotNull())
         windowed = with_agg_window(clean, align_seconds=cfg.aggregate_second)
         return with_bucket_key(windowed, cfg)  # D1 already applied
     parsed = parse_s3_access_log(
-        lines, extra_fields=extra_fields, extra_prefix=cfg.extra_field_prefix
+        lines,
+        extra_fields=extra_fields,
+        extra_prefix=cfg.extra_field_prefix,
+        fields=cfg.schema_fields,
     )
     clean = parsed.filter(F.col("ts").isNotNull())  # F1: drop unparseable
     windowed = with_agg_window(clean, align_seconds=cfg.aggregate_second)
@@ -158,7 +163,7 @@ def run_batch_transform(
         if output_has_data(spark, output_path):
             probe = parse_s3_access_log(lines).select("n_fields", "ts")
             widest = max_field_count(probe.filter(F.col("ts").isNotNull()))
-            extra = max(0, widest - NUM_LOG_FIELDS)
+            extra = max(0, widest - cfg.n_base_fields)
         else:
             optimistic = True
 
@@ -179,7 +184,10 @@ def run_batch_transform(
             else lines
         )
         parsed = parse_s3_access_log(
-            src, extra_fields=extra_fields, extra_prefix=cfg.extra_field_prefix
+            src,
+            extra_fields=extra_fields,
+            extra_prefix=cfg.extra_field_prefix,
+            fields=cfg.schema_fields,
         )
         clean_plain = parsed.filter(F.col("ts").isNotNull())  # F1: drop unparseable
         clean = clean_plain
@@ -210,7 +218,7 @@ def run_batch_transform(
         except Exception:
             # empty-relation propagation left the observation schema-less
             widest = max_field_count(clean_plain)
-        extra = max(0, widest - NUM_LOG_FIELDS)
+        extra = max(0, widest - cfg.n_base_fields)
         if extra > 0:
             wide, _cp, _op = _build(extra, observe=False)
             write_partitioned_parquet(
