@@ -76,6 +76,17 @@ class EngineConfig:
     prefix_fmt: str = DEFAULT_PREFIX_FMT
     compression: str = "snappy"  # reference code default (conf.rs:43); its shipped INI overrides to gzip
     max_row_group_size: int = 100_000_000
+    # parquet format version, INI key writer_version ("1.0"/"2.0",
+    # conf.rs:29-38; shipped INI says 1.0) — maps to parquet-mr's
+    # PARQUET_1_0 / PARQUET_2_0 on the write path.
+    writer_version: str = "1.0"
+    # INI key created_by (conf.rs:49-52, shipped "aws s3logs writer").
+    # parquet-rs lets the reference stamp this into the footer;
+    # parquet-mr (Spark's writer) hardcodes its own build string and
+    # exposes no override, so the value is carried for operators that
+    # read it from config but CANNOT reach the footer — divergence
+    # documented + pinned in tests/test_writer_props.py.
+    created_by: str | None = None
     bulk_lines: int = 200_000
     threshold_lines: int = 10_000_000
     extra_field_prefix: str = "ExtraField"  # widening names (utils.rs:1217-1222)
@@ -113,6 +124,11 @@ class EngineConfig:
                 )
             if len(set(self.schema_fields)) != len(self.schema_fields):
                 raise ValueError("schema_fields contains duplicate names")
+        if self.writer_version not in ("1.0", "2.0"):
+            # conf.rs:29-38 accepts exactly these two spellings
+            raise ValueError(
+                f"writer_version must be '1.0' or '2.0': {self.writer_version!r}"
+            )
 
     @property
     def n_base_fields(self) -> int:
@@ -155,6 +171,10 @@ class EngineConfig:
                 kw["compression"] = comp if comp in known_compressions else "snappy"
             if "max_row_group_size" in sec:
                 kw["max_row_group_size"] = int(sec["max_row_group_size"])
+            if "writer_version" in sec:
+                kw["writer_version"] = sec["writer_version"]
+            if "created_by" in sec:
+                kw["created_by"] = sec["created_by"]
         if stream_ini_path is not None:
             ini = load_ini(stream_ini_path)
             out = {**ini.get("DEFAULT", {}), **ini.get("OUTPUT", {})}

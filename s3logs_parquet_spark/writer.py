@@ -197,6 +197,13 @@ def write_partitioned_parquet(
         .option("compression", cfg.compression)
         .option("maxRecordsPerFile", cfg.threshold_lines)
         .option("parquet.block.size", min(cfg.max_row_group_size, 512 * 1024 * 1024))
+        # INI writer_version 1.0/2.0 (conf.rs:29-38) -> parquet-mr's
+        # format-version switch; footer readback pinned in
+        # tests/test_writer_props.py
+        .option(
+            "parquet.writer.version",
+            "PARQUET_2_0" if cfg.writer_version == "2.0" else "PARQUET_1_0",
+        )
         .partitionBy(*partition_cols)
         .parquet(path)
     )
