@@ -38,8 +38,10 @@ HEADLINE = [
     "events_sliding_means",
     "s3log_pipeline_roundtrip",
     # round 7: docs_token_stats retired into docs_quality_score /
-    # docs_chunk_windows_bpe; its bench slot tracks the ExactSubstr
-    # excision (spans + position anti-join + ordered rebuild)
+    # docs_chunk_windows_bpe (and docs_quality_score itself retired
+    # round 8 into docs_selection_budget); its bench slot tracks the
+    # ExactSubstr excision (spans + position anti-join + ordered
+    # rebuild)
     "docs_remove_dup_spans",
     "docs_minhash_lsh_pairs",
     # round 7: docs_simhash retired into its superset gate — track the
@@ -123,6 +125,10 @@ HEADLINE = [
     # the two-level rank) + token-budget boundary-find prefix (binned
     # aggregate -> driver boundary -> one bin-keyed window)
     "docs_selection_budget",
+    # round 8: batched-inference hook (Arrow-batched mapInPandas with
+    # broadcast weights — the python-boundary cost is the point of
+    # tracking it; the scorer itself is a cheap linear model)
+    "docs_inference_scores",
 ]
 
 

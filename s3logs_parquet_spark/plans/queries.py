@@ -835,6 +835,40 @@ FROM m
 """
 
 
+def q_docs_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched model inference (operators/inference.py, round 8): the
+    quality-classifier shape — Arrow-batched mapInPandas scoring with
+    broadcast weights. The shipped linear text model uses integer
+    features x dyadic weights, so logit/label are exact in IEEE double
+    and the DuckDB oracle reproduces them bit-for-bit: the gate proves
+    the full plumbing (column pruning into the python boundary, batch
+    contract, broadcast, passthrough ids)."""
+    from s3logs_parquet_spark.operators.inference import score_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return score_documents(d, "doc_id", "text")
+
+
+# exact SQL twin of operators/inference.py linear_text_model: same
+# integer features, same dyadic weights (2^-9, 2^-2, -2^-3, 2^-4)
+ORACLE_DOCS_INFERENCE = """
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w != '')) AS n_words,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+  FROM documents
+)
+SELECT doc_id,
+       -2.0::DOUBLE + 0.001953125::DOUBLE * n_chars + 0.25::DOUBLE * n_words
+            - 0.125::DOUBLE * n_digits + 0.0625::DOUBLE * n_upper AS logit,
+       (-2.0::DOUBLE + 0.001953125::DOUBLE * n_chars + 0.25::DOUBLE * n_words
+            - 0.125::DOUBLE * n_digits + 0.0625::DOUBLE * n_upper) >= 0.0 AS label
+FROM f
+"""
+
+
 def q_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", langid(F.col("text")).alias("lang_pred"))
@@ -3677,7 +3711,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "part_topk_price": (q_part_topk, ORACLE_PART_TOPK),
     "events_minmax_ts": (q_events_minmax, ORACLE_EVENTS_MINMAX),
     "lineitem_rollup": (q_lineitem_rollup, ORACLE_LINEITEM_ROLLUP),
-    "docs_quality_score": (q_docs_quality, _SQL_QUALITY),
+    # (docs_quality_score retired round 8 into docs_selection_budget,
+    # which surfaces the identical per-doc quality values as its
+    # selection key — the strict-superset relation recorded at the r07
+    # window comment; the feature columns keep a direct DuckDB
+    # differential in tests/test_text_functions.py. Its registry slot
+    # goes to the round-8 batched-inference gate.)
+    "docs_inference_scores": (q_docs_inference_scores, ORACLE_DOCS_INFERENCE),
     "docs_langid": (q_docs_langid, _SQL_LANGID),
     "docs_fingerprint": (q_docs_fingerprint, ORACLE_DOCS_FINGERPRINT),
     "docs_split_assign": (q_docs_split_assign, ORACLE_DOCS_SPLIT),
@@ -4320,4 +4360,75 @@ assert set(_DRIVER_WINDOW_R07) <= set(QUERIES), sorted(
 )
 QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R07} | {
     name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R07
+}
+
+# Round-8 rotation (VERDICT r7 #5): the r06-recorded half returns to
+# the window (every r07-window entry holds a green CORRECTNESS_r07 row
+# and rotates out), with ONE substitution: docs_quality_score is
+# retired (its per-doc quality values are value-checked inside
+# docs_selection_budget — the strict-superset relation recorded at the
+# r07 window comment — and its full-corpus DuckDB differential lives in
+# tests/test_text_functions.py); its slot admits the NEW round-8 gate
+# docs_inference_scores (batched-inference hook, VERDICT r7 #9) for its
+# first driver row. Registry stays at exactly 100.
+_DRIVER_WINDOW_R08 = [
+    "events_kmv_global",
+    "s3log_parse_fields",
+    "docs_exact_dedup",
+    "docs_minhash_lsh_pairs",
+    "docs_incremental_neardup",
+    "docs_neardup_clusters",
+    "docs_curation_pipeline",
+    "emb_cosine_topk",
+    "emb_lsh_recall",
+    "emb_ivf_trained_topk",
+    "multimodal_binary_meta",
+    "orders_distinct_agg",
+    "events_window_dedup",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "part_topk_price",
+    "events_minmax_ts",
+    "emb_semantic_dedup",
+    "lineitem_rollup",
+    # NEW round-8 gate in the retired docs_quality_score slot
+    "docs_inference_scores",
+    "docs_langid",
+    "docs_fingerprint",
+    "docs_chunk_windows",
+    "docs_split_assign",
+    "docs_dup_rate_by_source",
+    "docs_lsh_pairs_capped",
+    "emb_pq_topk",
+    "lineitem_cube",
+    "events_user_halves_full_outer",
+    "tpch_q4_order_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q12_late_shipment",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_sales_opportunity",
+    "emb_ivf_indexed_topk",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_suppliers",
+    "tpch_q20_promotion_parts",
+    "docs_tfidf_similar_pairs",
+    "lineitem_salted_skew_agg",
+    "docs_top_ngrams",
+]
+
+assert len(_DRIVER_WINDOW_R08) == 50, len(_DRIVER_WINDOW_R08)
+assert set(_DRIVER_WINDOW_R08) <= set(QUERIES), sorted(
+    set(_DRIVER_WINDOW_R08) - set(QUERIES)
+)
+QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R08} | {
+    name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R08
 }

@@ -95,3 +95,29 @@ def test_top_ngrams_counts_and_ties(spark):
     assert rows[2][1] == 1 and rows[2][0] == min(x for x, n, _ in [
         ("b c a", 1, 1), ("c a b", 1, 1), ("b c a", 1, 1)
     ])
+
+
+def test_quality_score_direct_duckdb_differential(spark, sf_dir):
+    """docs_quality_score was retired from the driver registry in
+    round 8 (its per-doc quality values are the selection key of
+    docs_selection_budget, which surfaces them for every capped
+    survivor) — this keeps the retiree's FULL-corpus differential: the
+    builder and its SQL twin over every document, hash-compared with
+    the driver's semantics."""
+    import duckdb
+
+    from s3logs_parquet_spark.plans.queries import _SQL_QUALITY, q_docs_quality
+    from tools.check_oracles import frame_hash
+
+    sdf = q_docs_quality(spark, sf_dir)
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    drel = con.sql(_SQL_QUALITY)
+    dcols, drows = list(drel.columns), drel.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) > 0
+    assert frame_hash(scols, srows) == frame_hash(dcols, drows)
+    con.close()

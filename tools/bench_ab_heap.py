@@ -31,7 +31,7 @@ FLAGGED = [
 ]
 # (events_asof_click was the r6 control; retired round 7 into the
 # chunked twin — same query, same oracle)
-CONTROLS = ["events_asof_click_chunked", "docs_quality_score"]
+CONTROLS = ["events_asof_click_chunked", "docs_langid"]  # quality_score retired r8
 
 
 def main() -> None:
