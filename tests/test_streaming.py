@@ -911,3 +911,79 @@ def test_stream_rollup_equals_batch_rollup(spark, tmp_path):
         for r in read_stream_rollup(spark, ru).collect()
     )
     assert got2 == want
+
+
+def test_stream_idle_boundary_closes_files(spark, tmp_path):
+    """T3 idle rotation (threshold_maxidle analog,
+    s3logd-stream/src/output.rs:40): the reference's rotating writer
+    closes its output file after 60 s without input; the Spark sink
+    finalizes files at each micro-batch commit, so an input GAP under a
+    processing-time trigger must leave the pre-gap files closed,
+    complete, and immutable — never held open awaiting more rows, and
+    never reopened when input resumes. Pinned by (1) full readability
+    of the pre-gap output DURING the gap, (2) byte-identical pre-gap
+    part files after post-gap input lands in NEW files only, and (3)
+    the stream↔batch differential across the gap."""
+    import glob as _glob
+    import time as _time
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(inp)
+    lines1 = generate_lines(40, seed=71, garbage_fraction=0.0, dup_fraction=0.0)
+    lines2 = generate_lines(25, seed=72, garbage_fraction=0.0, dup_fraction=0.0)
+    (tmp_path / "in" / "f1.log").write_text("\n".join(lines1) + "\n")
+
+    q = run_streaming_transform(
+        spark, inp, out, ckpt, EngineConfig(),
+        StreamingJobConfig(processing_time="1 seconds"),
+    )
+    try:
+        deadline = _time.time() + 90
+        n = 0
+        while _time.time() < deadline:
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:
+                n = 0
+            if n >= 40:
+                break
+            _time.sleep(1)
+        assert n == 40
+
+        # ---- idle gap: several empty triggers fire; nothing may be
+        # half-open. Snapshot the file inventory, then re-read the
+        # table mid-gap — a held-open file would surface as a corrupt
+        # footer or a count below 40.
+        _time.sleep(4)
+        pre_gap = {
+            p: os.path.getsize(p)
+            for p in _glob.glob(f"{out}/dt=*/part-*.parquet")
+        }
+        assert pre_gap, "no closed part files at the idle boundary"
+        assert spark.read.parquet(out).count() == 40  # complete mid-gap
+
+        # ---- input resumes: new rows land in NEW files; the pre-gap
+        # inventory is byte-for-byte untouched (closed means closed)
+        (tmp_path / "in" / "f2.log").write_text("\n".join(lines2) + "\n")
+        deadline = _time.time() + 90
+        while _time.time() < deadline and spark.read.parquet(out).count() < 65:
+            _time.sleep(1)
+        assert spark.read.parquet(out).count() == 65
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    post = {p: os.path.getsize(p) for p in _glob.glob(f"{out}/dt=*/part-*.parquet")}
+    assert set(pre_gap) <= set(post)
+    assert all(post[p] == sz for p, sz in pre_gap.items())
+    assert len(post) > len(pre_gap)
+
+    # ---- stream↔batch differential across the gap: same rows as the
+    # batch pipeline over the concatenated input
+    from s3logs_parquet_spark.plans.batch import parse_and_dedup
+    from s3logs_parquet_spark.sources.text_source import read_log_lines
+
+    batch = parse_and_dedup(read_log_lines(spark, inp), EngineConfig())
+    want = sorted(r["RequestID"] for r in batch.select("RequestID").collect())
+    got = sorted(r["RequestID"] for r in spark.read.parquet(out).select("RequestID").collect())
+    assert got == want
