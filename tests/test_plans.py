@@ -13,9 +13,28 @@ from s3logs_parquet_spark.plans.queries import QUERIES
 
 
 def _plan(spark, df) -> str:
-    return df._jdf.queryExecution().explainString(
+    """Formatted plan text, scoped to the FINAL plan only.
+
+    Once a frame has executed under AQE its formatted explain prints
+    `isFinalPlan=true` with BOTH a final-plan and an `== Initial Plan ==`
+    section, doubling every node string.  The per-process gate plan
+    caches (prepared-statement semantic) hand such already-executed
+    frames to these tests depending on collection order, so every
+    `plan.count(...)` here must see exactly one plan: truncate at the
+    Initial Plan marker (a never-executed frame has no marker and is
+    returned whole)."""
+    text = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
+    return text.split("== Initial Plan ==", 1)[0]
+
+
+def _count_nodes(plan: str, name: str) -> int:
+    """Count tree nodes named `name`, tolerating the whole-stage-codegen
+    star the final plan adds (`+- * Sort (36)` vs `+- Sort (12)`)."""
+    import re
+
+    return len(re.findall(r"\+- (?:\* )?%s \(" % re.escape(name), plan))
 
 
 def test_q1_pushdown_and_pruning(spark, sf_dir):
@@ -51,7 +70,7 @@ def test_dedup_single_exchange(spark):
 
     df = spark.createDataFrame([("x",)], ["value"])
     plan = _plan(spark, parse_and_dedup(df, EngineConfig()))
-    assert plan.count("+- Exchange") == 1
+    assert _count_nodes(plan, "Exchange") == 1
 
 
 def test_duplicated_spans_shuffle_budget(spark, sf_dir):
@@ -63,9 +82,34 @@ def test_duplicated_spans_shuffle_budget(spark, sf_dir):
     was lost between the windows and the island aggregation."""
     plan = _plan(spark, QUERIES["docs_duplicated_spans"][0](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert plan.count("+- Window") == 2
-    assert plan.count("+- Exchange") == 3
-    assert plan.count("+- Sort") == 1
+    assert _count_nodes(plan, "Window") == 2
+    assert _count_nodes(plan, "Exchange") == 3
+    assert _count_nodes(plan, "Sort") == 1
+
+
+def test_duplicated_spans_shuffle_budget_after_execution(spark, sf_dir):
+    """Regression for the r08 order-dependent failure: when
+    test_oracles_full runs first, the span gate's per-process plan
+    cache hands this module an ALREADY-EXECUTED frame whose AQE
+    explain prints `isFinalPlan=true` with both a final and an
+    `== Initial Plan ==` section, doubling every node count.  Force
+    that state deliberately — execute the cached frame, then assert
+    the same shuffle budget on the final-plan section — so the
+    doubled-text trap can never silently return."""
+    df = QUERIES["docs_duplicated_spans"][0](spark, sf_dir)
+    df.collect()  # drive THIS frame's queryExecution to its AQE final plan
+    raw = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "isFinalPlan=true" in raw and "== Initial Plan ==" in raw, (
+        "expected an executed AQE frame; the trap this test pins is gone"
+    )
+    plan = _plan(spark, df)
+    assert "== Initial Plan ==" not in plan
+    assert "CartesianProduct" not in plan
+    assert _count_nodes(plan, "Window") == 2
+    assert _count_nodes(plan, "Exchange") == 3
+    assert _count_nodes(plan, "Sort") == 1
 
 
 def test_ann_broadcasts_queries(spark, sf_dir):
