@@ -409,9 +409,9 @@ def mg_heavy_hitters(
     Returns (item, cnt) with exact BIGINT counts — a DuckDB
     GROUP BY/HAVING oracle reproduces it bit-for-bit.
     """
-    if k is None:
-        import math
+    import math
 
+    if k is None:
         k = max(128, 2 * math.ceil(1.0 / phi))
     if (k + 1) * phi <= 1.0:  # fail loud BEFORE the summary pass
         # STRICT inequality: at (k+1)*phi == 1 an item with frequency
@@ -419,9 +419,12 @@ def mg_heavy_hitters(
         # recount definition yet can be decremented to 0 in every
         # partition summary (worst-case MG underestimate is exactly
         # N/(k+1)), so it would never enter the candidate set.
+        # true minimum: smallest integer k with (k+1)*phi > 1, i.e.
+        # floor(1/phi - 1) + 1 (NOT int(1/phi)+1, which overstates by
+        # one when 1/phi is an exact integer — phi=0.25 admits k=4)
         raise ValueError(
             f"mg_heavy_hitters: k={k} cannot guarantee phi={phi}; "
-            f"need (k+1)*phi > 1 strictly (k >= {int(1.0 / phi) + 1})"
+            f"need (k+1)*phi > 1 strictly (k >= {math.floor(1.0 / phi - 1.0) + 1})"
         )
     summ = _materialize(mg_partition_summaries(df, item_col, k), durable=durable)
     return heavy_hitters_from_summaries(df, item_col, summ, phi, k)
@@ -446,9 +449,12 @@ def heavy_hitters_from_summaries(
     import math
 
     if (k + 1) * phi <= 1.0:  # strict — see mg_heavy_hitters
+        # true minimum: smallest integer k with (k+1)*phi > 1, i.e.
+        # floor(1/phi - 1) + 1 (NOT int(1/phi)+1, which overstates by
+        # one when 1/phi is an exact integer — phi=0.25 admits k=4)
         raise ValueError(
             f"mg_heavy_hitters: k={k} cannot guarantee phi={phi}; "
-            f"need (k+1)*phi > 1 strictly (k >= {int(1.0 / phi) + 1})"
+            f"need (k+1)*phi > 1 strictly (k >= {math.floor(1.0 / phi - 1.0) + 1})"
         )
     n_total = (
         summaries.filter(F.col("_mg_item").isNull())

@@ -850,14 +850,20 @@ def q_docs_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # exact SQL twin of operators/inference.py linear_text_model: same
-# integer features, same dyadic weights (2^-9, 2^-2, -2^-3, 2^-4)
+# integer features, same dyadic weights (2^-9, 2^-2, -2^-3, 2^-4).
+# NULL text is coalesced to '' to match the model's fillna('') (a NULL
+# doc scores logit=bias, it doesn't propagate NULL — ADVICE r8).
+# Documented input-domain assumption: word splitting is ASCII-\s+ on
+# both sides for ASCII corpora; pandas str.split() additionally splits
+# on Unicode whitespace (U+00A0 etc.), DuckDB's RE2 \s does not — the
+# documents fixtures are ASCII-whitespace only.
 ORACLE_DOCS_INFERENCE = """
 WITH f AS (
   SELECT doc_id,
-         length(text) AS n_chars,
-         len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w != '')) AS n_words,
-         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
-         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+         length(coalesce(text, '')) AS n_chars,
+         len(list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), w -> w != '')) AS n_words,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS n_digits,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[A-Z]', '', 'g')) AS n_upper
   FROM documents
 )
 SELECT doc_id,

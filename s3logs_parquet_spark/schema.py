@@ -158,6 +158,17 @@ def parse_message_type(text: str) -> StructType:
             raise ValueError(f"unsupported physical type {phys!r} for {name!r}")
         if phys == "BYTE_ARRAY" and logical in ("UTF8", "STRING"):
             dtype = T.StringType()
+        elif logical is not None:
+            # Fail loud like REPEATED/group fields do: the reference's
+            # parquet→arrow conversion HONORS logical annotations
+            # (TIMESTAMP_MILLIS, DECIMAL, ...); silently parsing
+            # 'INT64 ts (TIMESTAMP_MILLIS)' as a plain long would
+            # diverge from it (ADVICE r8).
+            raise ValueError(
+                f"unsupported logical annotation {logical!r} on {phys} "
+                f"field {name!r}: only UTF8/STRING on BYTE_ARRAY is "
+                "supported by this loader"
+            )
         else:
             dtype = getattr(T, _PRIMITIVE_TYPES[phys])()
         fields.append(StructField(name, dtype, nullable=(rep == "OPTIONAL")))

@@ -117,12 +117,18 @@ def build_stream(
         spark.readStream.option("maxFilesPerTrigger", scfg.max_files_per_trigger)
         .text(input_dir)
     )
-    parsed = parse_s3_access_log(lines)
+    # Same EngineConfig ⇒ same table as the batch path: a config-file
+    # schema (cfg.schema_fields) must flow through the streaming parse
+    # too, and the watermark-dedup key is POSITIONAL like the batch
+    # dedup's (the 6th loaded field, utils.rs:1076), not a hardcoded
+    # name the custom schema may not contain.
+    parsed = parse_s3_access_log(lines, fields=cfg.schema_fields)
     clean = parsed.filter(F.col("ts").isNotNull())  # F1
     out = clean.withColumn("dt", _event_date_col(cfg, scfg))
     if scfg.dedup_watermark:
+        dedup_id = cfg.schema_fields[5] if cfg.schema_fields else "RequestID"
         out = out.withWatermark("ts", scfg.dedup_watermark).dropDuplicatesWithinWatermark(
-            ["dt", "RequestID"]
+            ["dt", dedup_id]
         )
     return out.drop("n_fields")
 

@@ -117,6 +117,33 @@ def test_inference_matches_sql_twin_via_duckdb(spark, sf_dir):
     con.close()
 
 
+def test_inference_oracle_null_text_matches_model(spark, tmp_path):
+    """ADVICE r8: the oracle must coalesce NULL text to '' like the
+    model's fillna('') — a NULL doc scores logit=bias/label=false on
+    BOTH sides, not NULL. Differential on a corpus containing NULLs
+    (the sf fixtures have none, so this pins the latent divergence)."""
+    import duckdb
+
+    from s3logs_parquet_spark.plans.queries import (
+        ORACLE_DOCS_INFERENCE,
+        q_docs_inference_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Hello World 42"), (2, None), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    pdir = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.parquet(pdir)
+    got = {r["doc_id"]: (r["logit"], r["label"]) for r in q_docs_inference_scores(spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pdir}/*.parquet')")
+    want = {r[0]: (r[1], r[2]) for r in con.sql(ORACLE_DOCS_INFERENCE).fetchall()}
+    con.close()
+    assert got == want
+    assert got[2] == (-2.0, False) and got[4] == (-2.0, False)
+
+
 def test_score_documents_streaming_microbatch(spark, tmp_path):
     """The same call works under Structured Streaming (stateless
     projection): stream a parquet dir, score per micro-batch, equal to

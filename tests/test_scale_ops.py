@@ -439,6 +439,12 @@ def test_mg_summary_bound_nulls_and_guarantee_guard(spark):
         mg_heavy_hitters(df, "item", phi=0.001, k=64)
     with pytest.raises(ValueError, match="strictly"):
         mg_heavy_hitters(df, "item", phi=0.25, k=3)  # (3+1)*0.25 == 1.0
+    # the suggested minimum must be the TRUE minimum (ADVICE r8: when
+    # 1/phi is an exact integer, int(1/phi)+1 overstates by one —
+    # phi=0.25 admits k=4, (4+1)*0.25 = 1.25 > 1)
+    with pytest.raises(ValueError, match=r"k >= 4\)"):
+        mg_heavy_hitters(df, "item", phi=0.25, k=3)
+    assert mg_heavy_hitters(df, "item", phi=0.25, k=4).columns == ["item", "cnt"]
 
 
 def test_mg_empty_and_no_hitters(spark):

@@ -307,6 +307,13 @@ def test_parse_message_type_types_and_errors():
         parse_message_type("message t { REQUIRED GROUP g { REQUIRED INT32 x; } }")
     with pytest.raises(ValueError, match="no fields"):
         parse_message_type("message t { }")
+    # ADVICE r8: logical annotations the loader can't honor fail loud
+    # (the reference's parquet→arrow path honors TIMESTAMP_MILLIS etc.;
+    # silently yielding a plain long would diverge)
+    with pytest.raises(ValueError, match="logical annotation"):
+        parse_message_type("message t { REQUIRED INT64 ts (TIMESTAMP_MILLIS); }")
+    with pytest.raises(ValueError, match="logical annotation"):
+        parse_message_type("message t { OPTIONAL BYTE_ARRAY d (DECIMAL); }")
 
 
 def test_schema_file_env_roundtrip(spark, tmp_path, monkeypatch):

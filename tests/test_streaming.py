@@ -104,6 +104,42 @@ def test_stream_dedup_watermark(spark, tmp_path):
     assert table.filter(F.col("RequestID") == "DUPLICATEDRID001").count() == 1
 
 
+def test_stream_custom_schema_fields_and_positional_dedup(spark, tmp_path):
+    """ADVICE r8: one EngineConfig ⇒ one table shape across BOTH paths.
+    With a config-file schema loaded (cfg.schema_fields) the streaming
+    plan must write the file's column names — not the built-in 26 — and
+    the watermark dedup must key on the POSITIONAL 6th field (the batch
+    dedup's rule, utils.rs:1076), not a hardcoded 'RequestID'."""
+    from s3logs_parquet_spark.schema import LOG_FIELDS
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(inp)
+    rng = random.Random(8)
+    line = make_line(rng, BASE_TS, request_id="DUPLICATEDRID002")
+    other = make_line(rng, BASE_TS + 5)
+    (tmp_path / "in" / "f.log").write_text("\n".join([line, line, other]) + "\n")
+
+    names = tuple(f"fld_{i:02d}" for i in range(len(LOG_FIELDS)))
+    cfg = EngineConfig(schema_fields=names)
+    scfg = StreamingJobConfig(dedup_watermark="1 hour", available_now=True)
+    q = run_streaming_transform(spark, inp, out, ckpt, cfg, scfg)
+    q.awaitTermination(120)
+    table = spark.read.parquet(out)
+    assert "RequestID" not in table.columns
+    assert set(names) <= set(table.columns)
+    # positional dedup: the redelivered line (same 6th field) collapses
+    assert table.count() == 2
+    assert table.filter(F.col("fld_05") == "DUPLICATEDRID002").count() == 1
+
+    # batch path over the same input + config produces the same shape
+    from s3logs_parquet_spark.plans.batch import run_batch_transform
+
+    bout = str(tmp_path / "bout")
+    run_batch_transform(spark, inp, bout, cfg)
+    bcols = set(spark.read.parquet(bout).columns)
+    assert set(names) <= bcols and "RequestID" not in bcols
+
+
 def test_throughput_stats_ring():
     """mon.rs ring semantics: rolling means over minute slots."""
     s = ThroughputStats()
