@@ -52,11 +52,11 @@ HEADLINE = [
     "customer_orders_left_join",
     "emb_cosine_topk",
     # round-2 operator family, tracked since round 3 (VERDICT r2 #7);
-    # round 7: plain events_asof_click retired into the chunked twin
-    # (same query + oracle), its bench slot goes to the new
-    # ExactSubstr-style span-coverage gate (explode + 3 hash aggs +
-    # one keyed gaps-and-islands window)
-    "docs_duplicated_spans",
+    # round 7: plain events_asof_click retired into the chunked twin;
+    # round 9: docs_duplicated_spans retired into docs_remove_dup_spans
+    # (tracked above) — its bench slot goes to the real-model MLP
+    # inference leg (ndarray broadcast + numpy matmul per Arrow batch)
+    "docs_inference_mlp",
     "events_asof_click_chunked",
     "events_range_pairs",
     # round 7: events_kmv_distinct retired into the set-algebra gate,

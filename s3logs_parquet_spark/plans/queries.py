@@ -875,6 +875,56 @@ FROM f
 """
 
 
+def q_docs_inference_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-model inference leg (operators/inference.py mlp_text_model,
+    round 9): a two-layer ReLU MLP whose ndarray weight matrices ride
+    the broadcast and whose scoring is a vectorized numpy matmul per
+    Arrow batch — the payload/compute shape of an actual classifier.
+    Dyadic weights x integer features keep every step exact in IEEE
+    double, so the DuckDB oracle (hidden units as greatest(...,0)
+    expressions) reproduces logit/label bit-for-bit."""
+    from s3logs_parquet_spark.operators.inference import (
+        MLP_TEXT_WEIGHTS,
+        mlp_text_model,
+        score_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return score_documents(d, "doc_id", "text", weights=MLP_TEXT_WEIGHTS, model_fn=mlp_text_model)
+
+
+# exact SQL twin of operators/inference.py mlp_text_model: the same
+# dyadic W1/b1/W2/b2 constants, hidden relu as greatest(., 0.0);
+# NULL text coalesced to '' matching the model's fillna('').
+ORACLE_DOCS_INFERENCE_MLP = """
+WITH f AS (
+  SELECT doc_id,
+         length(coalesce(text, '')) AS c,
+         len(list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), w -> w != '')) AS w,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS d,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[A-Z]', '', 'g')) AS u
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         greatest(-2.0::DOUBLE + 0.001953125::DOUBLE * c + 0.25::DOUBLE * w
+                  - 0.125::DOUBLE * d + 0.0625::DOUBLE * u, 0.0::DOUBLE) AS h1,
+         greatest(1.0::DOUBLE - 0.00390625::DOUBLE * c + 0.5::DOUBLE * w
+                  - 0.125::DOUBLE * u, 0.0::DOUBLE) AS h2,
+         greatest(-0.5::DOUBLE + 0.0009765625::DOUBLE * c - 0.0625::DOUBLE * w
+                  + 0.25::DOUBLE * d, 0.0::DOUBLE) AS h3,
+         greatest(-1.0::DOUBLE + 0.125::DOUBLE * w + 0.0625::DOUBLE * d
+                  - 0.03125::DOUBLE * u, 0.0::DOUBLE) AS h4
+  FROM f
+)
+SELECT doc_id,
+       -0.25::DOUBLE + 0.5::DOUBLE * h1 - 0.25::DOUBLE * h2
+            + 0.375::DOUBLE * h3 + 0.25::DOUBLE * h4 AS logit,
+       (-0.25::DOUBLE + 0.5::DOUBLE * h1 - 0.25::DOUBLE * h2
+            + 0.375::DOUBLE * h3 + 0.25::DOUBLE * h4) >= 0.0 AS label
+FROM h
+"""
+
+
 def q_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", langid(F.col("text")).alias("lang_pred"))
@@ -3724,6 +3774,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # differential in tests/test_text_functions.py. Its registry slot
     # goes to the round-8 batched-inference gate.)
     "docs_inference_scores": (q_docs_inference_scores, ORACLE_DOCS_INFERENCE),
+    "docs_inference_mlp": (q_docs_inference_mlp, ORACLE_DOCS_INFERENCE_MLP),
     "docs_langid": (q_docs_langid, _SQL_LANGID),
     "docs_fingerprint": (q_docs_fingerprint, ORACLE_DOCS_FINGERPRINT),
     "docs_split_assign": (q_docs_split_assign, ORACLE_DOCS_SPLIT),
@@ -3807,7 +3858,16 @@ QUERIES["orders_bloom_customer_revenue"] = (
 )
 QUERIES["emb_ivfpq_topk"] = (q_emb_ivfpq_topk, _oracle_emb_ivfpq())
 QUERIES["docs_dup_ngram_fraction"] = (q_docs_dup_ngram_fraction, ORACLE_DOCS_DUP_NGRAM)
-QUERIES["docs_duplicated_spans"] = (q_docs_duplicated_spans, ORACLE_DOCS_DUP_SPANS)
+# docs_duplicated_spans RETIRED round 9 (registry stays at exactly 100;
+# its slot admits docs_inference_mlp): the identical _span_gate
+# computation runs verbatim inside docs_remove_dup_spans, whose oracle
+# re-derives the same gaps-and-islands spans and value-checks them
+# through the token-ordered reconstruction of every cleaned document —
+# a wrong span boundary there corrupts the rebuilt stream and fails the
+# hash. The report-mode aggregates (n_spans/dup_tokens/coverage) keep a
+# DIRECT full-corpus DuckDB differential in
+# tests/test_similarity.py::test_duplicated_spans_direct_duckdb_differential,
+# and the plan-shape budget stays pinned in tests/test_plans.py.
 QUERIES["docs_remove_dup_spans"] = (q_docs_remove_dup_spans, ORACLE_DOCS_REMOVE_SPANS)
 QUERIES["docs_tfidf_similar_pairs"] = (q_docs_tfidf_similar_pairs, ORACLE_DOCS_TFIDF_PAIRS)
 QUERIES["events_zorder_key"] = (q_events_zorder_key, _oracle_events_zorder())
@@ -4361,10 +4421,12 @@ _DRIVER_WINDOW_R07 = [
 ]
 
 assert len(_DRIVER_WINDOW_R07) == 50, len(_DRIVER_WINDOW_R07)
-assert set(_DRIVER_WINDOW_R07) <= set(QUERIES), sorted(
+# (docs_duplicated_spans held an r07 slot; retired round 9 — see its
+# retirement comment at the registration site)
+assert set(_DRIVER_WINDOW_R07) <= set(QUERIES) | {"docs_duplicated_spans"}, sorted(
     set(_DRIVER_WINDOW_R07) - set(QUERIES)
 )
-QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R07} | {
+QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R07 if name in QUERIES} | {
     name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R07
 }
 
@@ -4432,9 +4494,31 @@ _DRIVER_WINDOW_R08 = [
 ]
 
 assert len(_DRIVER_WINDOW_R08) == 50, len(_DRIVER_WINDOW_R08)
-assert set(_DRIVER_WINDOW_R08) <= set(QUERIES), sorted(
+assert set(_DRIVER_WINDOW_R08) <= set(QUERIES) | {"docs_duplicated_spans"}, sorted(
     set(_DRIVER_WINDOW_R08) - set(QUERIES)
 )
-QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R08} | {
+QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R08 if name in QUERIES} | {
     name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R08
+}
+
+# Round-9 rotation (VERDICT r8 #5): the r07-recorded half returns to
+# the window (every r08-window entry holds a green CORRECTNESS_r08 row
+# and rotates out), with ONE substitution: docs_duplicated_spans is
+# retired (see its retirement comment above — values checked inside
+# docs_remove_dup_spans' full-chain reconstruction oracle, which stays
+# in this window; direct DuckDB differential kept in
+# tests/test_similarity.py); its slot admits the NEW round-9 gate
+# docs_inference_mlp (real-model inference leg, VERDICT r8 #8) for its
+# first driver row. Registry stays at exactly 100.
+_DRIVER_WINDOW_R09 = [
+    name if name != "docs_duplicated_spans" else "docs_inference_mlp"
+    for name in _DRIVER_WINDOW_R07
+]
+
+assert len(_DRIVER_WINDOW_R09) == 50, len(_DRIVER_WINDOW_R09)
+assert set(_DRIVER_WINDOW_R09) <= set(QUERIES), sorted(
+    set(_DRIVER_WINDOW_R09) - set(QUERIES)
+)
+QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R09} | {
+    name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R09
 }

@@ -117,6 +117,66 @@ def test_inference_matches_sql_twin_via_duckdb(spark, sf_dir):
     con.close()
 
 
+def test_mlp_model_exact_values(spark):
+    """The round-9 real-model leg: two-layer ReLU MLP, ndarray weights.
+    Hand-evaluated expectations in pure Python floats — every step is
+    exact dyadic arithmetic, so equality is exact, not approx."""
+    from s3logs_parquet_spark.operators.inference import (
+        MLP_TEXT_WEIGHTS,
+        mlp_text_model,
+        score_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Hello World 42"), (2, ""), (3, None), (4, "abc DEF 123 xy 9")],
+        "doc_id long, text string",
+    )
+    out = score_documents(
+        docs, weights=MLP_TEXT_WEIGHTS, model_fn=mlp_text_model
+    )
+    got = {r["doc_id"]: (r["logit"], r["label"]) for r in out.collect()}
+
+    def expect(c, w, d, u):
+        h1 = max(-2.0 + 0.001953125 * c + 0.25 * w - 0.125 * d + 0.0625 * u, 0.0)
+        h2 = max(1.0 - 0.00390625 * c + 0.5 * w - 0.125 * u, 0.0)
+        h3 = max(-0.5 + 0.0009765625 * c - 0.0625 * w + 0.25 * d, 0.0)
+        h4 = max(-1.0 + 0.125 * w + 0.0625 * d - 0.03125 * u, 0.0)
+        logit = -0.25 + 0.5 * h1 - 0.25 * h2 + 0.375 * h3 + 0.25 * h4
+        return (logit, logit >= 0.0)
+
+    # "Hello World 42": 14 chars, 3 words, 2 digits, 2 upper
+    assert got[1] == expect(14, 3, 2, 2)
+    assert got[2] == expect(0, 0, 0, 0) == got[3]  # NULL == '' via fillna
+    # "abc DEF 123 xy 9": 16 chars, 5 words, 4 digits, 3 upper
+    assert got[4] == expect(16, 5, 4, 3)
+
+
+def test_mlp_matches_sql_twin_via_duckdb(spark, sf_dir):
+    """Full-corpus differential for the MLP gate with the driver's hash
+    semantics (the driver re-runs this at sf0.01)."""
+    import duckdb
+
+    from s3logs_parquet_spark.plans.queries import (
+        ORACLE_DOCS_INFERENCE_MLP,
+        q_docs_inference_mlp,
+    )
+    from tools.check_oracles import frame_hash
+
+    sdf = q_docs_inference_mlp(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    drel = con.sql(ORACLE_DOCS_INFERENCE_MLP)
+    drows = drel.fetchall()
+    assert len(srows) == len(drows) > 0
+    # both labels must occur or the gate degenerates to a constant
+    assert {bool(r[2]) for r in drows} == {True, False}
+    assert frame_hash(sdf.columns, srows) == frame_hash(list(drel.columns), drows)
+    con.close()
+
+
 def test_inference_oracle_null_text_matches_model(spark, tmp_path):
     """ADVICE r8: the oracle must coalesce NULL text to '' like the
     model's fillna('') — a NULL doc scores logit=bias/label=false on

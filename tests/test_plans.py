@@ -80,7 +80,9 @@ def test_duplicated_spans_shuffle_budget(spark, sf_dir):
     (doc,ngram) distinct, ngram doc-frequency, doc windows — over ONE
     sort; a fourth Exchange or second Sort means the doc clustering
     was lost between the windows and the island aggregation."""
-    plan = _plan(spark, QUERIES["docs_duplicated_spans"][0](spark, sf_dir))
+    from s3logs_parquet_spark.plans.queries import q_docs_duplicated_spans
+
+    plan = _plan(spark, q_docs_duplicated_spans(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert _count_nodes(plan, "Window") == 2
     assert _count_nodes(plan, "Exchange") == 3
@@ -96,7 +98,9 @@ def test_duplicated_spans_shuffle_budget_after_execution(spark, sf_dir):
     that state deliberately — execute the cached frame, then assert
     the same shuffle budget on the final-plan section — so the
     doubled-text trap can never silently return."""
-    df = QUERIES["docs_duplicated_spans"][0](spark, sf_dir)
+    from s3logs_parquet_spark.plans.queries import q_docs_duplicated_spans
+
+    df = q_docs_duplicated_spans(spark, sf_dir)
     df.collect()  # drive THIS frame's queryExecution to its AQE final plan
     raw = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")

@@ -606,6 +606,33 @@ def test_remove_duplicated_spans_hand_corpus(spark):
     assert out[5]["clean_text"] == "" and out[5]["n_tokens"] == 0
 
 
+def test_duplicated_spans_direct_duckdb_differential(spark, sf_dir):
+    """Retirement differential (round 9): docs_duplicated_spans left the
+    driver registry (its spans are value-checked inside
+    docs_remove_dup_spans' reconstruction oracle), so the report-mode
+    aggregates (n_spans/dup_tokens/dup_coverage) keep this DIRECT
+    full-corpus DuckDB check with the driver's hash semantics."""
+    import duckdb
+
+    from s3logs_parquet_spark.plans.queries import (
+        ORACLE_DOCS_DUP_SPANS,
+        q_docs_duplicated_spans,
+    )
+    from tools.check_oracles import frame_hash
+
+    sdf = q_docs_duplicated_spans(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    drel = con.sql(ORACLE_DOCS_DUP_SPANS)
+    drows = drel.fetchall()
+    assert len(srows) == len(drows) > 0
+    assert frame_hash(sdf.columns, srows) == frame_hash(list(drel.columns), drows)
+    con.close()
+
+
 def test_remove_duplicated_spans_matches_span_report(spark, sf_dir):
     """Standing differential on real documents: removed_tokens from the
     excision operator == dup_tokens from the span report, per doc."""
