@@ -265,11 +265,22 @@ def minhash_banded(
     bucketed by (band, band_hash)): both the corpus self-join
     (minhash_lsh_pairs) and continuous-ingest incremental dedup
     (incremental_neardup_pairs) are joins against it."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, seed)
     if materialize:
         sigs = _materialize(sigs, durable)
+    return band_signatures(sigs, id_col, num_hashes, bands)
+
+
+def band_signatures(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """The banding half of :func:`minhash_banded`, over an existing
+    (id, signature) frame — lets a caller materialize the signature
+    pass once (the dominant cost: shingling + num_hashes hashes per
+    doc) and re-derive the cheap per-band explode for several
+    consumers, releasing the blocks itself (run_stream_curation)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
     return sigs.select(
         F.col(id_col),
         F.col("signature"),
@@ -312,9 +323,14 @@ def incremental_neardup_pairs(
     seed: int = 42,
     materialize: bool = True,
     durable: bool = False,
+    batch_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-ingest dedup: near-dup pairs between a NEW batch and
     the EXISTING corpus, via its persisted LSH index.
+
+    ``batch_banded`` accepts an already-computed :func:`minhash_banded`
+    frame for ``batch`` (same parameters), skipping the batch signature
+    pass — see minhash_lsh_pairs' ``banded``.
 
     ``corpus_index`` is a minhash_banded output — typically read back
     from a table, NOT recomputed: the incremental cost is
@@ -356,9 +372,18 @@ def incremental_neardup_pairs(
                 f"{n} but num_hashes={num_hashes} — the index was built "
                 "with different parameters; rebuild it or pass matching num_hashes/bands"
             )
-    bb = minhash_banded(
-        batch, id_col, text_col, num_hashes, bands, shingle_k, seed, materialize, durable
-    )
+    if batch_banded is None:
+        bb = minhash_banded(
+            batch, id_col, text_col, num_hashes, bands, shingle_k, seed, materialize, durable
+        )
+    else:
+        missing = {id_col, "signature", "band", "band_hash"} - set(batch_banded.columns)
+        if missing:
+            raise ValueError(
+                f"incremental_neardup_pairs: batch_banded is missing columns "
+                f"{sorted(missing)} — expected a minhash_banded output"
+            )
+        bb = batch_banded
     # candidate IDS only through the band join + cross-band dedup,
     # signatures re-joined once per unique pair from each side's
     # band-0 slice (every doc appears exactly once per band) — the
@@ -433,9 +458,18 @@ def minhash_lsh_pairs(
     durable: bool = False,
     max_bucket_size: int | None = 10_000,
     oversize_policy: str = "star",
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH, then exact
     signature-similarity filter.
+
+    ``banded`` accepts an already-computed :func:`minhash_banded` frame
+    for ``df`` (same num_hashes/bands/seed), skipping the signature
+    pass entirely — the signature-reuse lever for pipelines that band a
+    batch once and feed self-join, incremental probe, and index write
+    from the same frame (streaming/job.py run_stream_curation; round-9
+    throughput rework). The caller owns parameter consistency the same
+    way incremental_neardup_pairs' corpus_index contract states.
 
     Scale shape: explode signatures into ``bands`` rows keyed by
     (band_id, band_hash) → self-join within buckets only. At 100 TB the
@@ -491,9 +525,17 @@ def minhash_lsh_pairs(
     """
     if oversize_policy not in ("star", "drop", "error"):
         raise ValueError(f"oversize_policy must be star|drop|error, got {oversize_policy!r}")
-    banded = minhash_banded(
-        df, id_col, text_col, num_hashes, bands, shingle_k, seed, materialize, durable
-    )
+    if banded is None:
+        banded = minhash_banded(
+            df, id_col, text_col, num_hashes, bands, shingle_k, seed, materialize, durable
+        )
+    else:
+        missing = {id_col, "signature", "band", "band_hash"} - set(banded.columns)
+        if missing:
+            raise ValueError(
+                f"minhash_lsh_pairs: banded frame is missing columns {sorted(missing)} "
+                "— expected a minhash_banded output"
+            )
     # every doc appears exactly once per band, so band 0 of the
     # PRE-cap-filter banded frame IS the (id, signature) table — read
     # straight off the checkpointed blocks, no dedup exchange (the

@@ -709,11 +709,12 @@ def run_stream_curation(
     from s3logs_parquet_spark.functions.text_analysis import langid, quality_score
     from s3logs_parquet_spark.operators.dedup import (
         _content_digest,
+        band_signatures,
         connected_components_clusters,
         exact_dedup,
         incremental_neardup_pairs,
-        minhash_banded,
         minhash_lsh_pairs,
+        minhash_signatures,
     )
     from s3logs_parquet_spark.session import materialize, release
 
@@ -751,6 +752,19 @@ def run_stream_curation(
         # re-scan this frame — materialize once per batch
         fresh = materialize(fresh)
 
+        # Signature-reuse (round-9 throughput rework): compute MinHash
+        # signatures ONCE per trigger, materialize them, and feed the
+        # within-batch self-join, the history probe, and the index
+        # contribution from the same banded frame (the per-band explode
+        # is a cheap re-derivation from the signature blocks). The
+        # first shipped shape recomputed signatures up to three times
+        # per trigger — shingling + num_hashes hashes per doc is the
+        # dominant per-doc cost, so this was most of the online/batch
+        # throughput gap (measured A/B in PERF.md).
+        sig_fresh = materialize(
+            minhash_signatures(fresh, id_col, text_col, num_hashes, shingle_k)
+        )
+        banded_fresh = band_signatures(sig_fresh, id_col, num_hashes, bands)
         pairs = minhash_lsh_pairs(
             fresh,
             id_col,
@@ -761,6 +775,7 @@ def run_stream_curation(
             jaccard_threshold=jaccard_threshold,
             max_bucket_size=lsh_max_bucket_size,
             oversize_policy="star",
+            banded=banded_fresh,
         )
         labels = connected_components_clusters(pairs, fresh.select(id_col), id_col)
         canon = labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
@@ -778,6 +793,7 @@ def run_stream_curation(
                 bands=bands,
                 shingle_k=shingle_k,
                 jaccard_threshold=jaccard_threshold,
+                batch_banded=banded_fresh.join(canon, id_col, "left_semi"),
             )
             dup_ids = hits.select(F.col("batch_id").alias(id_col)).distinct()
             survivors = survivors.join(dup_ids, id_col, "left_anti")
@@ -787,10 +803,12 @@ def run_stream_curation(
         fresh.select(F.col("_dg")).write.mode("overwrite").parquet(
             f"{index_dir}/digests/batch={batch_id}"
         )
-        band_src = fresh if index_dropped else survivors
-        minhash_banded(
-            band_src, id_col, text_col, num_hashes, bands, shingle_k
-        ).write.mode("overwrite").parquet(f"{index_dir}/bands/batch={batch_id}")
+        band_out = (
+            banded_fresh
+            if index_dropped
+            else banded_fresh.join(survivors.select(id_col), id_col, "left_semi")
+        )
+        band_out.write.mode("overwrite").parquet(f"{index_dir}/bands/batch={batch_id}")
 
         bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(100))
         split = (
@@ -804,6 +822,7 @@ def run_stream_curation(
         # all consumers above are actions that already ran — drop this
         # batch's checkpoint blocks so a long-running stream's executor
         # storage stays bounded by ONE batch, not the whole history
+        release(sig_fresh)
         release(fresh)
         release(kept)
 

@@ -245,6 +245,70 @@ def test_incremental_neardup_equals_cross_side_of_full(spark):
     assert inc == cross and len(inc) > 0
 
 
+def test_precomputed_banded_paths_match(spark):
+    """Round-9 signature-reuse lever: minhash_lsh_pairs(banded=...) and
+    incremental_neardup_pairs(batch_banded=...) must return EXACTLY the
+    non-reuse results (same frame fed to all consumers — the
+    run_stream_curation topology), and reject non-banded frames."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.operators.dedup import (
+        band_signatures,
+        incremental_neardup_pairs,
+        minhash_banded,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "spark physical plans use exchanges and codegen for scalable execution",
+        "training data pipelines deduplicate documents with minhash signatures",
+    ]
+    rows = [
+        (i, base[i % 3] + (" slightly changed" if i % 5 == 0 else ""))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=32, bands=8, shingle_k=3)
+
+    sigs = minhash_signatures(docs, "doc_id", "text", kw["num_hashes"], kw["shingle_k"])
+    banded = band_signatures(sigs, "doc_id", kw["num_hashes"], kw["bands"])
+    direct = {
+        tuple(r)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.3, **kw).collect()
+    }
+    reused = {
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", jaccard_threshold=0.3, banded=banded, **kw
+        ).collect()
+    }
+    assert direct == reused and len(direct) > 0
+
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    index = minhash_banded(corpus, "doc_id", "text", **kw)
+    batch_banded = banded.join(batch.select("doc_id"), "doc_id", "left_semi")
+    inc_direct = {
+        tuple(r)
+        for r in incremental_neardup_pairs(batch, index, jaccard_threshold=0.3, **kw).collect()
+    }
+    inc_reused = {
+        tuple(r)
+        for r in incremental_neardup_pairs(
+            batch, index, jaccard_threshold=0.3, batch_banded=batch_banded, **kw
+        ).collect()
+    }
+    assert inc_direct == inc_reused and len(inc_direct) > 0
+
+    with pytest.raises(ValueError, match="banded frame is missing"):
+        minhash_lsh_pairs(docs, "doc_id", "text", banded=docs, **kw)
+    with pytest.raises(ValueError, match="batch_banded is missing"):
+        incremental_neardup_pairs(batch, index, batch_banded=batch, **kw)
+
+
 def test_exact_dedup_narrow_and_legacy_modes(spark):
     """All three exact_dedup modes agree on survivors: the narrow
     (digest + semi-join, the 100 TB path), the digest-keyed min-struct,

@@ -117,6 +117,11 @@ def main() -> None:
     ap.add_argument("--rows-per-batch", type=int, default=100_000)
     ap.add_argument("--batches", type=int, default=10)
     ap.add_argument("--corpus", choices=["mixed", "flood"], default="mixed")
+    ap.add_argument(
+        "--modes",
+        default="dropped,survivors",
+        help="comma list of band-index modes to run: dropped (full recall), survivors",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench-stream-curation")
@@ -130,7 +135,8 @@ def main() -> None:
             1
         ).write.mode("append").parquet(inp)
 
-    results = [run_mode(spark, inp, work, True), run_mode(spark, inp, work, False)]
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    results = [run_mode(spark, inp, work, m == "dropped") for m in modes]
     n = args.rows_per_batch * args.batches
     print(
         json.dumps(
