@@ -72,6 +72,35 @@ def synth_neardup_flood(spark, n: int, n_families: int = 200):
     return df.select("doc_id", text.alias("text"))
 
 
+def synth_hotprobe(spark, n: int, rows_per_batch: int, member_fraction: float = 0.4):
+    """The corpus the run_stream_curation docstring WARNS about and the
+    flood corpus cannot provoke (VERDICT r8 #3): every near-dup family
+    contributes exactly ONE member per micro-batch, so within-batch
+    dedup collapses nothing — every batch's family members survive to
+    the history probe as representatives, and (in index_dropped=True
+    mode) every prior member of their family sits in the SAME band
+    buckets. The batch x history probe join therefore grows with
+    HISTORY: candidates ≈ n_families x batch_index x matching-bands.
+    Members are exact-unique (family salad + unique tail), so the
+    digest index never absorbs them.
+
+    Layout: ids are assigned to batches in contiguous ranges; slot
+    ``id % rows_per_batch < n_families`` makes doc a member of family
+    ``slot`` (one per family per batch), the rest are unique salads
+    (offset keys so they never collide with family salads)."""
+    from tools.bench_curation_scale import _salad
+
+    n_families = int(rows_per_batch * member_fraction)
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    slot = F.col("doc_id") % rows_per_batch
+    member = F.concat(
+        _salad(slot), F.lit(" tail "), F.col("doc_id").cast("string")
+    )
+    filler = _salad(F.col("doc_id") + F.lit(1_000_000_000))
+    text = F.when(slot < n_families, member).otherwise(filler)
+    return df.select("doc_id", text.alias("text"))
+
+
 def run_mode(spark, inp: str, work: str, index_dropped: bool) -> dict:
     out = os.path.join(work, f"out-{index_dropped}")
     idx = os.path.join(work, f"idx-{index_dropped}")
@@ -116,7 +145,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows-per-batch", type=int, default=100_000)
     ap.add_argument("--batches", type=int, default=10)
-    ap.add_argument("--corpus", choices=["mixed", "flood"], default="mixed")
+    ap.add_argument("--corpus", choices=["mixed", "flood", "hotprobe"], default="mixed")
     ap.add_argument(
         "--modes",
         default="dropped,survivors",
@@ -127,8 +156,13 @@ def main() -> None:
     spark = get_spark(app_name="bench-stream-curation")
     work = tempfile.mkdtemp(prefix="stream-curation-")
     inp = os.path.join(work, "in")
-    synth = synth_docs if args.corpus == "mixed" else synth_neardup_flood
-    docs = synth(spark, args.rows_per_batch * args.batches)
+    n_total = args.rows_per_batch * args.batches
+    if args.corpus == "mixed":
+        docs = synth_docs(spark, n_total)
+    elif args.corpus == "flood":
+        docs = synth_neardup_flood(spark, n_total)
+    else:
+        docs = synth_hotprobe(spark, n_total, args.rows_per_batch)
     for b in range(args.batches):
         lo, hi = b * args.rows_per_batch, (b + 1) * args.rows_per_batch
         docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
