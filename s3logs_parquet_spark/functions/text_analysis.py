@@ -115,6 +115,76 @@ def langid(text: Column) -> Column:
     return best
 
 
+def with_quality_and_lang(
+    df,
+    text_col: str = "text",
+    quality_col: str = "quality",
+    lang_col: str = "lang_pred",
+    round_quality: int | None = 6,
+):
+    """``quality_score`` + ``langid`` as ONE shared-work plan:
+    adds ``quality_col``/``lang_col`` to ``df`` with values IDENTICAL
+    to the expression functions above (same arithmetic, same
+    tie-breaks), but the words array and each language's stopword-hit
+    count are named intermediate columns computed exactly once.
+
+    Why this exists: the pure-Column forms duplicate their subtrees —
+    langid's when-chain references each ``hits[lang]`` several times
+    and every reference embeds its own split+filter scan, and codegen
+    subexpression elimination does not cover higher-order functions —
+    so the fused quality+langid projection evaluated split() ~15x per
+    row. Multi-referenced non-cheap aliases block CollapseProject, so
+    staging them as real columns pins one evaluation each. Profiled on
+    the streaming curation pipeline (PERF.md round 9): the gate stage
+    dropped ~4x; values bit-identical (pinned by
+    tests/test_text_functions.py::test_with_quality_and_lang_matches_expressions).
+    """
+    text = F.col(text_col)
+    ws = words(text)
+    hit_cols = {f"_sw_{lang}": _stopword_hits(F.col("_ws"), lang) for lang in STOPWORDS}
+    staged = df.withColumn("_ws", ws).withColumns(
+        {
+            **hit_cols,
+            "_n_words": F.size(F.col("_ws")),
+            "_n_chars": F.length(text),
+            "_n_punct": F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)),
+            "_mwl_sum": F.aggregate(
+                F.col("_ws"), F.lit(0), lambda acc, w: acc + F.length(w)
+            ),
+        }
+    )
+    n_words, n_chars = F.col("_n_words"), F.col("_n_chars")
+    punct_ratio = F.when(
+        n_chars > 0, F.col("_n_punct").cast("double") / n_chars
+    ).otherwise(0.0)
+    stopword_ratio = F.when(
+        n_words > 0, F.col("_sw_en").cast("double") / n_words
+    ).otherwise(0.0)
+    mean_word_len = F.when(
+        n_words > 0, F.col("_mwl_sum").cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    length_ok = F.least(n_words.cast("double") / F.lit(20.0), F.lit(1.0))
+    stop_ok = F.least(stopword_ratio * 4.0, F.lit(1.0))
+    punct_ok = F.greatest(F.lit(1.0) - punct_ratio * 5.0, F.lit(0.0))
+    wordlen_ok = F.when(
+        (mean_word_len >= 3.0) & (mean_word_len <= 10.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    quality = length_ok * 0.3 + stop_ok * 0.3 + punct_ok * 0.2 + wordlen_ok * 0.2
+    if round_quality is not None:
+        quality = F.round(quality, round_quality)
+
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in STOPWORDS:  # same fixed order + strict > as langid()
+        cond = F.col(f"_sw_{lang}") > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, F.col(f"_sw_{lang}")).otherwise(best_hits)
+
+    return staged.withColumns({quality_col: quality, lang_col: best}).drop(
+        "_ws", "_n_words", "_n_chars", "_n_punct", "_mwl_sum", *hit_cols
+    )
+
+
 # --- fingerprinting --------------------------------------------------------
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from s3logs_parquet_spark.functions.hashing import hash32
-from s3logs_parquet_spark.functions.text_analysis import langid, quality_score
+from s3logs_parquet_spark.functions.text_analysis import with_quality_and_lang
 from s3logs_parquet_spark.operators.dedup import (
     connected_components_clusters,
     exact_dedup,
@@ -52,9 +52,10 @@ def curate_documents(
     generates ~1.8e12 candidate pairs and dies in shuffle spill. Inert
     below the cap (test scales see identical output); pass None for the
     unguarded exact join."""
-    scored = docs.withColumn("quality", F.round(quality_score(F.col(text_col)), 6)).withColumn(
-        "lang_pred", langid(F.col(text_col))
-    )
+    # shared-work gate: words + per-language stopword hits computed
+    # once (values identical to quality_score()/langid() — see
+    # with_quality_and_lang's docstring; ~4x on the gate stage)
+    scored = with_quality_and_lang(docs, text_col)
     kept = scored.filter(
         (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*languages)
     )

@@ -706,7 +706,7 @@ def run_stream_curation(
     invisible to its retry and the rewrite is bit-identical.
     """
     from s3logs_parquet_spark.functions.hashing import hash32
-    from s3logs_parquet_spark.functions.text_analysis import langid, quality_score
+    from s3logs_parquet_spark.functions.text_analysis import with_quality_and_lang
     from s3logs_parquet_spark.operators.dedup import (
         _content_digest,
         band_signatures,
@@ -726,15 +726,20 @@ def run_stream_curation(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        kept = (
-            batch_df.withColumn(
-                "quality", F.round(quality_score(F.col(text_col)), 6)
-            )
-            .withColumn("lang_pred", langid(F.col(text_col)))
-            .filter(
-                (F.col("quality") >= min_quality)
-                & F.col("lang_pred").isin(*languages)
-            )
+        # A micro-batch arrives with the SOURCE's split count — often
+        # ONE partition (a 50k-doc file is a single <128 MB split), and
+        # the quality/langid expressions are the pipeline's most
+        # CPU-heavy map work. Without this exchange that stage runs on
+        # one core while 31 idle: profiled at 22.7 s of a 30 s trigger
+        # (PERF.md round 9). Rebalance to the session's shuffle width
+        # first; one narrow exchange of the raw batch buys full-width
+        # CPU for everything downstream of the source.
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        kept = with_quality_and_lang(
+            batch_df.repartition(n_shuffle), text_col
+        ).filter(
+            (F.col("quality") >= min_quality)
+            & F.col("lang_pred").isin(*languages)
         )
         # exact_dedup's narrow (id-keyed) path scans its input twice by
         # design (dedup.py trade-off note); checkpoint the filtered

@@ -121,3 +121,41 @@ def test_quality_score_direct_duckdb_differential(spark, sf_dir):
     assert len(srows) == len(drows) > 0
     assert frame_hash(scols, srows) == frame_hash(dcols, drows)
     con.close()
+
+
+def test_with_quality_and_lang_matches_expressions(spark, sf_dir):
+    """Round-9 shared-work gate: with_quality_and_lang must produce
+    BIT-IDENTICAL quality and lang_pred to the pure-Column
+    quality_score()/langid() forms over the full sf corpus plus the
+    edge rows (empty, NULL, punct soup, non-English, ties)."""
+    from s3logs_parquet_spark.functions.text_analysis import (
+        langid,
+        quality_score,
+        with_quality_and_lang,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (10_000_001, ""),
+            (10_000_002, None),
+            (10_000_003, "!!! ??? ..."),
+            (10_000_004, "der die das und ist von mit"),
+            (10_000_005, "le la les et de est pour"),
+            (10_000_006, "the der"),  # 1-1 tie -> und
+            (10_000_007, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+    fused = with_quality_and_lang(both, "text")
+    expr = both.withColumn(
+        "quality_e", F.round(quality_score(F.col("text")), 6)
+    ).withColumn("lang_e", langid(F.col("text")))
+    j = fused.join(expr.select("doc_id", "quality_e", "lang_e"), "doc_id")
+    bad = j.filter(
+        (~F.col("quality").eqNullSafe(F.col("quality_e")))
+        | (~F.col("lang_pred").eqNullSafe(F.col("lang_e")))
+    )
+    assert bad.count() == 0
+    assert fused.count() == both.count()
