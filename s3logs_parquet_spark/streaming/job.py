@@ -653,6 +653,7 @@ def run_stream_curation(
     jaccard_threshold: float = 0.3,
     lsh_max_bucket_size: int | None = 10_000,
     index_dropped: bool = True,
+    band_index_max_bucket: int | None = None,
     scfg: StreamingJobConfig | None = None,
 ) -> StreamingQuery:
     """Continuous training-data curation — plans/curation.py's pipeline
@@ -689,6 +690,27 @@ def run_stream_curation(
     threshold against its surviving canonical, now survives). The
     DIGEST index always covers all arrived exact-uniques either way
     (16-byte rows; an exact copy of a dropped doc must always drop).
+
+    ``band_index_max_bucket`` (round 9) bounds the warned O(history)
+    probe blowup that ``index_dropped=False`` alone cannot: when a
+    family contributes at most ONE member per batch, within-batch dedup
+    collapses nothing and each batch's family member both survives to
+    the probe AND (as a batch canonical) enters the survivors-only
+    index, so history buckets fatten in BOTH modes and per-trigger
+    probe cost grows linearly with history (measured: +25% per-trigger
+    over 20 batches on the hotprobe corpus, PERF.md round 9). With a
+    cap K, a batch's band contribution skips (band, band_hash) buckets
+    that already hold >= K members — first-K-arrivals representatives,
+    the star-policy analog applied at WRITE time, so the index itself
+    stops growing in hot buckets and the probe stays O(batch x K). The
+    per-trigger cost is one 2-column count aggregate over the prior
+    band keys (no signatures read). Recall trade-off, stated honestly:
+    a future doc similar ONLY to a hot family's later members — below
+    threshold against all of its first K — now survives; hot buckets
+    are near-identical families in practice (the same argument as
+    minhash_lsh_pairs' star policy), where rep-similarity ~
+    member-similarity. Default None keeps exact accumulate-everything
+    semantics.
 
     Online-vs-offline semantics, stated honestly: the streamed output
     guarantees NO SURVIVOR IS AN EXACT OR NEAR DUP OF ANY
@@ -813,6 +835,32 @@ def run_stream_curation(
             if index_dropped
             else banded_fresh.join(survivors.select(id_col), id_col, "left_semi")
         )
+        if band_index_max_bucket is not None:
+            # first-K-arrivals bucket cap (see docstring): drop band
+            # rows landing in history buckets already at capacity, and
+            # rank-cap within the batch's own contribution so a single
+            # flood batch cannot overfill a fresh bucket. The history
+            # pass reads TWO int columns (band, band_hash) — no
+            # signatures — and aggregates to one row per distinct
+            # bucket, so its cost tracks distinct buckets, not rows.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("band", "band_hash").orderBy(id_col)
+            if prior_bands:
+                counts = (
+                    spark.read.parquet(*prior_bands)
+                    .groupBy("band", "band_hash")
+                    .count()
+                )
+                full = counts.filter(
+                    F.col("count") >= band_index_max_bucket
+                ).select("band", "band_hash")
+                band_out = band_out.join(full, ["band", "band_hash"], "left_anti")
+            band_out = (
+                band_out.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= band_index_max_bucket)
+                .drop("_rk")
+            )
         band_out.write.mode("overwrite").parquet(f"{index_dir}/bands/batch={batch_id}")
 
         bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(100))

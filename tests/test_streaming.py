@@ -890,6 +890,67 @@ def test_stream_curation_survivors_only_index_mode(spark, tmp_path):
     assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} <= out_ids | {0, 3}
 
 
+def test_stream_curation_band_index_bucket_cap(spark, tmp_path):
+    """band_index_max_bucket (round 9, the hotprobe guard): hot band
+    buckets stop growing at ~cap representatives, a later doc matching
+    the family's EARLY members still drops, and with a generous cap the
+    output is identical to the uncapped run on the same corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        run_stream_curation,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    en = "the quick brown fox and the lazy dog is that for with was happy"
+    fam = f"{en} alpha beta gamma delta epsilon zeta eta theta"
+    inp = str(tmp_path / "in")
+    # 4 batches; each delivers ONE family member (exact-unique tail —
+    # the hotprobe shape: never collapsed within a batch) + one unique
+    # every 3-gram of a unique doc contains one of its w{i}* tokens, so
+    # uniques share no shingles with each other or with the family
+    uniq = [
+        f"the w{i}a and w{i}b of w{i}c to w{i}d in w{i}e is w{i}f "
+        f"that w{i}g for w{i}h with w{i}j was w{i}k"
+        for i in range(4)
+    ]
+    for b in range(4):
+        spark.createDataFrame(
+            [(2 * b, f"{fam} tail{b}"), (2 * b + 1, uniq[b])], schema
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    def run(tag, cap):
+        out, idx, ck = (str(tmp_path / f"{d}-{tag}") for d in ("out", "idx", "ck"))
+        q = run_stream_curation(
+            spark, inp, schema, out, idx, ck,
+            min_quality=0.3, jaccard_threshold=0.3, index_dropped=True,
+            band_index_max_bucket=cap,
+            scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
+        )
+        q.awaitTermination(120)
+        ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        bands = spark.read.parquet(f"{idx}/bands")
+        max_bucket = (
+            bands.groupBy("band", "band_hash").count().agg(F.max("count")).collect()[0][0]
+        )
+        return ids, max_bucket
+
+    ids_uncapped, max_uncapped = run("uncapped", None)
+    ids_capped, max_capped = run("capped", 2)
+    # family member 0 survives; members from batches 1-3 drop via the
+    # probe against the (capped) index in BOTH runs
+    assert ids_uncapped == ids_capped == {0, 1, 3, 5, 7}
+    # uncapped: the family bucket accumulates one row per batch (4);
+    # capped at 2: bounded (< 4; the write-side cap admits at most
+    # cap per contribution and skips full buckets)
+    assert max_uncapped >= 4
+    assert max_capped < max_uncapped and max_capped <= 3
+
+
 def test_stream_rollup_equals_batch_rollup(spark, tmp_path):
     """Streaming rollup maintenance: per-batch mergeable contributions
     re-aggregated on read must be BIT-IDENTICAL to rollup_events over

@@ -101,10 +101,11 @@ def synth_hotprobe(spark, n: int, rows_per_batch: int, member_fraction: float = 
     return df.select("doc_id", text.alias("text"))
 
 
-def run_mode(spark, inp: str, work: str, index_dropped: bool) -> dict:
-    out = os.path.join(work, f"out-{index_dropped}")
-    idx = os.path.join(work, f"idx-{index_dropped}")
-    ck = os.path.join(work, f"ck-{index_dropped}")
+def run_mode(spark, inp: str, work: str, index_dropped: bool, band_cap=None) -> dict:
+    tag = f"{index_dropped}-{band_cap}"
+    out = os.path.join(work, f"out-{tag}")
+    idx = os.path.join(work, f"idx-{tag}")
+    ck = os.path.join(work, f"ck-{tag}")
     t0 = time.time()
     q = run_stream_curation(
         spark,
@@ -117,6 +118,7 @@ def run_mode(spark, inp: str, work: str, index_dropped: bool) -> dict:
         languages=("en",),
         lsh_max_bucket_size=500,
         index_dropped=index_dropped,
+        band_index_max_bucket=band_cap,
         scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
     )
     q.awaitTermination(3600)
@@ -134,6 +136,7 @@ def run_mode(spark, inp: str, work: str, index_dropped: bool) -> dict:
     bands_rows = spark.read.parquet(os.path.join(idx, "bands")).count()
     return {
         "index_dropped": index_dropped,
+        "band_cap": band_cap,
         "wall_sec": round(wall, 1),
         "survivors": survivors,
         "band_index_rows": bands_rows,
@@ -150,6 +153,12 @@ def main() -> None:
         "--modes",
         default="dropped,survivors",
         help="comma list of band-index modes to run: dropped (full recall), survivors",
+    )
+    ap.add_argument(
+        "--band-cap",
+        type=int,
+        default=None,
+        help="band_index_max_bucket for run_stream_curation (None = uncapped)",
     )
     args = ap.parse_args()
 
@@ -170,7 +179,7 @@ def main() -> None:
         ).write.mode("append").parquet(inp)
 
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
-    results = [run_mode(spark, inp, work, m == "dropped") for m in modes]
+    results = [run_mode(spark, inp, work, m == "dropped", args.band_cap) for m in modes]
     n = args.rows_per_batch * args.batches
     print(
         json.dumps(
