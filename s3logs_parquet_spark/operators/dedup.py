@@ -324,6 +324,7 @@ def incremental_neardup_pairs(
     materialize: bool = True,
     durable: bool = False,
     batch_banded: DataFrame | None = None,
+    broadcast_batch: bool = False,
 ) -> DataFrame:
     """Continuous-ingest dedup: near-dup pairs between a NEW batch and
     the EXISTING corpus, via its persisted LSH index.
@@ -331,6 +332,24 @@ def incremental_neardup_pairs(
     ``batch_banded`` accepts an already-computed :func:`minhash_banded`
     frame for ``batch`` (same parameters), skipping the batch signature
     pass — see minhash_lsh_pairs' ``banded``.
+
+    ``broadcast_batch`` (round 9): hint the BATCH side of the band join
+    and of the batch-signature rejoin as broadcasts, and prune the
+    corpus signature slice through a broadcast semi-join on candidate
+    ids — the index side is then never exchanged (the band join streams
+    over the index scan map-side; plan pinned in
+    tests/test_similarity.py::test_incremental_probe_broadcasts_batch_side).
+    Default False on MEASURED grounds: on local[32] with AQE the
+    forced-broadcast topology ran the hotprobe stress corpus 9-25%
+    SLOWER than letting AQE plan at runtime (420.3 s unhinted vs
+    458.4 s hinted vs 528.3 s for a first cut that recomputed the band
+    join for the broadcast build — PERF.md round 9); the extra
+    per-probe broadcast builds + candidate checkpoint cost more than
+    the avoided exchange at single-node scale. The knob exists for the
+    cluster posture it was designed for — index on object storage,
+    wide executor fleet, where re-exchanging the accumulated index
+    every probe is network cost AQE cannot remove — measure before
+    enabling.
 
     ``corpus_index`` is a minhash_banded output — typically read back
     from a table, NOT recomputed: the incremental cost is
@@ -388,7 +407,10 @@ def incremental_neardup_pairs(
     # signatures re-joined once per unique pair from each side's
     # band-0 slice (every doc appears exactly once per band) — the
     # minhash_lsh_pairs exchange-slimming rework, PERF.md round 7
-    l, r = bb.alias("l"), corpus_index.alias("r")
+    bb_keys = bb.select(id_col, "band", "band_hash")
+    if broadcast_batch:
+        bb_keys = F.broadcast(bb_keys)
+    l, r = bb_keys.alias("l"), corpus_index.alias("r")
     pair_ids = (
         l.join(
             r,
@@ -403,15 +425,29 @@ def incremental_neardup_pairs(
         )
         .distinct()
     )
-    pairs = pair_ids.join(
-        bb.filter(F.col("band") == 0).select(
-            F.col(id_col).alias("batch_id"), F.col("signature").alias("sig_a")
-        ),
-        on="batch_id",
-    ).join(
-        corpus_index.filter(F.col("band") == 0).select(
-            F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_b")
-        ),
+    batch_sigs = bb.filter(F.col("band") == 0).select(
+        F.col(id_col).alias("batch_id"), F.col("signature").alias("sig_a")
+    )
+    if broadcast_batch:
+        batch_sigs = F.broadcast(batch_sigs)
+    corpus_sigs = corpus_index.filter(F.col("band") == 0).select(
+        F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_b")
+    )
+    if broadcast_batch:
+        # the corpus-signature rejoin would otherwise sort-merge —
+        # re-exchanging the index's whole band-0 slice (signatures
+        # included) every probe. Candidate corpus ids are bounded by
+        # the bucket-matched batch (the same contract as the batch
+        # broadcast above): broadcast them as a semi-filter so the
+        # slice prunes map-side and only matched rows shuffle.
+        # pair_ids feeds BOTH the broadcast build and the main join —
+        # checkpoint it once or the band join runs twice per probe.
+        if materialize:
+            pair_ids = _materialize(pair_ids, durable)
+        cand_ids = F.broadcast(pair_ids.select("corpus_id").distinct())
+        corpus_sigs = corpus_sigs.join(cand_ids, on="corpus_id", how="left_semi")
+    pairs = pair_ids.join(batch_sigs, on="batch_id").join(
+        corpus_sigs,
         on="corpus_id",
     )
     # an index built with a different num_hashes would make zip_with pad
