@@ -64,10 +64,27 @@ R07 = {
 
 
 def main() -> None:
+    """Default: the r07 four + controls against the hardwired r06/r07
+    baselines. With query names as argv (round 9+): time those plus the
+    controls, comparing against the newest BENCH_r*.json's values."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = sys.argv[1:] or (DRIFTED + CONTROLS)
+    baselines: dict[str, dict[str, float]] = {}
+    if sys.argv[1:]:
+        import glob
+        import pathlib
+
+        repo = pathlib.Path(__file__).resolve().parents[1]
+        for rec in sorted(glob.glob(str(repo / "BENCH_r*.json"))):
+            tag = pathlib.Path(rec).stem.split("_")[-1]  # r08 etc.
+            parsed = json.load(open(rec)).get("parsed") or {}
+            qs = parsed.get("queries") or {}
+            for n, v in qs.items():
+                baselines.setdefault(n, {})[tag] = v
+        names = list(dict.fromkeys(names + CONTROLS))
     spark = get_spark(app_name="s3logs-drift-ab")
     out: dict[str, dict] = {}
-    for name in DRIFTED + CONTROLS:
+    for name in names:
         fn, _sql = QUERIES[name]
         df = fn(spark, sf_dir)
         rows = df.count()  # warm + answer-parity fingerprint
@@ -76,17 +93,24 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
-        out[name] = {
+        row = {
             "best": round(min(runs), 3),
             "median": round(sorted(runs)[2], 3),
             "runs": [round(r, 3) for r in runs],
             "rows": rows,
-            "r06": R06[name],
-            "r07": R07[name],
-            "vs_r06": round(min(runs) / R06[name], 2),
-            "vs_r07": round(min(runs) / R07[name], 2),
         }
-        print(json.dumps({name: out[name]}), flush=True)
+        if sys.argv[1:]:
+            for tag, v in sorted(baselines.get(name, {}).items()):
+                row[tag] = v
+                row[f"vs_{tag}"] = round(min(runs) / v, 2) if v else None
+        else:
+            row.update(
+                r06=R06[name], r07=R07[name],
+                vs_r06=round(min(runs) / R06[name], 2),
+                vs_r07=round(min(runs) / R07[name], 2),
+            )
+        out[name] = row
+        print(json.dumps({name: row}), flush=True)
     print(json.dumps({"metric": "drift_ab", "sf_dir": sf_dir, "results": out}))
 
 
