@@ -112,6 +112,20 @@ def main() -> None:
     spark.conf.set(knob, default_knob)
     result["linear_batch_curve"] = curve
 
+    # --- MLP leg: the real-model shape (ndarray matmul per batch)
+    from s3logs_parquet_spark.operators.inference import (
+        MLP_TEXT_WEIGHTS,
+        mlp_text_model,
+    )
+
+    mlp = score_documents(docs, weights=MLP_TEXT_WEIGHTS, model_fn=mlp_text_model)
+    timed_noop(mlp)
+    sec = timed_noop(
+        score_documents(docs, weights=MLP_TEXT_WEIGHTS, model_fn=mlp_text_model)
+    )
+    result["mlp"] = {"sec": round(sec, 1), "docs_per_sec": round(args.rows / sec)}
+    print(f"mlp: {result['mlp']}", flush=True)
+
     # --- 3: broadcast vs closure at a realistic payload size
     import numpy as np
 
