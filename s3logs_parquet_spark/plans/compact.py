@@ -189,3 +189,95 @@ def fold_stream_batches(
         "files_before": len(files),
         "files_after": len(after),
     }
+
+
+def compact_curation_index(
+    spark: SparkSession,
+    index_dir: str,
+    checkpoint_dir: str | None = None,
+    files_per_store: int | None = None,
+    compression: str = "zstd",
+) -> dict[str, dict[str, int]]:
+    """Maintenance companion of ``streaming/job.py run_stream_curation``:
+    fold each index store's accumulated ``batch=<id>`` contribution
+    dirs (``digests/``, ``bands/``) into the single highest id, so a
+    long-running curation stream's probe doesn't list and open one
+    directory per micro-batch forever (the directory/file-count growth
+    the round-9 hotprobe measurements charge to the probe's
+    index-side scan).
+
+    Run ONLY against a DRAINED/STOPPED stream; pass ``checkpoint_dir``
+    (the stream's checkpointLocation) to ENFORCE it: every non-negative
+    batch id must have a ``commits/<id>`` marker or the fold refuses —
+    a crashed batch would otherwise be replayed by the resumed stream
+    and ``mode('overwrite')`` the one directory now holding all history
+    (the :func:`fold_stream_batches` failure mode, same guard).
+    Negative ids (the ``batch=-1`` pre-stream seeding convention) are
+    exempt: they are not stream commits and can never be replayed.
+
+    Replay/visibility contract preserved exactly: ``_prior_batch_dirs``
+    reads ids < the probing batch, resumed streams continue at
+    ``max+1``, so folding everything into ``batch=<max committed>``
+    keeps all history visible to every future batch. Band rows are
+    written clustered by (band, band_hash) — contiguous row groups per
+    bucket. Commit is the whole-store hidden-sibling swap (write +
+    two renames), atomic on HDFS/local, copy+delete on object stores —
+    schedule folds in the drain window on S3.
+    """
+    committed: set[int] | None = None
+    if checkpoint_dir is not None:
+        commits_dir = posixpath.join(checkpoint_dir.rstrip("/"), "commits")
+        committed = {
+            int(f.name) for f in list_files(spark, commits_dir) if f.name.isdigit()
+        }
+    out: dict[str, dict[str, int]] = {}
+    for store, sort_cols in (("digests", None), ("bands", ("band", "band_hash"))):
+        root = posixpath.join(index_dir.rstrip("/"), store)
+        files = [
+            f
+            for f in list_files(spark, root, recursive=True)
+            if f.name.endswith(".parquet")
+        ]
+        ids: set[int] = set()
+        for f in files:
+            for part in f.path.split("/"):
+                if part.startswith("batch="):
+                    ids.add(int(part.split("=", 1)[1]))
+                    break
+        stats = {"batches_before": len(ids), "files_before": len(files)}
+        if len(ids) <= 1:
+            stats.update(batches_after=len(ids), files_after=len(files))
+            out[store] = stats
+            continue
+        if committed is not None:
+            uncommitted = sorted(i for i in ids if i >= 0 and i not in committed)
+            if uncommitted:
+                raise ValueError(
+                    f"compact_curation_index: {store} batch dirs {uncommitted} "
+                    "have no commit marker — the stream did not drain cleanly; "
+                    "a resumed stream would replay and overwrite the folded "
+                    "store. Drain with availableNow, then fold."
+                )
+        data = spark.read.parquet(root).drop("batch")
+        n_out = int(files_per_store or spark.sparkContext.defaultParallelism)
+        if sort_cols:
+            data = data.repartition(n_out, *[F.col(c) for c in sort_cols])
+            data = data.sortWithinPartitions(*sort_cols)
+        else:
+            data = data.repartition(n_out)
+        tmp = f"{root}.folding-{uuid.uuid4().hex[:8]}"
+        data.write.mode("overwrite").option("compression", compression).parquet(
+            posixpath.join(tmp, f"batch={max(ids)}")
+        )
+        old = f"{root}.folded-old-{uuid.uuid4().hex[:8]}"
+        rename(spark, root, old)
+        rename(spark, tmp, root)
+        delete(spark, old)
+        after = [
+            f
+            for f in list_files(spark, root, recursive=True)
+            if f.name.endswith(".parquet")
+        ]
+        stats.update(batches_after=1, files_after=len(after))
+        out[store] = stats
+    return out

@@ -951,6 +951,80 @@ def test_stream_curation_band_index_bucket_cap(spark, tmp_path):
     assert max_capped < max_uncapped and max_capped <= 3
 
 
+def test_compact_curation_index_preserves_dedup_across_resume(spark, tmp_path):
+    """Round-9 maintenance op: folding the curation index's batch dirs
+    between drains must be INVISIBLE to dedup semantics — a resumed
+    stream over new batches produces exactly the survivors of an
+    uncompacted control run — and the fold refuses uncommitted dirs."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from s3logs_parquet_spark.plans.compact import compact_curation_index
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        run_stream_curation,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    en = "the quick brown fox and the lazy dog is that for with was happy"
+    fam = f"{en} alpha beta gamma delta epsilon zeta eta theta"
+    uniq = [
+        f"the w{i}a and w{i}b of w{i}c to w{i}d in w{i}e is w{i}f "
+        f"that w{i}g for w{i}h with w{i}j was w{i}k"
+        for i in range(6)
+    ]
+    # batches 0-2 before the fold; 3-4 delivered after the resume,
+    # carrying a near-dup of the family, an exact dup of a batch-0
+    # unique, and fresh uniques. Each leg gets its OWN input dir (the
+    # resume appends to it).
+    def run(tag, fold):
+        inp = str(tmp_path / f"in-{tag}")
+        for b in range(3):
+            spark.createDataFrame(
+                [(2 * b, f"{fam} tail{b}"), (2 * b + 1, uniq[b])], schema
+            ).coalesce(1).write.mode("append").parquet(inp)
+        out, idx, ck = (str(tmp_path / f"{d}-{tag}") for d in ("out", "idx", "ck"))
+        scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
+        kw = dict(min_quality=0.3, jaccard_threshold=0.3, index_dropped=True, scfg=scfg)
+        q = run_stream_curation(spark, inp, schema, out, idx, ck, **kw)
+        q.awaitTermination(120)
+        if fold:
+            stats = compact_curation_index(spark, idx, checkpoint_dir=ck)
+            assert stats["bands"]["batches_before"] == 3
+            assert stats["bands"]["batches_after"] == 1
+            assert stats["digests"]["batches_after"] == 1
+        for rows in [
+            [(100, f"{fam} tailX"), (101, uniq[3])],
+            [(102, uniq[0]), (103, uniq[4])],
+        ]:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+        q2 = run_stream_curation(spark, inp, schema, out, idx, ck, **kw)
+        q2.awaitTermination(120)
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    control = run("control", fold=False)
+    folded = run("folded", fold=True)
+    assert control == folded
+    # the late family near-dup and the exact dup of uniq[0] both
+    # dropped via the (folded) index; fresh uniques survived
+    assert 100 not in folded and 102 not in folded
+    assert 101 in folded and 103 in folded
+
+    # refusal: an uncommitted (crashed) batch dir blocks the fold
+    idx_f = str(tmp_path / "idx-folded")
+    ck_f = str(tmp_path / "ck-folded")
+    spark.createDataFrame([(999, "x")], schema).write.mode("overwrite").parquet(
+        f"{idx_f}/digests/batch=99"
+    )
+    with pytest.raises(ValueError, match="no commit marker"):
+        compact_curation_index(spark, idx_f, checkpoint_dir=ck_f)
+
+
 def test_stream_rollup_equals_batch_rollup(spark, tmp_path):
     """Streaming rollup maintenance: per-batch mergeable contributions
     re-aggregated on read must be BIT-IDENTICAL to rollup_events over
