@@ -108,7 +108,16 @@ def main() -> None:
     )
     from s3logs_parquet_spark.plans.curation import curate_documents
 
-    docs = synth_docs(spark, args.rows)
+    # land the corpus and read it back (bench-honesty rule, round 9):
+    # consumed directly, the md5-heavy synth expressions replay on
+    # every one of the five stage passes below and dominate the
+    # timings — a 1M run measured 244.8 s un-landed vs 77.5 s landed
+    # for the same full pipeline (PERF.md round 9)
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="bench-curation-src-")
+    synth_docs(spark, args.rows).write.mode("overwrite").parquet(src)
+    docs = spark.read.parquet(src)
     stages: dict[str, float] = {}
     counts: dict[str, int] = {"input": args.rows}
 
@@ -158,6 +167,9 @@ def main() -> None:
             }
         )
     )
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
 
 
 if __name__ == "__main__":
