@@ -140,6 +140,15 @@ def with_quality_and_lang(
     tests/test_text_functions.py::test_with_quality_and_lang_matches_expressions).
     """
     text = F.col(text_col)
+    staging = ["_ws", "_n_words", "_n_chars", "_n_punct", "_mwl_sum"] + [
+        f"_sw_{lang}" for lang in STOPWORDS
+    ]
+    clash = sorted(set(staging) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"with_quality_and_lang: input already has staging columns {clash} "
+            "— rename them (they would be silently overwritten and dropped)"
+        )
     ws = words(text)
     hit_cols = {f"_sw_{lang}": _stopword_hits(F.col("_ws"), lang) for lang in STOPWORDS}
     staged = df.withColumn("_ws", ws).withColumns(

@@ -159,3 +159,8 @@ def test_with_quality_and_lang_matches_expressions(spark, sf_dir):
     )
     assert bad.count() == 0
     assert fused.count() == both.count()
+    # staging-name collisions fail loud, never silently clobber
+    import pytest
+
+    with pytest.raises(ValueError, match="staging columns"):
+        with_quality_and_lang(both.withColumn("_ws", F.lit(1)), "text")
