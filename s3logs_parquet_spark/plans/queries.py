@@ -4522,3 +4522,20 @@ assert set(_DRIVER_WINDOW_R09) <= set(QUERIES), sorted(
 QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R09} | {
     name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R09
 }
+
+# Round-10 rotation (VERDICT r9 #2): the r08-recorded half returns to
+# the window unchanged — every r09-window entry holds a green
+# CORRECTNESS_r09 row (50/50) and rotates out. No substitutions this
+# round: round 10's new work is the bucketed band-index layout for
+# streaming curation (non-SQL-expressible; pinned by the stream↔batch
+# equality + plan-shape suites in tests/test_streaming.py). Registry
+# stays at exactly 100.
+_DRIVER_WINDOW_R10 = list(_DRIVER_WINDOW_R08)
+
+assert len(_DRIVER_WINDOW_R10) == 50, len(_DRIVER_WINDOW_R10)
+assert set(_DRIVER_WINDOW_R10) <= set(QUERIES), sorted(
+    set(_DRIVER_WINDOW_R10) - set(QUERIES)
+)
+QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R10} | {
+    name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R10
+}
