@@ -50,6 +50,19 @@ def list_files(spark, path: str, recursive: bool = False) -> list[FileInfo]:
     return sorted(out, key=lambda f: f.path)
 
 
+def list_dirs(spark, path: str) -> list[str]:
+    """Immediate subdirectories of ``path`` (full URI-style paths).
+    Returns [] for a missing path."""
+    fs, jpath = _fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().toString()
+        for st in fs.listStatus(jpath)
+        if st.isDirectory()
+    )
+
+
 def exists(spark, path: str) -> bool:
     fs, jpath = _fs(spark, path)
     return bool(fs.exists(jpath))

@@ -30,6 +30,81 @@ from pyspark.sql import functions as F
 from s3logs_parquet_spark.fsutil import delete, list_files, rename
 
 
+def _max_committed(spark: SparkSession, checkpoint_dir: str) -> int:
+    """Highest batch id with a ``commits/<id>`` marker, or -1 if none.
+
+    Batch ids commit strictly sequentially, so every id <= the highest
+    marker is committed EVEN IF its own marker file is gone — Spark
+    purges commit-log entries older than
+    ``spark.sql.streaming.minBatchesToRetain`` (default 100), so on a
+    long-running stream only the newest ~100 markers survive. Requiring
+    a marker for EVERY folded id (the first shipped guard) made the
+    fold falsely refuse exactly in the regime it exists for (ADVICE
+    round 9); the sequential-commit rule is the correct invariant."""
+    commits_dir = posixpath.join(checkpoint_dir.rstrip("/"), "commits")
+    committed = [
+        int(f.name) for f in list_files(spark, commits_dir) if f.name.isdigit()
+    ]
+    return max(committed, default=-1)
+
+
+def recover_fold_siblings(spark: SparkSession, root: str) -> str | None:
+    """Heal the non-atomic two-rename fold swap after a crash (ADVICE
+    round 9): ``fold_stream_batches`` / ``compact_curation_index``
+    commit by ``write tmp → rename(root, old) → rename(tmp, root) →
+    delete(old)``. A crash between the renames leaves ``root`` MISSING
+    while the complete fold sits in the ``.folding-*`` sibling — and
+    downstream readers (``_prior_batch_dirs``, ``list_files``) treat a
+    missing store as EMPTY history, so a resumed stream would silently
+    dedup against nothing.
+
+    Recovery is deterministic from the on-disk state because the tmp
+    write finishes before any rename starts:
+
+    - ``root`` exists → any ``.folding-*`` sibling is a pre-swap
+      leftover (possibly a partial write) and any ``.folded-old-*`` a
+      post-swap leftover: both are safe to delete.
+    - ``root`` missing + exactly one ``.folding-*`` → the fold crashed
+      mid-swap with a COMPLETE tmp: finish forward (rename tmp → root,
+      drop the old sibling).
+    - ``root`` missing + several ``.folding-*`` siblings → ambiguous
+      (two concurrent folds?); refuse loudly for manual repair.
+
+    Returns a short action string (``"finished-swap"`` /
+    ``"dropped-leftovers"``) when something was healed, else None.
+    Callers: both fold functions run this before proceeding, and
+    ``run_stream_curation`` runs it at stream start so a resumed
+    stream can never observe the missing-store state."""
+    parent = posixpath.dirname(root.rstrip("/"))
+    base = posixpath.basename(root.rstrip("/"))
+    from s3logs_parquet_spark.fsutil import exists, list_dirs
+
+    siblings = [
+        d
+        for d in list_dirs(spark, parent)
+        if posixpath.basename(d).startswith((f"{base}.folding-", f"{base}.folded-old-"))
+    ]
+    if not siblings:
+        return None
+    tmps = [d for d in siblings if posixpath.basename(d).startswith(f"{base}.folding-")]
+    olds = [d for d in siblings if posixpath.basename(d).startswith(f"{base}.folded-old-")]
+    if exists(spark, root):
+        for d in siblings:
+            delete(spark, d)
+        return "dropped-leftovers"
+    if len(tmps) == 1:
+        rename(spark, tmps[0], root)
+        for d in olds:
+            delete(spark, d)
+        return "finished-swap"
+    raise ValueError(
+        f"recover_fold_siblings: {root} is missing and {len(tmps)} "
+        f".folding-* siblings exist ({sorted(tmps)}) — cannot pick the fold "
+        "to finish; repair manually (rename the complete one to the store "
+        "path and delete the rest)."
+    )
+
+
 def _partition_dirs(spark: SparkSession, root: str) -> list[str]:
     """Leaf partition directories (those containing data files)."""
     dirs = {
@@ -100,8 +175,11 @@ def fold_stream_batches(
     ``availableNow`` drain every written batch is committed in the
     checkpoint and will never be replayed. Pass ``checkpoint_dir`` (the
     stream's checkpointLocation) to ENFORCE that precondition instead
-    of trusting it: the fold verifies ``<checkpoint>/commits/<max id>``
-    exists and refuses otherwise. Without it, a crash mid-batch (data
+    of trusting it: the fold refuses when any batch dir's id exceeds
+    the highest surviving ``commits/<id>`` marker (ids at or below it
+    are committed by the sequential-commit rule even when their own
+    marker was purged — see :func:`_max_committed`). Without the
+    checkpoint guard, a crash mid-batch (data
     dir written, commit marker absent) followed by a non-final fold
     into ``batch=<max>`` would leave the resumed stream's replay of
     batch <max> ``mode('overwrite')``-ing the ONE directory now holding
@@ -129,6 +207,7 @@ def fold_stream_batches(
     Returns {"batches_before", "batches_after", "files_before",
     "files_after"}.
     """
+    recover_fold_siblings(spark, table_path)
     files = [f for f in list_files(spark, table_path, recursive=True) if f.name.endswith(".parquet")]
     ids = set()
     for f in files:
@@ -138,19 +217,17 @@ def fold_stream_batches(
                 break
     if checkpoint_dir is not None and ids:
         # commit markers live at <checkpoint>/commits/<batchId>; a data
-        # dir with no marker is an uncommitted (crashed) batch that a
-        # resumed stream WILL replay-overwrite — refuse to fold into it.
-        commits_dir = posixpath.join(checkpoint_dir.rstrip("/"), "commits")
-        committed = {
-            int(f.name)
-            for f in list_files(spark, commits_dir)
-            if f.name.isdigit()
-        }
-        uncommitted = sorted(ids - committed)
+        # dir with no marker ABOVE the highest marker is an uncommitted
+        # (crashed) batch that a resumed stream WILL replay-overwrite —
+        # refuse to fold into it. Ids at or below the highest marker
+        # are committed by the sequential-commit rule even when their
+        # own marker was purged (see _max_committed, ADVICE round 9).
+        maxc = _max_committed(spark, checkpoint_dir)
+        uncommitted = sorted(i for i in ids if i > maxc)
         if uncommitted:
             raise ValueError(
                 f"fold_stream_batches: batch dirs {uncommitted} have no commit "
-                f"marker in {commits_dir} — the stream did not drain cleanly "
+                f"marker in {checkpoint_dir}/commits — the stream did not drain cleanly "
                 "(crash mid-batch?). A resumed stream would replay and "
                 "overwrite them, destroying folded data. Resume the stream "
                 "with an availableNow drain, then fold."
@@ -207,13 +284,18 @@ def compact_curation_index(
     index-side scan).
 
     Run ONLY against a DRAINED/STOPPED stream; pass ``checkpoint_dir``
-    (the stream's checkpointLocation) to ENFORCE it: every non-negative
-    batch id must have a ``commits/<id>`` marker or the fold refuses —
-    a crashed batch would otherwise be replayed by the resumed stream
-    and ``mode('overwrite')`` the one directory now holding all history
-    (the :func:`fold_stream_batches` failure mode, same guard).
-    Negative ids (the ``batch=-1`` pre-stream seeding convention) are
-    exempt: they are not stream commits and can never be replayed.
+    (the stream's checkpointLocation) to ENFORCE it: every batch id
+    above the highest surviving ``commits/<id>`` marker is uncommitted
+    and makes the fold refuse — a crashed batch would otherwise be
+    replayed by the resumed stream and ``mode('overwrite')`` the one
+    directory now holding all history (the :func:`fold_stream_batches`
+    failure mode, same guard). Ids at or below the highest marker are
+    committed by the sequential-commit rule even when their own marker
+    was purged by ``minBatchesToRetain`` (see :func:`_max_committed`);
+    negative ids (the ``batch=-1`` pre-stream seeding convention) are
+    always exempt: they are not stream commits and can never be
+    replayed. Crash-interrupted prior folds are healed first
+    (:func:`recover_fold_siblings`).
 
     Replay/visibility contract preserved exactly: ``_prior_batch_dirs``
     reads ids < the probing batch, resumed streams continue at
@@ -224,15 +306,13 @@ def compact_curation_index(
     two renames), atomic on HDFS/local, copy+delete on object stores —
     schedule folds in the drain window on S3.
     """
-    committed: set[int] | None = None
+    maxc: int | None = None
     if checkpoint_dir is not None:
-        commits_dir = posixpath.join(checkpoint_dir.rstrip("/"), "commits")
-        committed = {
-            int(f.name) for f in list_files(spark, commits_dir) if f.name.isdigit()
-        }
+        maxc = _max_committed(spark, checkpoint_dir)
     out: dict[str, dict[str, int]] = {}
     for store, sort_cols in (("digests", None), ("bands", ("band", "band_hash"))):
         root = posixpath.join(index_dir.rstrip("/"), store)
+        recover_fold_siblings(spark, root)
         files = [
             f
             for f in list_files(spark, root, recursive=True)
@@ -249,8 +329,11 @@ def compact_curation_index(
             stats.update(batches_after=len(ids), files_after=len(files))
             out[store] = stats
             continue
-        if committed is not None:
-            uncommitted = sorted(i for i in ids if i >= 0 and i not in committed)
+        if maxc is not None:
+            # sequential-commit rule (ADVICE round 9): only ids ABOVE
+            # the highest surviving marker are uncommitted — older
+            # markers are purged by minBatchesToRetain on long streams.
+            uncommitted = sorted(i for i in ids if i > maxc)
             if uncommitted:
                 raise ValueError(
                     f"compact_curation_index: {store} batch dirs {uncommitted} "

@@ -699,12 +699,17 @@ def run_stream_curation(
     index, so history buckets fatten in BOTH modes and per-trigger
     probe cost grows linearly with history (measured: +25% per-trigger
     over 20 batches on the hotprobe corpus, PERF.md round 9). With a
-    cap K, a batch's band contribution skips (band, band_hash) buckets
-    that already hold >= K members — first-K-arrivals representatives,
-    the star-policy analog applied at WRITE time, so the index itself
-    stops growing in hot buckets and the probe stays O(batch x K). The
-    per-trigger cost is one 2-column count aggregate over the prior
-    band keys (no signatures read). Recall trade-off, stated honestly:
+    cap K, a batch's band contribution is rank-capped per
+    (band, band_hash) bucket against the bucket's REMAINING capacity
+    (K minus its history count) — first-K-arrivals representatives,
+    the star-policy analog applied at WRITE time, so no bucket ever
+    holds more than K joinable rows and the probe stays O(batch x K)
+    strictly. A doc whose band-0 row is capped away while other band
+    rows survive keeps a NULL-band_hash band-0 carrier row (signature
+    lookup stays intact; NULL never equi-joins, so carriers add no
+    candidates and no bucket mass). The per-trigger cost is one
+    2-column count aggregate over the prior band keys (no signatures
+    read). Recall trade-off, stated honestly:
     a future doc similar ONLY to a hot family's later members — below
     threshold against all of its first K — now survives; hot buckets
     are near-identical families in practice (the same argument as
@@ -741,6 +746,34 @@ def run_stream_curation(
     from s3logs_parquet_spark.session import materialize, release
 
     scfg = scfg or StreamingJobConfig()
+
+    # Resume-safety (ADVICE round 9): a crash-interrupted index fold
+    # can leave a store dir missing (mid-swap) — and a missing store
+    # reads as EMPTY history, so the resumed stream would silently
+    # dedup against nothing. Heal interrupted folds first; if a store
+    # is STILL missing while the checkpoint says batches committed,
+    # fail loud instead of resuming with amnesia.
+    from s3logs_parquet_spark.fsutil import exists as _exists
+    from s3logs_parquet_spark.plans.compact import (
+        _max_committed,
+        recover_fold_siblings,
+    )
+
+    for _store in ("digests", "bands"):
+        recover_fold_siblings(spark, f"{index_dir}/{_store}")
+    if _max_committed(spark, checkpoint_dir) >= 0:
+        _missing = [
+            s for s in ("digests", "bands") if not _exists(spark, f"{index_dir}/{s}")
+        ]
+        if _missing:
+            raise ValueError(
+                f"run_stream_curation: checkpoint {checkpoint_dir} shows "
+                f"committed batches but index store(s) {_missing} are absent "
+                f"under {index_dir} — resuming would dedup against nothing. "
+                "Restore the store (crashed fold? wrong index_dir?) or start "
+                "a fresh checkpoint+index."
+            )
+
     stream = (
         spark.readStream.schema(input_schema)
         .option("maxFilesPerTrigger", scfg.max_files_per_trigger)
@@ -836,31 +869,55 @@ def run_stream_curation(
             else banded_fresh.join(survivors.select(id_col), id_col, "left_semi")
         )
         if band_index_max_bucket is not None:
-            # first-K-arrivals bucket cap (see docstring): drop band
-            # rows landing in history buckets already at capacity, and
-            # rank-cap within the batch's own contribution so a single
-            # flood batch cannot overfill a fresh bucket. The history
-            # pass reads TWO int columns (band, band_hash) — no
-            # signatures — and aggregates to one row per distinct
-            # bucket, so its cost tracks distinct buckets, not rows.
+            # first-K-arrivals bucket cap (see docstring): rank-cap the
+            # batch's contribution per bucket AGAINST the bucket's
+            # remaining capacity (K − history count), so a bucket never
+            # exceeds K rows — the first shipped cut skipped only
+            # already-full buckets and independently rank-capped the
+            # batch, letting a bucket at K−1 reach 2K−1 (ADVICE round
+            # 9). The history pass reads TWO int columns (band,
+            # band_hash) — no signatures — and aggregates to one row
+            # per distinct bucket, so its cost tracks distinct
+            # buckets, not rows.
             from pyspark.sql import Window
 
+            K = int(band_index_max_bucket)
             w = Window.partitionBy("band", "band_hash").orderBy(id_col)
+            band_pre = band_out
+            capacity = F.lit(K)
             if prior_bands:
                 counts = (
                     spark.read.parquet(*prior_bands)
                     .groupBy("band", "band_hash")
-                    .count()
+                    .agg(F.count("*").alias("_hist_n"))
                 )
-                full = counts.filter(
-                    F.col("count") >= band_index_max_bucket
-                ).select("band", "band_hash")
-                band_out = band_out.join(full, ["band", "band_hash"], "left_anti")
+                band_out = band_out.join(counts, ["band", "band_hash"], "left")
+                capacity = F.lit(K) - F.coalesce(F.col("_hist_n"), F.lit(0))
             band_out = (
                 band_out.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") <= band_index_max_bucket)
-                .drop("_rk")
+                .filter(F.col("_rk") <= capacity)
+                .drop("_rk", "_hist_n")
             )
+            # Signature-carrier invariant (ADVICE round 9): consumers
+            # read a doc's signature from its band-0 row, so capping a
+            # doc's band-0 row while OTHER band rows survive would
+            # silently drop every candidate pair found through those
+            # bands. Re-add the band-0 row for each id that kept >= 1
+            # band row but lost band 0 — with a NULL band_hash, so the
+            # restored row carries the signature WITHOUT joining any
+            # candidate bucket or counting against bucket capacity
+            # (equi-joins and groupBys on band_hash never match NULL).
+            kept0 = band_out.filter(F.col("band") == 0).select(id_col)
+            restored = (
+                band_pre.filter(F.col("band") == 0)
+                .join(band_out.select(id_col).distinct(), id_col, "left_semi")
+                .join(kept0, id_col, "left_anti")
+                .withColumn(
+                    "band_hash",
+                    F.lit(None).cast(dict(band_pre.dtypes)["band_hash"]),
+                )
+            )
+            band_out = band_out.unionByName(restored)
         band_out.write.mode("overwrite").parquet(f"{index_dir}/bands/batch={batch_id}")
 
         bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(100))

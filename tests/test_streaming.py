@@ -1158,3 +1158,250 @@ def test_stream_idle_boundary_closes_files(spark, tmp_path):
     want = sorted(r["RequestID"] for r in batch.select("RequestID").collect())
     got = sorted(r["RequestID"] for r in spark.read.parquet(out).select("RequestID").collect())
     assert got == want
+
+
+def test_fold_tolerates_purged_commit_log(spark, tmp_path):
+    """ADVICE r9: Spark purges commit-log entries older than
+    minBatchesToRetain, so on a long stream only the newest markers
+    survive. Batch ids commit sequentially, so ids at or below the
+    highest surviving marker are committed — the fold must proceed,
+    not falsely refuse 'no commit marker'."""
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.plans.compact import (
+        compact_curation_index,
+        fold_stream_batches,
+    )
+
+    out = str(tmp_path / "table")
+    df = spark.range(30).select(
+        F.col("id"),
+        F.concat(F.lit("2024-01-0"), (F.col("id") % 3 + 1).cast("string")).alias("dt"),
+        (F.col("id") % 3).cast("int").alias("batch"),
+    )
+    df.write.partitionBy("batch", "dt").parquet(out)
+    commits = tmp_path / "ckpt" / "commits"
+    commits.mkdir(parents=True)
+    (commits / "2").write_text("{}")  # markers 0 and 1 purged
+
+    res = fold_stream_batches(spark, out, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert res["batches_before"] == 3 and res["batches_after"] == 1
+    assert spark.read.parquet(out).count() == 30
+
+    # same rule for the curation-index fold (digests + bands stores;
+    # seeded batch=-1 stays exempt as before)
+    idx = tmp_path / "idx"
+    for store, cols in (("digests", ["_dg"]), ("bands", ["band", "band_hash"])):
+        for b in (-1, 0, 1, 2):
+            d = spark.range(4).select(
+                *[(F.col("id") % 3).cast("int").alias(c) for c in cols]
+            )
+            if store == "bands":
+                d = d.select(
+                    F.col("band"),
+                    F.col("band_hash"),
+                    F.col("band").cast("long").alias("doc_id"),
+                    F.array(F.lit(1), F.lit(2)).alias("signature"),
+                )
+            d.write.parquet(str(idx / store / f"batch={b}"))
+    stats = compact_curation_index(
+        spark, str(idx), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert stats["bands"]["batches_after"] == 1
+    assert stats["digests"]["batches_after"] == 1
+
+
+def test_recover_fold_siblings_heals_crashed_swap(spark, tmp_path):
+    """ADVICE r9: the fold's two-rename swap is not atomic — a crash
+    between rename(root, old) and rename(tmp, root) leaves the store
+    MISSING, and readers treat a missing index store as empty history.
+    recover_fold_siblings must finish the swap forward (the tmp is
+    complete before any rename starts), drop stale leftovers when the
+    store exists, and refuse ambiguous states."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.plans.compact import recover_fold_siblings
+
+    def mk(path, n):
+        spark.range(n).select(F.col("id")).write.parquet(str(path))
+
+    # (a) mid-swap crash: root missing, complete tmp + old present
+    root = tmp_path / "store"
+    mk(tmp_path / "store.folding-abc123", 7)
+    mk(tmp_path / "store.folded-old-def456", 3)
+    assert recover_fold_siblings(spark, str(root)) == "finished-swap"
+    assert spark.read.parquet(str(root)).count() == 7
+    assert not (tmp_path / "store.folded-old-def456").exists()
+
+    # idempotent: nothing left to heal
+    assert recover_fold_siblings(spark, str(root)) is None
+
+    # (b) pre-swap / post-swap crash: root present, stray siblings
+    mk(tmp_path / "store.folding-aaaa", 2)
+    mk(tmp_path / "store.folded-old-bbbb", 2)
+    assert recover_fold_siblings(spark, str(root)) == "dropped-leftovers"
+    assert spark.read.parquet(str(root)).count() == 7
+    assert not (tmp_path / "store.folding-aaaa").exists()
+
+    # (c) ambiguous: root missing, TWO complete tmps → manual repair
+    root2 = tmp_path / "other"
+    mk(tmp_path / "other.folding-one1", 1)
+    mk(tmp_path / "other.folding-two2", 1)
+    with pytest.raises(ValueError, match="cannot pick the fold"):
+        recover_fold_siblings(spark, str(root2))
+
+    # prefix safety: `store2`'s siblings must not match `store`
+    mk(tmp_path / "store2.folding-cccc", 2)
+    assert recover_fold_siblings(spark, str(root)) is None
+
+
+def test_stream_curation_fails_loud_on_missing_index_store(spark, tmp_path):
+    """ADVICE r9: if the checkpoint shows committed batches but an
+    index store dir is gone (crashed fold, wrong index_dir), resuming
+    must raise — a missing store reads as empty history and the stream
+    would dedup against nothing. A healable mid-swap crash (store
+    renamed away, complete .folding-* sibling present) is auto-healed
+    instead."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        run_stream_curation,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    en = "the quick brown fox and the lazy dog is that for with was happy"
+    inp, out, idx, ck = (str(tmp_path / d) for d in ("in", "out", "idx", "ck"))
+    spark.createDataFrame(
+        [(0, f"{en} alpha beta gamma"), (1, f"{en} delta epsilon zeta")], schema
+    ).coalesce(1).write.parquet(inp)
+    scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
+    kw = dict(min_quality=0.3, jaccard_threshold=0.3, scfg=scfg)
+    q = run_stream_curation(spark, inp, schema, out, idx, ck, **kw)
+    q.awaitTermination(120)
+
+    # healable: bands mid-swap (dir renamed to the tmp sibling)
+    shutil.move(f"{idx}/bands", f"{idx}/bands.folding-deadbeef")
+    uniq2 = (
+        "the w2a and w2b of w2c to w2d in w2e is w2f "
+        "that w2g for w2h with w2j was w2k"
+    )
+    spark.createDataFrame([(2, uniq2)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    q2 = run_stream_curation(spark, inp, schema, out, idx, ck, **kw)
+    q2.awaitTermination(120)
+    assert (tmp_path / "idx" / "bands").exists()
+    out_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert {0, 1, 2} <= out_ids
+
+    # unhealable: store gone entirely → refuse to resume
+    shutil.rmtree(f"{idx}/digests")
+    with pytest.raises(ValueError, match="dedup against nothing"):
+        run_stream_curation(spark, inp, schema, out, idx, ck, **kw)
+
+
+def test_band_cap_keeps_signature_carrier_and_strict_bound(spark, tmp_path):
+    """ADVICE r9 (both cap defects):
+
+    (1) Carrier invariant: when the cap drops a doc's band-0 row while
+    other band rows survive, consumers that read signatures from the
+    band-0 slice (incremental_neardup_pairs) would silently lose every
+    candidate found through the surviving bands. The fix re-adds a
+    NULL-band_hash band-0 carrier row. Fixture: A/B/C found by
+    deterministic search over minhash variants (.scratch recipe in the
+    repo history): B shares ONLY buckets {0,3,4} with A (capped at
+    K=1, so band 0 is dropped, bands {1,2,5,6,7} survive), and C is a
+    near-dup of B that shares NO bucket with A, misses B's band 0, and
+    matches B in surviving bands — so C can only drop through B's
+    carrier signature.
+
+    (2) Strict bound: a bucket at K-1 must admit only ONE more row
+    (capacity-aware rank cap), not K more (the old 2K-1 overshoot)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        run_stream_curation,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    en = "the quick brown fox and the lazy dog is that for with was happy"
+    A = f"{en} alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    B = f"{en} alpha r0a r0b delta epsilon zeta eta theta iota kappa"
+    C = f"{B} more32"
+    # pinned band geometry (regenerate with the search recipe if the
+    # minhash seed ever changes): J(A,B)=.75, J(B,C)=.875, J(A,C)=.66;
+    # B equals A in bands {0,3,4}; C matches B in {2,5,6,7}, A nowhere.
+
+    inp = str(tmp_path / "in")
+    for rows in ([(0, A)], [(1, B)], [(2, C)]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(inp)
+    out, idx, ck = (str(tmp_path / d) for d in ("out", "idx", "ck"))
+    q = run_stream_curation(
+        spark, inp, schema, out, idx, ck,
+        min_quality=0.3, jaccard_threshold=0.3, index_dropped=True,
+        num_hashes=32, bands=8, shingle_k=3,
+        band_index_max_bucket=1,
+        scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
+    )
+    q.awaitTermination(120)
+
+    out_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # B drops via shared buckets with A; C must drop THROUGH B's
+    # carrier row — before the fix C survived (B's band-0 row was
+    # capped away, so the (C,B) candidate had no signature to score)
+    assert out_ids == {0}
+
+    bands = spark.read.parquet(f"{idx}/bands")
+    # carrier shape: B keeps a band-0 row with NULL band_hash
+    carriers = bands.filter(F.col("band_hash").isNull()).collect()
+    assert [(r["doc_id"], r["band"]) for r in carriers] == [(1, 0)]
+    # every indexed doc keeps a band-0 row (the consumer invariant)
+    with0 = {r["doc_id"] for r in bands.filter(F.col("band") == 0).collect()}
+    assert {r["doc_id"] for r in bands.collect()} == with0
+    # strict bound: no joinable bucket exceeds K=1
+    maxn = (
+        bands.filter(F.col("band_hash").isNotNull())
+        .groupBy("band", "band_hash").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert maxn == 1
+
+    # --- (2) strict capacity: bucket at K-1 admits one row, not K ---
+    fam = f"{en} alpha beta gamma delta epsilon zeta eta theta"
+    inp2 = str(tmp_path / "in2")
+    spark.createDataFrame([(0, f"{fam} tail0")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp2)
+    spark.createDataFrame(
+        [(1, f"{fam} tail1"), (2, f"{fam} tail2"), (3, f"{fam} tail3")], schema
+    ).coalesce(1).write.mode("append").parquet(inp2)
+
+    def run2(tag, cap):
+        o, i2, c2 = (str(tmp_path / f"{d}-{tag}") for d in ("o2", "i2", "c2"))
+        q = run_stream_curation(
+            spark, inp2, schema, o, i2, c2,
+            min_quality=0.3, jaccard_threshold=0.3, index_dropped=True,
+            band_index_max_bucket=cap,
+            scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
+        )
+        q.awaitTermination(120)
+        return (
+            spark.read.parquet(f"{i2}/bands")
+            .filter(F.col("band_hash").isNotNull())
+            .groupBy("band", "band_hash").count().agg(F.max("count")).collect()[0][0]
+        )
+
+    assert run2("uncapped", None) == 4  # buckets align: 1 + 3 members
+    # K=2, bucket at 1 after batch 0 → batch 1 may add exactly ONE
+    # (the old per-batch rank cap admitted 2 → bucket reached 3 = 2K-1)
+    assert run2("capped", 2) == 2
