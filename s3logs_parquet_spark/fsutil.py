@@ -77,6 +77,32 @@ def rename(spark, src: str, dst: str) -> bool:
     return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
 
 
+def read_text(spark, path: str) -> str | None:
+    """Small-file read through Hadoop FS (spec/marker sidecars on
+    whatever filesystem the table lives on). None for a missing path."""
+    fs, jpath = _fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        # py4j cannot fill a Java byte[] in place; commons-io ships
+        # with Hadoop and drains the stream JVM-side in one call
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def write_text(spark, path: str, content: str) -> None:
+    """Small-file overwrite through Hadoop FS (single create call — as
+    atomic as the underlying store's create is)."""
+    fs, jpath = _fs(spark, path)
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+
+
 def delete(spark, path: str, recursive: bool = True) -> bool:
     fs, jpath = _fs(spark, path)
     return bool(fs.delete(jpath, bool(recursive)))

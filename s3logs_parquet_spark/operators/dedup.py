@@ -325,6 +325,7 @@ def incremental_neardup_pairs(
     durable: bool = False,
     batch_banded: DataFrame | None = None,
     broadcast_batch: bool = False,
+    carry_signatures: bool = False,
 ) -> DataFrame:
     """Continuous-ingest dedup: near-dup pairs between a NEW batch and
     the EXISTING corpus, via its persisted LSH index.
@@ -332,6 +333,20 @@ def incremental_neardup_pairs(
     ``batch_banded`` accepts an already-computed :func:`minhash_banded`
     frame for ``batch`` (same parameters), skipping the batch signature
     pass — see minhash_lsh_pairs' ``banded``.
+
+    ``carry_signatures`` (round 10): fetch the corpus signature FROM
+    the band-join row itself (every index row carries the full
+    signature) and dedup pairs with a (batch_id, corpus_id) aggregate,
+    instead of rejoining the index's band-0 slice per probe. Built for
+    a BUCKETED corpus index (plans/band_index.py): there the band join
+    needs no exchange on the index side, so carrying the signature
+    through it is free, and the band-0 rejoin — which re-exchanged the
+    index's whole signature slice every probe, the other O(history)
+    exchange — disappears; everything shuffled is O(batch) +
+    O(candidates). On an UNBUCKETED index this trades the slim id-only
+    band-join exchange for one carrying signatures — keep it False
+    there (the round-7 exchange-slimming rationale). Results are
+    identical either way (same pairs, same est_jaccard).
 
     ``broadcast_batch`` (round 9): hint the BATCH side of the band join
     and of the batch-signature rejoin as broadcasts, and prune the
@@ -403,6 +418,33 @@ def incremental_neardup_pairs(
                 f"{sorted(missing)} — expected a minhash_banded output"
             )
         bb = batch_banded
+    batch_sigs = bb.filter(F.col("band") == 0).select(
+        F.col(id_col).alias("batch_id"), F.col("signature").alias("sig_a")
+    )
+    if carry_signatures:
+        # bucketed-index topology (see docstring): signatures ride the
+        # band join (exchange-free on the index side), pair dedup is
+        # one O(candidates) aggregate, no band-0 slice rejoin.
+        l = bb.select(id_col, "band", "band_hash").alias("l")
+        if broadcast_batch:
+            l = F.broadcast(l)
+        r = corpus_index.alias("r")
+        matched = l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+            ],
+        ).select(
+            F.col(f"l.{id_col}").alias("batch_id"),
+            F.col(f"r.{id_col}").alias("corpus_id"),
+            F.col("r.signature").alias("sig_b"),
+        )
+        pair_sigs = matched.groupBy("batch_id", "corpus_id").agg(
+            F.first("sig_b").alias("sig_b")
+        )
+        pairs = pair_sigs.join(batch_sigs, on="batch_id")
+        return _scored_pairs(pairs, num_hashes, jaccard_threshold)
     # candidate IDS only through the band join + cross-band dedup,
     # signatures re-joined once per unique pair from each side's
     # band-0 slice (every doc appears exactly once per band) — the
@@ -424,9 +466,6 @@ def incremental_neardup_pairs(
             F.col(f"r.{id_col}").alias("corpus_id"),
         )
         .distinct()
-    )
-    batch_sigs = bb.filter(F.col("band") == 0).select(
-        F.col(id_col).alias("batch_id"), F.col("signature").alias("sig_a")
     )
     if broadcast_batch:
         batch_sigs = F.broadcast(batch_sigs)
@@ -450,15 +489,24 @@ def incremental_neardup_pairs(
         corpus_sigs,
         on="corpus_id",
     )
-    # an index built with a different num_hashes would make zip_with pad
-    # with NULLs → NULL similarity → every cross-pair silently dropped
-    # ("no near-dups"). Fail loudly instead; the check runs on candidate
-    # pairs only (bounded by bucket matches), not the whole index. The
-    # guard is folded INTO the est_jaccard expression (not a dropped
-    # side column, which Catalyst would prune as unused) so every
-    # emitted row must evaluate it: a sig_b of the wrong length — or
-    # NULL, which makes the `when` condition NULL → otherwise branch —
-    # raises instead of silently yielding NULL similarity.
+    return _scored_pairs(pairs, num_hashes, jaccard_threshold)
+
+
+def _scored_pairs(
+    pairs: DataFrame, num_hashes: int, jaccard_threshold: float
+) -> DataFrame:
+    """Shared tail of incremental_neardup_pairs: score candidate rows
+    carrying (batch_id, corpus_id, sig_a, sig_b) and threshold-filter.
+
+    An index built with a different num_hashes would make zip_with pad
+    with NULLs → NULL similarity → every cross-pair silently dropped
+    ("no near-dups"). Fail loudly instead; the check runs on candidate
+    pairs only (bounded by bucket matches), not the whole index. The
+    guard is folded INTO the est_jaccard expression (not a dropped
+    side column, which Catalyst would prune as unused) so every
+    emitted row must evaluate it: a sig_b of the wrong length — or
+    NULL, which makes the `when` condition NULL → otherwise branch —
+    raises instead of silently yielding NULL similarity."""
     est = F.when(
         F.size("sig_b") == num_hashes,
         _pair_est_jaccard(pairs, num_hashes),

@@ -268,6 +268,96 @@ def fold_stream_batches(
     }
 
 
+def _fold_bucketed_store(
+    spark: SparkSession, root: str, spec: dict, maxc: int | None
+) -> dict[str, int]:
+    """compact_curation_index for a BUCKETED store (plans/band_index.py):
+    fold every ``batch=<id>`` partition into ``batch=<max id>`` with one
+    dynamic-partition-overwrite insert, then drop the emptied
+    partitions — the store stays the same registered table with the
+    same bucket spec throughout, so probes before/during/after the fold
+    plan identically (no whole-store rename swap needed).
+
+    Crash windows, stated honestly: the insert commits atomically per
+    partition (FileOutputCommitter), so a crash before it leaves the
+    store untouched; a crash AFTER it but before the partition drops
+    leaves history temporarily DUPLICATED across ``batch=<max>`` and
+    the undropped older partitions. Duplicates are harmless to every
+    consumer (probe candidates are deduped per pair, the digest
+    anti-join is idempotent; bucket-cap counts inflate CONSERVATIVELY,
+    admitting fewer rows) and the next fold heals them — the fold
+    dropDuplicates on the spec's ``dedup_cols`` key. This trades the
+    dirs layout's missing-store window (the worse failure: silent
+    empty history) for a benign transient."""
+    from s3logs_parquet_spark.session import materialize, release
+
+    tbl = _bandidx_ensure(spark, root)
+    files = [
+        f
+        for f in list_files(spark, root, recursive=True)
+        if f.name.endswith(".parquet")
+    ]
+    # ids from the catalog UNION the directory listing: a crashed
+    # insert (files committed, partition not yet registered) or a
+    # stray dirs-layout write into a bucketed store must still hit the
+    # commit-marker guard below, not silently escape the fold
+    listed = set()
+    for f in files:
+        for part in f.path.split("/"):
+            if part.startswith("batch="):
+                listed.add(int(part.split("=", 1)[1]))
+                break
+    ids = sorted(set(_bandidx_partition_ids(spark, tbl)) | listed)
+    stats = {"batches_before": len(ids), "files_before": len(files)}
+    if len(ids) <= 1:
+        stats.update(batches_after=len(ids), files_after=len(files))
+        return stats
+    if maxc is not None:
+        uncommitted = sorted(i for i in ids if i > maxc)
+        if uncommitted:
+            raise ValueError(
+                f"compact_curation_index: {root} batch partitions "
+                f"{uncommitted} have no commit marker — the stream did not "
+                "drain cleanly; a resumed stream would replay and overwrite "
+                "the folded store. Drain with availableNow, then fold."
+            )
+    m = max(ids)
+    data = spark.table(tbl).drop("batch")
+    if spec.get("dedup_cols"):
+        data = data.dropDuplicates(list(spec["dedup_cols"]))
+    # sever the self-read before overwriting batch=<max> (the insert
+    # reads the very partitions it rewrites otherwise)
+    data = materialize(data)
+    from s3logs_parquet_spark.plans.band_index import write_contribution
+
+    write_contribution(spark, root, data, m, spec["bucket_cols"])
+    release(data)
+    for i in ids:
+        if i == m:
+            continue
+        spark.sql(f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (batch={i})")
+        delete(spark, posixpath.join(root, f"batch={i}"))
+    after = [
+        f
+        for f in list_files(spark, root, recursive=True)
+        if f.name.endswith(".parquet")
+    ]
+    stats.update(batches_after=1, files_after=len(after))
+    return stats
+
+
+def _bandidx_ensure(spark: SparkSession, root: str) -> str:
+    from s3logs_parquet_spark.plans.band_index import ensure_table
+
+    return ensure_table(spark, root)
+
+
+def _bandidx_partition_ids(spark: SparkSession, tbl: str) -> list[int]:
+    from s3logs_parquet_spark.plans.band_index import partition_ids
+
+    return partition_ids(spark, tbl)
+
+
 def compact_curation_index(
     spark: SparkSession,
     index_dir: str,
@@ -309,10 +399,16 @@ def compact_curation_index(
     maxc: int | None = None
     if checkpoint_dir is not None:
         maxc = _max_committed(spark, checkpoint_dir)
+    from s3logs_parquet_spark.plans import band_index as _bandidx
+
     out: dict[str, dict[str, int]] = {}
     for store, sort_cols in (("digests", None), ("bands", ("band", "band_hash"))):
         root = posixpath.join(index_dir.rstrip("/"), store)
         recover_fold_siblings(spark, root)
+        spec = _bandidx.read_spec(spark, root)
+        if spec is not None:
+            out[store] = _fold_bucketed_store(spark, root, spec, maxc)
+            continue
         files = [
             f
             for f in list_files(spark, root, recursive=True)

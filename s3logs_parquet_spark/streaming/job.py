@@ -654,6 +654,8 @@ def run_stream_curation(
     lsh_max_bucket_size: int | None = 10_000,
     index_dropped: bool = True,
     band_index_max_bucket: int | None = None,
+    band_index_layout: str = "bucketed",
+    index_buckets: int | None = None,
     scfg: StreamingJobConfig | None = None,
 ) -> StreamingQuery:
     """Continuous training-data curation — plans/curation.py's pipeline
@@ -663,9 +665,36 @@ def run_stream_curation(
     against EVERYTHING already ingested in O(batch) work, never
     reprocessing history. To seed pre-stream history, write digest /
     band contributions under ``batch=-1`` in ``index_dir`` (the same
-    convention run_stream_semantic_dedup documents); the replay guard
-    matches negative ids, so seeded history is deduped against from
-    the first micro-batch.
+    convention run_stream_semantic_dedup documents; under the default
+    bucketed layout, seed through
+    ``plans.band_index.write_contribution(..., batch_id=-1)`` so the
+    seed shares the store's bucket spec); the replay guard matches
+    negative ids, so seeded history is deduped against from the first
+    micro-batch.
+
+    ``band_index_layout`` (round 10, the hotprobe scale fix): with
+    ``"bucketed"`` (default) both index stores are PARTITIONED +
+    BUCKETED catalog tables (plans/band_index.py) — one overwritable
+    ``batch=<id>`` partition per micro-batch (T4 contract unchanged),
+    scans hash-partitioned on the probe keys at WRITE time. The two
+    per-trigger O(history) exchanges of the dirs layout disappear: the
+    band probe join and the digest anti-join exchange only the
+    O(batch) side (plan-pinned: no Exchange above the index scan), the
+    probe's signature lookup rides the band join itself
+    (incremental_neardup_pairs carry_signatures), the bucket-cap count
+    aggregates exchange-free on the bucket keys, and the ``batch <
+    id`` replay guard becomes partition pruning instead of a recursive
+    directory listing. What remains O(history) per trigger is the
+    column-pruned SCAN of the index (sequential parquet read, no
+    network) — bound it with ``band_index_max_bucket`` /
+    ``index_dropped=False`` on flood corpora and fold the per-batch
+    files with compact_curation_index. ``"dirs"`` keeps the round-9
+    plain-directory layout (portable, catalog-free); a store created
+    under one layout must keep it — mixing fails loud at start.
+    ``index_buckets`` sets the bucket count at store CREATION (default
+    ``spark.sql.shuffle.partitions``; size it like shuffle width at
+    the target scale — it is a write-time property that cannot drift
+    across resumes, so pick for the cluster, not the first batch).
 
     Per micro-batch: (1) quality/langid filter; (2) exact dedup within
     the batch (min-id canonical) and against the persisted digest
@@ -759,8 +788,36 @@ def run_stream_curation(
         recover_fold_siblings,
     )
 
+    if band_index_layout not in ("bucketed", "dirs"):
+        raise ValueError(
+            f"run_stream_curation: band_index_layout={band_index_layout!r} "
+            "— expected 'bucketed' or 'dirs'"
+        )
+    from s3logs_parquet_spark.plans import band_index as _bandidx
+
     for _store in ("digests", "bands"):
-        recover_fold_siblings(spark, f"{index_dir}/{_store}")
+        _sd = f"{index_dir}/{_store}"
+        recover_fold_siblings(spark, _sd)
+        # layout split-brain guard: a store keeps the layout it was
+        # created with — silently probing a bucketed store as plain
+        # dirs (or vice versa) would dedup against the wrong shape
+        _spec = _bandidx.read_spec(spark, _sd)
+        if _spec is not None and band_index_layout != "bucketed":
+            raise ValueError(
+                f"run_stream_curation: {_sd} was created with the bucketed "
+                "layout — pass band_index_layout='bucketed' (or rebuild the "
+                "index to switch layouts)"
+            )
+        if (
+            _spec is None
+            and band_index_layout == "bucketed"
+            and _prior_batch_dirs(spark, _sd, 2**62)
+        ):
+            raise ValueError(
+                f"run_stream_curation: {_sd} holds dirs-layout contributions "
+                "but band_index_layout='bucketed' — pass 'dirs' (or rebuild "
+                "the index to switch layouts)"
+            )
     if _max_committed(spark, checkpoint_dir) >= 0:
         _missing = [
             s for s in ("digests", "bands") if not _exists(spark, f"{index_dir}/{s}")
@@ -779,6 +836,10 @@ def run_stream_curation(
         .option("maxFilesPerTrigger", scfg.max_files_per_trigger)
         .parquet(input_dir)
     )
+
+    bucketed = band_index_layout == "bucketed"
+    dg_store = f"{index_dir}/digests"
+    band_store = f"{index_dir}/bands"
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # A micro-batch arrives with the SOURCE's split count — often
@@ -803,10 +864,15 @@ def run_stream_curation(
         # also makes numInputRows report true batch sizes
         kept = materialize(kept)
         exact = exact_dedup(kept, text_col, keep_order_col=id_col, id_col=id_col)
-        prior_dg = _prior_batch_dirs(spark, f"{index_dir}/digests", batch_id)
+        if bucketed:
+            hist = _bandidx.prior_batches(spark, dg_store, batch_id)
+        else:
+            prior_dg = _prior_batch_dirs(spark, dg_store, batch_id)
+            hist = spark.read.parquet(*prior_dg) if prior_dg else None
         fresh = exact.withColumn("_dg", _content_digest(text_col))
-        if prior_dg:
-            hist = spark.read.parquet(*prior_dg)
+        if hist is not None:
+            # bucketed: the history side scans pre-partitioned on _dg —
+            # only the O(batch) fresh side exchanges for the anti-join
             fresh = fresh.join(hist, on="_dg", how="left_anti")
         # several consumers below (pairs, banding, digest write, output)
         # re-scan this frame — materialize once per batch
@@ -841,9 +907,12 @@ def run_stream_curation(
         canon = labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
         survivors = fresh.join(canon, id_col, "left_semi")
 
-        prior_bands = _prior_batch_dirs(spark, f"{index_dir}/bands", batch_id)
-        if prior_bands:
-            idx = spark.read.parquet(*prior_bands)
+        if bucketed:
+            idx = _bandidx.prior_batches(spark, band_store, batch_id)
+        else:
+            prior_bands = _prior_batch_dirs(spark, band_store, batch_id)
+            idx = spark.read.parquet(*prior_bands) if prior_bands else None
+        if idx is not None:
             hits = incremental_neardup_pairs(
                 survivors,
                 idx,
@@ -854,15 +923,26 @@ def run_stream_curation(
                 shingle_k=shingle_k,
                 jaccard_threshold=jaccard_threshold,
                 batch_banded=banded_fresh.join(canon, id_col, "left_semi"),
+                # bucketed: the index scan is hash-partitioned on
+                # (band, band_hash) — carry signatures through the
+                # exchange-free band join instead of rejoining the
+                # band-0 slice (the round-9 O(history) exchange)
+                carry_signatures=bucketed,
             )
             dup_ids = hits.select(F.col("batch_id").alias(id_col)).distinct()
             survivors = survivors.join(dup_ids, id_col, "left_anti")
 
         # digest contributions always cover every exact-unique ARRIVED
         # doc; band contributions follow index_dropped (see docstring)
-        fresh.select(F.col("_dg")).write.mode("overwrite").parquet(
-            f"{index_dir}/digests/batch={batch_id}"
-        )
+        if bucketed:
+            _bandidx.write_contribution(
+                spark, dg_store, fresh.select("_dg"), batch_id,
+                ("_dg",), n_buckets=index_buckets, dedup_cols=("_dg",),
+            )
+        else:
+            fresh.select(F.col("_dg")).write.mode("overwrite").parquet(
+                f"{dg_store}/batch={batch_id}"
+            )
         band_out = (
             banded_fresh
             if index_dropped
@@ -885,10 +965,11 @@ def run_stream_curation(
             w = Window.partitionBy("band", "band_hash").orderBy(id_col)
             band_pre = band_out
             capacity = F.lit(K)
-            if prior_bands:
+            if idx is not None:
+                # bucketed: partial+final agg on the bucket keys with
+                # NO exchange (scan is already hash-partitioned)
                 counts = (
-                    spark.read.parquet(*prior_bands)
-                    .groupBy("band", "band_hash")
+                    idx.groupBy("band", "band_hash")
                     .agg(F.count("*").alias("_hist_n"))
                 )
                 band_out = band_out.join(counts, ["band", "band_hash"], "left")
@@ -918,7 +999,29 @@ def run_stream_curation(
                 )
             )
             band_out = band_out.unionByName(restored)
-        band_out.write.mode("overwrite").parquet(f"{index_dir}/bands/batch={batch_id}")
+        band_ckpt = None
+        if bucketed and idx is not None and (
+            not index_dropped or band_index_max_bucket is not None
+        ):
+            # survivors-only band_out (and the cap's history counts)
+            # READ the bands table the insert below overwrites —
+            # Spark's static cycle check rejects that even though the
+            # partitions are disjoint. Checkpoint severs the lineage;
+            # O(batch) rows, released right after the write.
+            band_out = band_ckpt = materialize(band_out)
+        if bucketed:
+            _bandidx.write_contribution(
+                spark, band_store, band_out, batch_id,
+                ("band", "band_hash"), n_buckets=index_buckets,
+                # a doc arrives in exactly one batch and appears once
+                # per band (carrier rows included) → (id, band) keys
+                # the store; folds dedup on it (see write_contribution)
+                dedup_cols=(id_col, "band"),
+            )
+        else:
+            band_out.write.mode("overwrite").parquet(
+                f"{band_store}/batch={batch_id}"
+            )
 
         bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(100))
         split = (
@@ -935,6 +1038,8 @@ def run_stream_curation(
         release(sig_fresh)
         release(fresh)
         release(kept)
+        if band_ckpt is not None:
+            release(band_ckpt)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -1,0 +1,239 @@
+"""plans/band_index.py — the bucketed per-batch index store layout
+(round 10): T4 replay contract, seeding, fresh-catalog resume, layout
+guards, dirs↔bucketed survivor equality, and the plan shape the layout
+exists for (no exchange on the index side of the probe join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from s3logs_parquet_spark.plans import band_index as bi
+
+DOC_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+)
+
+EN = "the quick brown fox and the lazy dog is that for with was happy"
+
+
+def _contrib(spark, ids):
+    return spark.createDataFrame(
+        [(i, int(i % 4), int(i % 16)) for i in ids],
+        "doc_id long, band int, band_hash int",
+    )
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _scan_ancestors_to_join(plan: str, scan_marker: str) -> list[str]:
+    """Node lines on the path from the table scan UP to its nearest
+    join, via the tree section's indentation (marker column depth)."""
+    tree = [ln for ln in plan.splitlines()if ("+- " in ln or ":- " in ln or ln.startswith("Adaptive"))]
+
+    def depth(ln):
+        for m in ("+- ", ":- "):
+            if m in ln:
+                return ln.index(m)
+        return -1
+
+    scan_i = next(i for i, ln in enumerate(tree) if scan_marker in ln)
+    out, d = [], depth(tree[scan_i])
+    for i in range(scan_i - 1, -1, -1):
+        di = depth(tree[i])
+        if di < d:
+            out.append(tree[i])
+            d = di
+            if "Join" in tree[i]:
+                break
+    return out
+
+
+def test_write_replay_prior_and_seeding(spark, tmp_path):
+    """T4 contract: a replayed batch overwrites exactly its own
+    partition; prior_batches excludes the probing batch and includes
+    seeded batch=-1 history; empty store reads as None."""
+    store = str(tmp_path / "bands")
+    assert bi.prior_batches(spark, store, 5) is None  # no store yet
+
+    bi.write_contribution(spark, store, _contrib(spark, range(4)), -1,
+                          ("band", "band_hash"))  # pre-stream seed
+    bi.write_contribution(spark, store, _contrib(spark, range(10, 14)), 0,
+                          ("band", "band_hash"))
+    bi.write_contribution(spark, store, _contrib(spark, range(20, 24)), 1,
+                          ("band", "band_hash"))
+    # replay batch 1 with the same content → idempotent
+    bi.write_contribution(spark, store, _contrib(spark, range(20, 24)), 1,
+                          ("band", "band_hash"))
+
+    tbl = bi.ensure_table(spark, store)
+    assert bi.partition_ids(spark, tbl) == [-1, 0, 1]
+    assert spark.table(tbl).count() == 12
+
+    # seed visible from batch 0 on; own batch invisible to its retry
+    p0 = bi.prior_batches(spark, store, 0)
+    assert {r["doc_id"] for r in p0.collect()} == set(range(4))
+    p1 = bi.prior_batches(spark, store, 1)
+    assert {r["doc_id"] for r in p1.collect()} == set(range(4)) | set(range(10, 14))
+    assert bi.prior_batches(spark, store, -1) is None
+
+
+def test_resume_registers_from_spec_in_fresh_catalog(spark, tmp_path):
+    """The catalog is session-scoped; the spec sidecar + data are not.
+    Dropping the table (= a fresh session) and writing/probing again
+    must re-register with the SAME bucket spec."""
+    store = str(tmp_path / "bands")
+    bi.write_contribution(spark, store, _contrib(spark, range(4)), 0,
+                          ("band", "band_hash"), n_buckets=4)
+    tbl = bi.table_name(store)
+    spark.sql(f"DROP TABLE {tbl}")  # simulate session restart
+
+    bi.write_contribution(spark, store, _contrib(spark, range(10, 14)), 1,
+                          ("band", "band_hash"), n_buckets=99)  # ignored: spec wins
+    spec = bi.read_spec(spark, store)
+    assert spec["n_buckets"] == 4
+    prior = bi.prior_batches(spark, store, 2)
+    assert prior.count() == 8
+    # the re-registered table kept its bucket layout: an aggregate on
+    # the bucket keys plans with NO exchange (autoBucketedScan disables
+    # the bucketed read for plans that can't use it, so assert through
+    # a plan that can)
+    agg = prior.groupBy("band", "band_hash").count()
+    plan = _formatted_plan(agg)
+    assert "Bucketed: true" in plan
+    assert ") Exchange" not in plan
+
+
+def test_probe_plan_no_exchange_on_index_side(spark, tmp_path):
+    """THE point of the layout (VERDICT r9 #1): the history-probe join
+    must not re-shuffle the accumulated index — the bucketed scan feeds
+    its SortMergeJoin with no Exchange on the path, the `batch <
+    current` guard is partition pruning, and only the O(batch) side
+    exchanges on (band, band_hash)."""
+    from s3logs_parquet_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_banded,
+    )
+
+    store = str(tmp_path / "bands")
+    docs = spark.createDataFrame(
+        [(i, f"{EN} alpha beta gamma tail{i}") for i in range(6)], DOC_SCHEMA
+    )
+    banded = minhash_banded(docs, "doc_id", "text", num_hashes=32, bands=8)
+    for b in (0, 1):
+        bi.write_contribution(
+            spark,
+            store,
+            banded.filter(F.col("doc_id") % 2 == b),
+            b,
+            ("band", "band_hash"),
+        )
+    idx = bi.prior_batches(spark, store, 2)
+    probe = spark.createDataFrame([(100, f"{EN} alpha beta gamma tailX")], DOC_SCHEMA)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hits = incremental_neardup_pairs(
+            probe, idx, "doc_id", "text", num_hashes=32, bands=8,
+            jaccard_threshold=0.3, carry_signatures=True,
+        )
+        plan = _formatted_plan(hits)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    assert "Bucketed: true" in plan
+    assert "batch" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    ancestors = _scan_ancestors_to_join(plan, "Scan parquet")
+    assert ancestors and "Join" in ancestors[-1], ancestors
+    assert not any("Exchange" in ln for ln in ancestors), (
+        "index side of the probe join is exchanged:\n" + "\n".join(ancestors)
+    )
+    # and the probe still finds the near-dups through the index
+    assert hits.count() > 0
+
+
+def test_stream_curation_layouts_produce_identical_survivors(spark, tmp_path):
+    """dirs vs bucketed is a STORAGE decision only: same corpus, same
+    parameters → byte-identical survivor sets, and the same near-dup
+    drops through the persisted index across micro-batches."""
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        run_stream_curation,
+    )
+
+    fam = f"{EN} alpha beta gamma delta epsilon zeta eta theta"
+    uniq = [
+        f"the w{i}a and w{i}b of w{i}c to w{i}d in w{i}e is w{i}f "
+        f"that w{i}g for w{i}h with w{i}j was w{i}k"
+        for i in range(4)
+    ]
+    inp = str(tmp_path / "in")
+    for b in range(4):
+        rows = [(2 * b, f"{fam} tail{b}"), (2 * b + 1, uniq[b])]
+        if b == 2:
+            rows.append((100, uniq[0]))  # exact dup of batch-0 unique
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    def run(layout):
+        out, idx, ck = (str(tmp_path / f"{d}-{layout}") for d in ("out", "idx", "ck"))
+        q = run_stream_curation(
+            spark, inp, DOC_SCHEMA, out, idx, ck,
+            min_quality=0.3, jaccard_threshold=0.3,
+            band_index_layout=layout,
+            scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
+        )
+        q.awaitTermination(120)
+        return {
+            (r["doc_id"], r["lang_pred"], r["quality"], r["split"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got_dirs = run("dirs")
+    got_bucketed = run("bucketed")
+    assert got_dirs == got_bucketed
+    ids = {t[0] for t in got_bucketed}
+    assert ids == {0, 1, 3, 5, 7}  # family members 2,4,6 + exact dup 100 drop
+
+
+def test_layout_mismatch_fails_loud(spark, tmp_path):
+    """A store keeps the layout it was created with — probing a
+    bucketed store as dirs (or vice versa) must refuse, not silently
+    dedup against the wrong shape."""
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        run_stream_curation,
+    )
+
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(0, f"{EN} alpha beta gamma")], DOC_SCHEMA
+    ).coalesce(1).write.parquet(inp)
+    scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
+    kw = dict(min_quality=0.3, jaccard_threshold=0.3, scfg=scfg)
+
+    out, idx, ck = (str(tmp_path / d) for d in ("out", "idx", "ck"))
+    q = run_stream_curation(
+        spark, inp, DOC_SCHEMA, out, idx, ck, band_index_layout="bucketed", **kw
+    )
+    q.awaitTermination(120)
+    with pytest.raises(ValueError, match="bucketed layout"):
+        run_stream_curation(
+            spark, inp, DOC_SCHEMA, out, idx, ck, band_index_layout="dirs", **kw
+        )
+
+    out2, idx2, ck2 = (str(tmp_path / f"{d}2") for d in ("out", "idx", "ck"))
+    q2 = run_stream_curation(
+        spark, inp, DOC_SCHEMA, out2, idx2, ck2, band_index_layout="dirs", **kw
+    )
+    q2.awaitTermination(120)
+    with pytest.raises(ValueError, match="dirs-layout"):
+        run_stream_curation(
+            spark, inp, DOC_SCHEMA, out2, idx2, ck2, band_index_layout="bucketed", **kw
+        )

@@ -1405,3 +1405,55 @@ def test_band_cap_keeps_signature_carrier_and_strict_bound(spark, tmp_path):
     # K=2, bucket at 1 after batch 0 → batch 1 may add exactly ONE
     # (the old per-batch rank cap admitted 2 → bucket reached 3 = 2K-1)
     assert run2("capped", 2) == 2
+
+
+def test_stream_truncates_extra_fields_like_reference(spark, tmp_path):
+    """Divergence-by-reference pin (VERDICT r9 #5, SURVEY §1.3): the
+    reference's STREAMING writer truncates rows to the schema width
+    (s3logd-stream/src/output.rs:1014,1111 take exactly schema-len
+    fields) while its BATCH path widens with ExtraField{N}. Our
+    streaming parse (build_stream → parse_s3_access_log with
+    extra_fields=0) reproduces the truncation; this pins it: >26-token
+    lines come out with exactly the 26 schema columns (+ ts/dt), the
+    26th field intact, extras gone — and n_fields still reports the
+    TRUE token count pre-drop (the widening decision stays observable
+    to batch callers)."""
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.config import EngineConfig
+    from s3logs_parquet_spark.functions.parse import parse_s3_access_log
+    from s3logs_parquet_spark.schema import LOG_FIELDS
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        run_streaming_transform,
+    )
+    from s3logs_parquet_spark.testing import generate_lines
+
+    wide = [
+        line + " extraA extraB"  # 28 tokens
+        for line in generate_lines(20, seed=7, dup_fraction=0, garbage_fraction=0)
+    ]
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "wide.log").write_text("\n".join(wide) + "\n")
+
+    # the parse primitive itself: truncation + true token count
+    parsed = parse_s3_access_log(
+        spark.createDataFrame([(l,) for l in wide], "value string")
+    )
+    assert [c for c in parsed.columns if c.startswith("ExtraField")] == []
+    assert parsed.filter(F.col("n_fields") != 28).count() == 0
+
+    # end-to-end through the streaming sink
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = run_streaming_transform(
+        spark, str(inp), out, ck, EngineConfig(),
+        StreamingJobConfig(available_now=True),
+    )
+    q.awaitTermination(120)
+    table = spark.read.parquet(out)
+    assert set(table.columns) == set(LOG_FIELDS) | {"ts", "dt"}
+    got = table.select("AclRequired", "TLSVersion").distinct().collect()
+    # 26th token is '-' (AclRequired) in the fixture; extras never land
+    assert {(r["AclRequired"], r["TLSVersion"]) for r in got} == {("-", "TLSv1.2")}
+    assert table.count() == 20

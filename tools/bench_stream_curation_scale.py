@@ -101,8 +101,11 @@ def synth_hotprobe(spark, n: int, rows_per_batch: int, member_fraction: float = 
     return df.select("doc_id", text.alias("text"))
 
 
-def run_mode(spark, inp: str, work: str, index_dropped: bool, band_cap=None) -> dict:
-    tag = f"{index_dropped}-{band_cap}"
+def run_mode(
+    spark, inp: str, work: str, index_dropped: bool, band_cap=None,
+    band_layout: str = "bucketed",
+) -> dict:
+    tag = f"{index_dropped}-{band_cap}-{band_layout}"
     out = os.path.join(work, f"out-{tag}")
     idx = os.path.join(work, f"idx-{tag}")
     ck = os.path.join(work, f"ck-{tag}")
@@ -119,6 +122,7 @@ def run_mode(spark, inp: str, work: str, index_dropped: bool, band_cap=None) -> 
         lsh_max_bucket_size=500,
         index_dropped=index_dropped,
         band_index_max_bucket=band_cap,
+        band_index_layout=band_layout,
         scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
     )
     q.awaitTermination(3600)
@@ -132,13 +136,19 @@ def run_mode(spark, inp: str, work: str, index_dropped: bool, band_cap=None) -> 
         for p in q.recentProgress
         if p["numInputRows"] > 0
     ]
-    survivors = spark.read.parquet(out).count()
+    surv_df = spark.read.parquet(out)
+    survivors = surv_df.count()
+    # answer-parity fingerprint for cross-layout A/Bs (measurement
+    # honesty rule: legs must prove they computed the same thing)
+    surv_fp = surv_df.agg(F.sum(F.xxhash64("doc_id"))).collect()[0][0]
     bands_rows = spark.read.parquet(os.path.join(idx, "bands")).count()
     return {
         "index_dropped": index_dropped,
         "band_cap": band_cap,
+        "band_layout": band_layout,
         "wall_sec": round(wall, 1),
         "survivors": survivors,
+        "survivors_fp": surv_fp,
         "band_index_rows": bands_rows,
         "per_batch_sec": per_batch,
     }
@@ -160,6 +170,13 @@ def main() -> None:
         default=None,
         help="band_index_max_bucket for run_stream_curation (None = uncapped)",
     )
+    ap.add_argument(
+        "--band-layout",
+        default="bucketed",
+        choices=["bucketed", "dirs", "both"],
+        help="index store layout (round 10); 'both' A/Bs the two layouts "
+        "back-to-back in the same session",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench-stream-curation")
@@ -179,7 +196,12 @@ def main() -> None:
         ).write.mode("append").parquet(inp)
 
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
-    results = [run_mode(spark, inp, work, m == "dropped", args.band_cap) for m in modes]
+    layouts = ["bucketed", "dirs"] if args.band_layout == "both" else [args.band_layout]
+    results = [
+        run_mode(spark, inp, work, m == "dropped", args.band_cap, layout)
+        for layout in layouts
+        for m in modes
+    ]
     n = args.rows_per_batch * args.batches
     print(
         json.dumps(
@@ -190,9 +212,8 @@ def main() -> None:
                 "batches": args.batches,
                 "modes": results,
                 "docs_per_sec": {
-                    ("dropped" if r["index_dropped"] else "survivors"): round(
-                        n / r["wall_sec"], 1
-                    )
+                    ("dropped" if r["index_dropped"] else "survivors")
+                    + "/" + r["band_layout"]: round(n / r["wall_sec"], 1)
                     for r in results
                 },
             }
