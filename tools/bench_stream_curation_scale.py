@@ -140,7 +140,9 @@ def run_mode(
     survivors = surv_df.count()
     # answer-parity fingerprint for cross-layout A/Bs (measurement
     # honesty rule: legs must prove they computed the same thing)
-    surv_fp = surv_df.agg(F.sum(F.xxhash64("doc_id"))).collect()[0][0]
+    surv_fp = surv_df.agg(
+        F.sum(F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000_007)))
+    ).collect()[0][0]  # pmod keeps the ANSI-mode sum far from long overflow
     bands_rows = spark.read.parquet(os.path.join(idx, "bands")).count()
     return {
         "index_dropped": index_dropped,
