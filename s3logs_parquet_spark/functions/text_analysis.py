@@ -138,6 +138,26 @@ def with_quality_and_lang(
     the streaming curation pipeline (PERF.md round 9): the gate stage
     dropped ~4x; values bit-identical (pinned by
     tests/test_text_functions.py::test_with_quality_and_lang_matches_expressions).
+
+    The ``_ws`` stage is additionally wrapped in an always-true
+    nondeterministic no-op (``when(spark_partition_id() >= 0, ws)`` —
+    the id is non-negative by contract, so the value is always ``ws``;
+    ``rand() > -1`` does NOT work, Spark 4's optimizer knows rand's
+    range and folds the branch away): CollapseProject's cost guard
+    does not extend to
+    predicate pushdown, so a caller's
+    ``.filter(quality >= t & lang_pred.isin(...))`` — i.e. EVERY
+    curation gate — was rewritten through the staging projections,
+    re-expanding the split+stopword subtree into the pushed predicate
+    ~37 times per row (measured round 10: the gate+filter plan held 37
+    ``split()`` / 68 HOF-filter copies and ran 7.5 s per 50k docs vs
+    0.33 s unfiltered). PushDownPredicates only substitutes through
+    deterministic projections, so the no-op pins the filter ABOVE the
+    tokenize stage; the residual duplication (stopword counts over the
+    staged array) is array-local and cheap. Values are unchanged — the
+    wrapper's branch is always taken — and the single-split plan shape
+    is pinned by
+    tests/test_text_functions.py::test_gate_filter_does_not_reexpand_tokenize.
     """
     text = F.col(text_col)
     staging = ["_ws", "_n_words", "_n_chars", "_n_punct", "_mwl_sum"] + [
@@ -149,16 +169,25 @@ def with_quality_and_lang(
             f"with_quality_and_lang: input already has staging columns {clash} "
             "— rename them (they would be silently overwritten and dropped)"
         )
-    ws = words(text)
-    hit_cols = {f"_sw_{lang}": _stopword_hits(F.col("_ws"), lang) for lang in STOPWORDS}
+    def _pin(c: Column) -> Column:
+        # always-true nondeterministic no-op: pins a pushed-down filter
+        # ABOVE this projection tier (see docstring)
+        return F.when(F.spark_partition_id() >= 0, c)
+
+    ws = _pin(words(text))
+    hit_cols = {
+        f"_sw_{lang}": _pin(_stopword_hits(F.col("_ws"), lang)) for lang in STOPWORDS
+    }
     staged = df.withColumn("_ws", ws).withColumns(
         {
             **hit_cols,
             "_n_words": F.size(F.col("_ws")),
             "_n_chars": F.length(text),
-            "_n_punct": F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)),
-            "_mwl_sum": F.aggregate(
-                F.col("_ws"), F.lit(0), lambda acc, w: acc + F.length(w)
+            "_n_punct": _pin(
+                F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+            ),
+            "_mwl_sum": _pin(
+                F.aggregate(F.col("_ws"), F.lit(0), lambda acc, w: acc + F.length(w))
             ),
         }
     )

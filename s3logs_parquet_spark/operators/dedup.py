@@ -326,6 +326,7 @@ def incremental_neardup_pairs(
     batch_banded: DataFrame | None = None,
     broadcast_batch: bool = False,
     carry_signatures: bool = False,
+    check_index: bool = True,
 ) -> DataFrame:
     """Continuous-ingest dedup: near-dup pairs between a NEW batch and
     the EXISTING corpus, via its persisted LSH index.
@@ -391,8 +392,16 @@ def incremental_neardup_pairs(
     # non-legacy), so a NULL signature surfaces here too instead of a
     # misleading parameter-mismatch message. Only one arbitrary row is
     # probed; heterogeneous indexes are caught by the distributed check
-    # folded into est_jaccard below.
-    probe = corpus_index.select(F.size("signature").alias("_n")).limit(1).collect()
+    # folded into est_jaccard below. ``check_index=False`` skips the
+    # probe job for callers that verified the index once already and
+    # hold the parameters fixed (run_stream_curation checks on the
+    # first trigger of a run, not every micro-batch); the distributed
+    # est_jaccard guard still covers every emitted pair either way.
+    probe = (
+        corpus_index.select(F.size("signature").alias("_n")).limit(1).collect()
+        if check_index
+        else []
+    )
     if probe:
         n = probe[0]["_n"]
         if n is None:

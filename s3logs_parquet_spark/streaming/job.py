@@ -37,6 +37,7 @@ not applying an offset in passthrough mode.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -761,13 +762,14 @@ def run_stream_curation(
     (:func:`_prior_batch_dirs`), so a crashed attempt's own writes are
     invisible to its retry and the rewrite is bit-identical.
     """
+    from pyspark.sql import Window
+
     from s3logs_parquet_spark.functions.hashing import hash32
     from s3logs_parquet_spark.functions.text_analysis import with_quality_and_lang
     from s3logs_parquet_spark.operators.dedup import (
         _content_digest,
         band_signatures,
         connected_components_clusters,
-        exact_dedup,
         incremental_neardup_pairs,
         minhash_lsh_pairs,
         minhash_signatures,
@@ -841,7 +843,32 @@ def run_stream_curation(
     dg_store = f"{index_dir}/digests"
     band_store = f"{index_dir}/bands"
 
+    # per-RUN latch for the probe's index-parameter guard: the stream
+    # wrote the index with this run's own (num_hashes, bands), so the
+    # guard can only fire on the FIRST trigger of a run (a resume with
+    # different parameters) — checking it per trigger was one bounded
+    # collect job per batch for nothing (round-10 job-count audit)
+    _idx_checked = {"done": False}
+
+    # S3LPS_CURATION_TRACE=1: per-stage driver-side wall times printed
+    # per micro-batch — the job-count/floor profiling knob (PERF.md
+    # round 10). foreachBatch runs on the driver, so timing the eager
+    # actions IS the per-stage breakdown; lazy sections read ~0.
+    import os as _os
+    import time as _time
+
+    _trace = _os.environ.get("S3LPS_CURATION_TRACE") == "1"
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _marks: list[tuple[str, float]] = []
+        _t0 = _time.time()
+
+        def _mark(label: str) -> None:
+            nonlocal _t0
+            if _trace:
+                now = _time.time()
+                _marks.append((label, now - _t0))
+                _t0 = now
         # A micro-batch arrives with the SOURCE's split count — often
         # ONE partition (a 50k-doc file is a single <128 MB split), and
         # the quality/langid expressions are the pipeline's most
@@ -857,40 +884,57 @@ def run_stream_curation(
             (F.col("quality") >= min_quality)
             & F.col("lang_pred").isin(*languages)
         )
-        # exact_dedup's narrow (id-keyed) path scans its input twice by
-        # design (dedup.py trade-off note); checkpoint the filtered
-        # batch once so the second scan hits executor blocks instead of
-        # re-reading the source and re-evaluating quality/langid — this
-        # also makes numInputRows report true batch sizes
-        kept = materialize(kept)
-        exact = exact_dedup(kept, text_col, keep_order_col=id_col, id_col=id_col)
+        # Fused gate→dedup pass (round-10 job-count rework): the r9
+        # shape checkpointed `kept` separately because exact_dedup's
+        # narrow path scans its input twice; keying the within-batch
+        # exact dedup directly on the digest (one window over _dg —
+        # same min-id-per-digest survivor, `_dg` is exact_dedup's own
+        # key) folds quality/langid, within-batch dedup and the
+        # history digest anti-join into ONE lineage and ONE
+        # materialization, eliminating a full write+re-read of the
+        # batch's text. The window's hash partitioning on _dg is
+        # reused by the anti-join (same key), whose history side scans
+        # pre-partitioned under the bucketed layout — so the whole
+        # pass exchanges the O(batch) side twice (rebalance + _dg),
+        # nothing else.
         if bucketed:
             hist = _bandidx.prior_batches(spark, dg_store, batch_id)
         else:
             prior_dg = _prior_batch_dirs(spark, dg_store, batch_id)
             hist = spark.read.parquet(*prior_dg) if prior_dg else None
-        fresh = exact.withColumn("_dg", _content_digest(text_col))
-        if hist is not None:
-            # bucketed: the history side scans pre-partitioned on _dg —
-            # only the O(batch) fresh side exchanges for the anti-join
-            fresh = fresh.join(hist, on="_dg", how="left_anti")
-        # several consumers below (pairs, banding, digest write, output)
-        # re-scan this frame — materialize once per batch
-        fresh = materialize(fresh)
-
-        # Signature-reuse (round-9 throughput rework): compute MinHash
-        # signatures ONCE per trigger, materialize them, and feed the
-        # within-batch self-join, the history probe, and the index
-        # contribution from the same banded frame (the per-band explode
-        # is a cheap re-derivation from the signature blocks). The
-        # first shipped shape recomputed signatures up to three times
-        # per trigger — shingling + num_hashes hashes per doc is the
-        # dominant per-doc cost, so this was most of the online/batch
-        # throughput gap (measured A/B in PERF.md).
-        sig_fresh = materialize(
-            minhash_signatures(fresh, id_col, text_col, num_hashes, shingle_k)
+        w_dg = Window.partitionBy("_dg").orderBy(id_col)
+        base = (
+            kept.withColumn("_dg", _content_digest(text_col))
+            .withColumn("_rn", F.row_number().over(w_dg))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         )
-        banded_fresh = band_signatures(sig_fresh, id_col, num_hashes, bands)
+        if hist is not None:
+            base = base.join(hist, on="_dg", how="left_anti")
+        base = materialize(base)
+        _mark("gate+dedup")
+
+        # Signature-reuse (round-9 rework, fused further in round 10):
+        # compute MinHash signatures ONCE per trigger and carry them as
+        # a column of the single frame every consumer scans — the
+        # within-batch self-join, the history probe, the index
+        # contribution, the digest write and the survivors output all
+        # read `fresh` (the per-band explode is a cheap re-derivation
+        # from its signature blocks). Left join: a doc too short to
+        # shingle has a NULL signature — it is never banded/paired
+        # (exactly the r9 behavior, where it was simply absent from the
+        # signature frame) but stays eligible to survive and still
+        # contributes its digest.
+        sigs = minhash_signatures(base, id_col, text_col, num_hashes, shingle_k)
+        fresh = materialize(base.join(sigs, on=id_col, how="left"))
+        release(base)
+        _mark("signatures")
+        banded_fresh = band_signatures(
+            fresh.filter(F.col("signature").isNotNull()).select(id_col, "signature"),
+            id_col,
+            num_hashes,
+            bands,
+        )
         pairs = minhash_lsh_pairs(
             fresh,
             id_col,
@@ -904,6 +948,7 @@ def run_stream_curation(
             banded=banded_fresh,
         )
         labels = connected_components_clusters(pairs, fresh.select(id_col), id_col)
+        _mark("lsh+cc")
         canon = labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
         survivors = fresh.join(canon, id_col, "left_semi")
 
@@ -928,7 +973,12 @@ def run_stream_curation(
                 # exchange-free band join instead of rejoining the
                 # band-0 slice (the round-9 O(history) exchange)
                 carry_signatures=bucketed,
+                # the stream wrote the index with this run's own
+                # parameters — guard only the first trigger (resume
+                # with different num_hashes), not every micro-batch
+                check_index=not _idx_checked["done"],
             )
+            _idx_checked["done"] = True
             dup_ids = hits.select(F.col("batch_id").alias(id_col)).distinct()
             survivors = survivors.join(dup_ids, id_col, "left_anti")
 
@@ -943,6 +993,7 @@ def run_stream_curation(
             fresh.select(F.col("_dg")).write.mode("overwrite").parquet(
                 f"{dg_store}/batch={batch_id}"
             )
+        _mark("digest-write")
         band_out = (
             banded_fresh
             if index_dropped
@@ -959,8 +1010,6 @@ def run_stream_curation(
             # band_hash) — no signatures — and aggregates to one row
             # per distinct bucket, so its cost tracks distinct
             # buckets, not rows.
-            from pyspark.sql import Window
-
             K = int(band_index_max_bucket)
             w = Window.partitionBy("band", "band_hash").orderBy(id_col)
             band_pre = band_out
@@ -1022,6 +1071,7 @@ def run_stream_curation(
             band_out.write.mode("overwrite").parquet(
                 f"{band_store}/batch={batch_id}"
             )
+        _mark("band-write")
 
         bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(100))
         split = (
@@ -1032,14 +1082,19 @@ def run_stream_curation(
         survivors.select(
             id_col, "lang_pred", "quality", split.alias("split")
         ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        _mark("probe+out-write")
         # all consumers above are actions that already ran — drop this
         # batch's checkpoint blocks so a long-running stream's executor
         # storage stays bounded by ONE batch, not the whole history
-        release(sig_fresh)
         release(fresh)
-        release(kept)
         if band_ckpt is not None:
             release(band_ckpt)
+        if _trace:
+            print(
+                f"CURATION_TRACE batch={batch_id} "
+                + json.dumps({k: round(v, 2) for k, v in _marks}),
+                flush=True,
+            )
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -164,3 +164,32 @@ def test_with_quality_and_lang_matches_expressions(spark, sf_dir):
 
     with pytest.raises(ValueError, match="staging columns"):
         with_quality_and_lang(both.withColumn("_ws", F.lit(1)), "text")
+
+
+def test_gate_filter_does_not_reexpand_tokenize(spark, sf_dir):
+    """Round-10 gate-plan pin: a quality/language FILTER above
+    with_quality_and_lang must not be pushed through the staging
+    projections — PushDownPredicates' substitution re-expanded the
+    split+stopword subtree into the pushed predicate ~37x per row
+    (measured: 7.5 s vs 0.7 s per 50k docs), the dominant per-trigger
+    cost of the curation stream and the batch gate alike. The staged
+    tiers carry an always-true nondeterministic no-op exactly so the
+    filter stays above them; this pins the resulting plan shape (one
+    tokenize, one stopword pass per language) against optimizer drift."""
+    from s3logs_parquet_spark.functions.text_analysis import (
+        STOPWORDS,
+        with_quality_and_lang,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    flt = with_quality_and_lang(docs, "text").filter(
+        (F.col("quality") >= 0.5) & F.col("lang_pred").isin("en")
+    )
+    plan = flt._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    # one stopword filter per language plus the tokenizer's empty-token
+    # filter — any more means a projection tier got inlined again
+    assert plan.count("filter(") <= len(STOPWORDS) + 1, plan
+    # the pin itself must survive optimization (rand()-based variants
+    # get range-folded away by Spark 4 — see with_quality_and_lang)
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
