@@ -212,3 +212,78 @@ def write_partitioned_parquet(
 def write_gzip_text_archive(lines_df: DataFrame, path: str) -> None:
     """W7 — optional raw-line archive, gzip text (utils.rs:1273-1294)."""
     lines_df.write.mode("append").option("compression", "gzip").text(path)
+
+
+def s3a_committer_profile(
+    upload_threads: int = 32,
+    multipart_mb: int = 64,
+    buffer_dir: str | None = None,
+) -> dict[str, str]:
+    """The tested config profile for writing this engine's sinks
+    straight to ``s3a://`` paths — W4/W5's object-store posture as
+    CONFIGURATION, replacing the reference's hand-rolled multipart
+    uploader + rename-commit protocol (s3logs/src/transfer.rs:62-224,
+    chunked multipart with a 5 MiB floor / 10k-part ceiling
+    transfer.rs:14-16; s3logd-stream/src/output.rs:842-916's
+    ``.uploading``-suffix rename commit).
+
+    Spark equivalence: the S3A **magic committer** commits each task's
+    files via in-flight multipart uploads completed only at job commit
+    — zero rename, zero copy, atomic-per-file, task-retry safe — which
+    is exactly the property the reference's suffix-rename protocol
+    approximates on a store without atomic rename. The classic
+    FileOutputCommitter (v1/v2) must NOT be used against S3: v1's
+    directory rename is an O(data) copy on an object store and v2 is
+    non-atomic on failure.
+
+    Apply at session build (committer classes bind at write time, so
+    these must be set before the first S3A write):
+
+        builder = SparkSession.builder
+        for k, v in s3a_committer_profile().items():
+            builder = builder.config(k, v)
+
+    Requirements at runtime (NOT bundled here, by design): the
+    ``spark-hadoop-cloud`` module (PathOutputCommitProtocol) and
+    ``hadoop-aws`` on the classpath — add
+    ``--packages org.apache.spark:spark-hadoop-cloud_2.13:<spark ver>``
+    on a cluster. This sandbox has no object store, so the profile is
+    pinned by schema/content tests (tests/test_writer_props.py), not a
+    live S3 write; every key below is the public Hadoop/Spark cloud
+    committer contract.
+
+    ``dynamic partitionOverwriteMode`` (write_partitioned_parquet's
+    ``overwrite_partitions`` mode and the band-index stores) is NOT
+    supported by the magic committer — those sinks keep the default
+    committer against a cluster filesystem, or use append+idempotent
+    batch dirs as run_stream_curation does. The profile therefore only
+    covers append/overwrite sinks (the batch ETL and archive paths).
+    """
+    prof = {
+        # bind Spark's commit protocol to Hadoop's PathOutputCommitter
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+        # the zero-rename committer itself
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        # multipart sizing — the reference floors chunks at 5 MiB and
+        # scales up to stay under 10k parts (transfer.rs:62-80); S3A
+        # does the same given the part size, so only the part size is
+        # ours to pick
+        "spark.hadoop.fs.s3a.multipart.size": f"{int(multipart_mb)}M",
+        "spark.hadoop.fs.s3a.fast.upload.buffer": "disk",
+        # parallel part uploads per JVM: the reference's async_tasks
+        # knob (conf.rs TRANSFORM section)
+        "spark.hadoop.fs.s3a.threads.max": str(int(upload_threads)),
+        "spark.hadoop.fs.s3a.connection.maximum": str(max(int(upload_threads) * 2, 96)),
+        # directory listings back the streaming file source + replay
+        # guards; v2 list is the modern default but pin it explicitly
+        "spark.hadoop.fs.s3a.list.version": "2",
+    }
+    if buffer_dir is not None:
+        prof["spark.hadoop.fs.s3a.buffer.dir"] = buffer_dir
+    return prof
