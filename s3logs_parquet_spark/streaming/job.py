@@ -984,105 +984,161 @@ def run_stream_curation(
 
         # digest contributions always cover every exact-unique ARRIVED
         # doc; band contributions follow index_dropped (see docstring)
-        if bucketed:
-            _bandidx.write_contribution(
-                spark, dg_store, fresh.select("_dg"), batch_id,
-                ("_dg",), n_buckets=index_buckets, dedup_cols=("_dg",),
+        def _write_digests() -> None:
+            if bucketed:
+                _bandidx.write_contribution(
+                    spark, dg_store, fresh.select("_dg"), batch_id,
+                    ("_dg",), n_buckets=index_buckets, dedup_cols=("_dg",),
+                )
+            else:
+                fresh.select(F.col("_dg")).write.mode("overwrite").parquet(
+                    f"{dg_store}/batch={batch_id}"
+                )
+
+        def _write_bands(band_out: DataFrame):
+            """Optional bucket cap + band contribution write. Returns
+            the checkpointed frame to release after the trigger (or
+            None)."""
+            band_ckpt = None
+            if band_index_max_bucket is not None:
+                # first-K-arrivals bucket cap (see docstring): rank-cap
+                # the batch's contribution per bucket AGAINST the
+                # bucket's remaining capacity (K − history count), so a
+                # bucket never exceeds K rows — the first shipped cut
+                # skipped only already-full buckets and independently
+                # rank-capped the batch, letting a bucket at K−1 reach
+                # 2K−1 (ADVICE round 9). The history pass reads TWO int
+                # columns (band, band_hash) — no signatures — and
+                # aggregates to one row per distinct bucket, so its
+                # cost tracks distinct buckets, not rows.
+                K = int(band_index_max_bucket)
+                w = Window.partitionBy("band", "band_hash").orderBy(id_col)
+                band_pre = band_out
+                capacity = F.lit(K)
+                if idx is not None:
+                    # bucketed: partial+final agg on the bucket keys with
+                    # NO exchange (scan is already hash-partitioned)
+                    counts = (
+                        idx.groupBy("band", "band_hash")
+                        .agg(F.count("*").alias("_hist_n"))
+                    )
+                    band_out = band_out.join(counts, ["band", "band_hash"], "left")
+                    capacity = F.lit(K) - F.coalesce(F.col("_hist_n"), F.lit(0))
+                band_out = (
+                    band_out.withColumn("_rk", F.row_number().over(w))
+                    .filter(F.col("_rk") <= capacity)
+                    .drop("_rk", "_hist_n")
+                )
+                # Signature-carrier invariant (ADVICE round 9):
+                # consumers read a doc's signature from its band-0 row,
+                # so capping a doc's band-0 row while OTHER band rows
+                # survive would silently drop every candidate pair
+                # found through those bands. Re-add the band-0 row for
+                # each id that kept >= 1 band row but lost band 0 —
+                # with a NULL band_hash, so the restored row carries
+                # the signature WITHOUT joining any candidate bucket or
+                # counting against bucket capacity (equi-joins and
+                # groupBys on band_hash never match NULL).
+                kept0 = band_out.filter(F.col("band") == 0).select(id_col)
+                restored = (
+                    band_pre.filter(F.col("band") == 0)
+                    .join(band_out.select(id_col).distinct(), id_col, "left_semi")
+                    .join(kept0, id_col, "left_anti")
+                    .withColumn(
+                        "band_hash",
+                        F.lit(None).cast(dict(band_pre.dtypes)["band_hash"]),
+                    )
+                )
+                band_out = band_out.unionByName(restored)
+            if bucketed and idx is not None and (
+                not index_dropped or band_index_max_bucket is not None
+            ):
+                # survivors-only band_out (and the cap's history counts)
+                # READ the bands table the insert below overwrites —
+                # Spark's static cycle check rejects that even though
+                # the partitions are disjoint. Checkpoint severs the
+                # lineage; O(batch) rows, released right after the
+                # write.
+                band_out = band_ckpt = materialize(band_out)
+            if bucketed:
+                _bandidx.write_contribution(
+                    spark, band_store, band_out, batch_id,
+                    ("band", "band_hash"), n_buckets=index_buckets,
+                    # a doc arrives in exactly one batch and appears
+                    # once per band (carrier rows included) →
+                    # (id, band) keys the store; folds dedup on it
+                    # (see write_contribution)
+                    dedup_cols=(id_col, "band"),
+                )
+            else:
+                band_out.write.mode("overwrite").parquet(
+                    f"{band_store}/batch={batch_id}"
+                )
+            return band_ckpt
+
+        def _write_survivors() -> None:
+            bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(100))
+            split = (
+                F.when(bucket < 80, F.lit("train"))
+                .when(bucket < 90, F.lit("val"))
+                .otherwise(F.lit("test"))
             )
-        else:
-            fresh.select(F.col("_dg")).write.mode("overwrite").parquet(
-                f"{dg_store}/batch={batch_id}"
-            )
-        _mark("digest-write")
-        band_out = (
+            survivors.select(
+                id_col, "lang_pred", "quality", split.alias("split")
+            ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+        band_in = (
             banded_fresh
             if index_dropped
             else banded_fresh.join(survivors.select(id_col), id_col, "left_semi")
         )
-        if band_index_max_bucket is not None:
-            # first-K-arrivals bucket cap (see docstring): rank-cap the
-            # batch's contribution per bucket AGAINST the bucket's
-            # remaining capacity (K − history count), so a bucket never
-            # exceeds K rows — the first shipped cut skipped only
-            # already-full buckets and independently rank-capped the
-            # batch, letting a bucket at K−1 reach 2K−1 (ADVICE round
-            # 9). The history pass reads TWO int columns (band,
-            # band_hash) — no signatures — and aggregates to one row
-            # per distinct bucket, so its cost tracks distinct
-            # buckets, not rows.
-            K = int(band_index_max_bucket)
-            w = Window.partitionBy("band", "band_hash").orderBy(id_col)
-            band_pre = band_out
-            capacity = F.lit(K)
-            if idx is not None:
-                # bucketed: partial+final agg on the bucket keys with
-                # NO exchange (scan is already hash-partitioned)
-                counts = (
-                    idx.groupBy("band", "band_hash")
-                    .agg(F.count("*").alias("_hist_n"))
-                )
-                band_out = band_out.join(counts, ["band", "band_hash"], "left")
-                capacity = F.lit(K) - F.coalesce(F.col("_hist_n"), F.lit(0))
-            band_out = (
-                band_out.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") <= capacity)
-                .drop("_rk", "_hist_n")
-            )
-            # Signature-carrier invariant (ADVICE round 9): consumers
-            # read a doc's signature from its band-0 row, so capping a
-            # doc's band-0 row while OTHER band rows survive would
-            # silently drop every candidate pair found through those
-            # bands. Re-add the band-0 row for each id that kept >= 1
-            # band row but lost band 0 — with a NULL band_hash, so the
-            # restored row carries the signature WITHOUT joining any
-            # candidate bucket or counting against bucket capacity
-            # (equi-joins and groupBys on band_hash never match NULL).
-            kept0 = band_out.filter(F.col("band") == 0).select(id_col)
-            restored = (
-                band_pre.filter(F.col("band") == 0)
-                .join(band_out.select(id_col).distinct(), id_col, "left_semi")
-                .join(kept0, id_col, "left_anti")
-                .withColumn(
-                    "band_hash",
-                    F.lit(None).cast(dict(band_pre.dtypes)["band_hash"]),
-                )
-            )
-            band_out = band_out.unionByName(restored)
-        band_ckpt = None
-        if bucketed and idx is not None and (
-            not index_dropped or band_index_max_bucket is not None
-        ):
-            # survivors-only band_out (and the cap's history counts)
-            # READ the bands table the insert below overwrites —
-            # Spark's static cycle check rejects that even though the
-            # partitions are disjoint. Checkpoint severs the lineage;
-            # O(batch) rows, released right after the write.
-            band_out = band_ckpt = materialize(band_out)
-        if bucketed:
-            _bandidx.write_contribution(
-                spark, band_store, band_out, batch_id,
-                ("band", "band_hash"), n_buckets=index_buckets,
-                # a doc arrives in exactly one batch and appears once
-                # per band (carrier rows included) → (id, band) keys
-                # the store; folds dedup on it (see write_contribution)
-                dedup_cols=(id_col, "band"),
-            )
-        else:
-            band_out.write.mode("overwrite").parquet(
-                f"{band_store}/batch={batch_id}"
-            )
-        _mark("band-write")
+        if index_dropped:
+            # Sink concurrency (round 10): in the default full-recall
+            # mode the three sinks share no lineage beyond the already-
+            # checkpointed `fresh`/`banded_fresh` (the band contribution
+            # is arrival-based, not survivor-based), so the digest and
+            # band writes are submitted from worker threads while the
+            # main thread runs the probe + survivors write — the
+            # scheduler interleaves their stages across one executor
+            # pool, hiding the serial sink tail (~2 s of a ~8 s
+            # trigger, PERF.md round 10). Write ordering is
+            # commit-irrelevant: each sink owns its batch=<id> unit and
+            # the probe's history scan prunes to batch < id, so a
+            # concurrently-committed current-batch contribution is
+            # never visible to it. partitionOverwriteMode is pinned
+            # dynamic on the batch session for the whole region so the
+            # concurrent write_contribution set/restore cycles are
+            # no-ops instead of a conf race. The survivors-only mode
+            # stays sequential — its band contribution derives FROM the
+            # survivors frame.
+            import concurrent.futures as _cf
 
-        bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(100))
-        split = (
-            F.when(bucket < 80, F.lit("train"))
-            .when(bucket < 90, F.lit("val"))
-            .otherwise(F.lit("test"))
-        )
-        survivors.select(
-            id_col, "lang_pred", "quality", split.alias("split")
-        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        _mark("probe+out-write")
+            sess = fresh.sparkSession
+            old_pom = sess.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "STATIC"
+            )
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                with _cf.ThreadPoolExecutor(
+                    max_workers=2, thread_name_prefix="s3lps-sink"
+                ) as pool:
+                    f_dg = pool.submit(_write_digests)
+                    f_bd = pool.submit(_write_bands, band_in)
+                    _write_survivors()
+                    band_ckpt = f_bd.result()
+                    f_dg.result()
+            finally:
+                sess.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", old_pom
+                )
+            _mark("sinks-parallel+probe")
+        else:
+            _write_digests()
+            _mark("digest-write")
+            band_ckpt = _write_bands(band_in)
+            _mark("band-write")
+            _write_survivors()
+            _mark("probe+out-write")
         # all consumers above are actions that already ran — drop this
         # batch's checkpoint blocks so a long-running stream's executor
         # storage stays bounded by ONE batch, not the whole history
