@@ -118,6 +118,19 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--granularity", choices=["day", "hour"], default="day")
     ps.add_argument("--passthrough", action="store_true")
     ps.add_argument("--follow", action="store_true", help="keep running (default: drain and exit)")
+    ps.add_argument(
+        "--pidfile",
+        help="(--follow) write the driver pid here for a process supervisor; "
+        "SIGTERM/SIGINT then drain available input and stop (T6; the "
+        "reference daemon's pidfile+signal shell, s3logd-stream/src/main.rs:317-521)",
+    )
+    ps.add_argument(
+        "--drain-timeout",
+        type=float,
+        default=None,
+        help="(--follow) max seconds to drain on SIGTERM before hard stop "
+        "(replay-safe either way)",
+    )
 
     args = p.parse_args(argv)
 
@@ -192,7 +205,15 @@ def main(argv: list[str] | None = None) -> int:
             available_now=not args.follow,
         )
         q = run_streaming_transform(spark, args.input, args.output, args.checkpoint, cfg, scfg)
+        if args.follow:
+            from s3logs_parquet_spark.streaming.job import install_stream_supervisor
+
+            install_stream_supervisor(
+                q, pidfile=args.pidfile, drain_timeout_sec=args.drain_timeout
+            )
         q.awaitTermination()
+        if args.follow and args.pidfile and os.path.exists(args.pidfile):
+            os.remove(args.pidfile)
         # listener events are delivered asynchronously; give the bus a
         # moment to drain before reporting
         import time as _time

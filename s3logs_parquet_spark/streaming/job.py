@@ -1160,3 +1160,66 @@ def run_stream_curation(
     else:
         writer = writer.trigger(processingTime=scfg.processing_time)
     return writer.start()
+
+
+def graceful_drain(query: StreamingQuery, timeout_sec: float | None = None) -> None:
+    """T6 drain protocol for a long-lived (``--follow``) stream: finish
+    processing everything already available at the source, then stop —
+    the reference daemon's orderly-shutdown path (signal → stop
+    receivers → drain per-writer channels → flush/upload → exit,
+    s3logd-stream/src/main.rs:317-521 + output.rs:869-901). Spark
+    equivalence: ``processAllAvailable()`` blocks until the sink has
+    consumed every offset available at call time, then ``stop()``
+    terminates the trigger loop. A hard kill is ALSO safe here (T4:
+    checkpoint WAL + idempotent per-batch commits replay cleanly) —
+    draining just avoids replaying a partial batch on the next start.
+
+    ``timeout_sec`` bounds the drain for supervisors that escalate to
+    SIGKILL on a deadline: past it, skip straight to stop() and let
+    replay handle the partial batch.
+    """
+    import threading
+
+    try:
+        if timeout_sec is None:
+            query.processAllAvailable()
+        else:
+            t = threading.Thread(target=query.processAllAvailable, daemon=True)
+            t.start()
+            t.join(timeout_sec)
+    finally:
+        query.stop()
+
+
+def install_stream_supervisor(
+    query: StreamingQuery,
+    pidfile: str | None = None,
+    drain_timeout_sec: float | None = None,
+):
+    """Daemon-ops shell for ``cli.py stream --follow`` (the reference's
+    daemonize/pidfile/signal block, s3logd-stream/src/main.rs:317-521):
+    writes ``pidfile`` for a process supervisor (the systemd/runit
+    equivalent of the reference's self-daemonization — Spark drivers
+    should be supervised, not self-forking) and installs SIGTERM/SIGINT
+    handlers that run :func:`graceful_drain` on a daemon thread — the
+    handler itself must not issue blocking JVM calls, since it
+    interrupts the main thread's ``awaitTermination``. Returns the
+    handler for tests. Caller removes the pidfile after
+    ``awaitTermination`` returns.
+    """
+    import os
+    import signal
+    import threading
+
+    if pidfile:
+        with open(pidfile, "w") as fh:
+            fh.write(str(os.getpid()))
+
+    def _handler(signum=None, frame=None):
+        threading.Thread(
+            target=graceful_drain, args=(query, drain_timeout_sec), daemon=True
+        ).start()
+
+    signal.signal(signal.SIGTERM, _handler)
+    signal.signal(signal.SIGINT, _handler)
+    return _handler
