@@ -121,6 +121,8 @@ def with_quality_and_lang(
     quality_col: str = "quality",
     lang_col: str = "lang_pred",
     round_quality: int | None = 6,
+    emit: tuple[str, ...] = ("quality", "lang"),
+    keep_features: bool = False,
 ):
     """``quality_score`` + ``langid`` as ONE shared-work plan:
     adds ``quality_col``/``lang_col`` to ``df`` with values IDENTICAL
@@ -158,11 +160,44 @@ def with_quality_and_lang(
     wrapper's branch is always taken — and the single-split plan shape
     is pinned by
     tests/test_text_functions.py::test_gate_filter_does_not_reexpand_tokenize.
+
+    ``emit`` (round 10) narrows the staged work to what the caller
+    consumes: ``("lang",)`` skips the punctuation regexp, word-length
+    fold and quality arithmetic; ``("quality",)`` skips the three
+    non-English stopword passes and the argmax chain. The round-10
+    plan audit found the PURE forms doing 11-26 tokenizations per row
+    at the single-output call sites (q_docs_langid: 26 ``split()``
+    copies — langid's when-chain duplication is internal to the
+    expression, no filter needed) — those callers route here instead.
+    ``keep_features=True`` additionally emits the raw feature columns
+    ``n_words``/``punct_ratio``/``stopword_ratio`` (unrounded doubles,
+    exactly :func:`quality_features`' values) for scoring surfaces
+    like q_docs_quality.
     """
+    bad = set(emit) - {"quality", "lang"}
+    if bad or not emit:
+        raise ValueError(
+            f"with_quality_and_lang: emit must be a non-empty subset of "
+            f"('quality', 'lang'), got {emit!r}"
+        )
+    want_q = "quality" in emit
+    want_l = "lang" in emit
+    if keep_features and not want_q:
+        raise ValueError(
+            "with_quality_and_lang: keep_features requires 'quality' in emit"
+        )
     text = F.col(text_col)
+    sw_langs = list(STOPWORDS) if want_l else ["en"]
     staging = ["_ws", "_n_words", "_n_chars", "_n_punct", "_mwl_sum"] + [
-        f"_sw_{lang}" for lang in STOPWORDS
+        f"_sw_{lang}" for lang in sw_langs
     ]
+    feature_names = ["n_words", "punct_ratio", "stopword_ratio"] if keep_features else []
+    clash_out = sorted(set(feature_names) & set(df.columns))
+    if clash_out:
+        raise ValueError(
+            f"with_quality_and_lang: keep_features would overwrite existing "
+            f"columns {clash_out} — rename them first"
+        )
     clash = sorted(set(staging) & set(df.columns))
     if clash:
         raise ValueError(
@@ -176,49 +211,57 @@ def with_quality_and_lang(
 
     ws = _pin(words(text))
     hit_cols = {
-        f"_sw_{lang}": _pin(_stopword_hits(F.col("_ws"), lang)) for lang in STOPWORDS
+        f"_sw_{lang}": _pin(_stopword_hits(F.col("_ws"), lang)) for lang in sw_langs
     }
-    staged = df.withColumn("_ws", ws).withColumns(
-        {
-            **hit_cols,
-            "_n_words": F.size(F.col("_ws")),
-            "_n_chars": F.length(text),
-            "_n_punct": _pin(
-                F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
-            ),
-            "_mwl_sum": _pin(
-                F.aggregate(F.col("_ws"), F.lit(0), lambda acc, w: acc + F.length(w))
-            ),
-        }
-    )
-    n_words, n_chars = F.col("_n_words"), F.col("_n_chars")
-    punct_ratio = F.when(
-        n_chars > 0, F.col("_n_punct").cast("double") / n_chars
-    ).otherwise(0.0)
-    stopword_ratio = F.when(
-        n_words > 0, F.col("_sw_en").cast("double") / n_words
-    ).otherwise(0.0)
-    mean_word_len = F.when(
-        n_words > 0, F.col("_mwl_sum").cast("double") / n_words
-    ).otherwise(F.lit(0.0))
-    length_ok = F.least(n_words.cast("double") / F.lit(20.0), F.lit(1.0))
-    stop_ok = F.least(stopword_ratio * 4.0, F.lit(1.0))
-    punct_ok = F.greatest(F.lit(1.0) - punct_ratio * 5.0, F.lit(0.0))
-    wordlen_ok = F.when(
-        (mean_word_len >= 3.0) & (mean_word_len <= 10.0), F.lit(1.0)
-    ).otherwise(F.lit(0.5))
-    quality = length_ok * 0.3 + stop_ok * 0.3 + punct_ok * 0.2 + wordlen_ok * 0.2
-    if round_quality is not None:
-        quality = F.round(quality, round_quality)
+    tier2: dict[str, Column] = {**hit_cols, "_n_words": F.size(F.col("_ws"))}
+    if want_q:
+        tier2["_n_chars"] = F.length(text)
+        tier2["_n_punct"] = _pin(
+            F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+        )
+        tier2["_mwl_sum"] = _pin(
+            F.aggregate(F.col("_ws"), F.lit(0), lambda acc, w: acc + F.length(w))
+        )
+    staged = df.withColumn("_ws", ws).withColumns(tier2)
 
-    best = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in STOPWORDS:  # same fixed order + strict > as langid()
-        cond = F.col(f"_sw_{lang}") > best_hits
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_hits = F.when(cond, F.col(f"_sw_{lang}")).otherwise(best_hits)
+    out_cols: dict[str, Column] = {}
+    n_words = F.col("_n_words")
+    if want_q:
+        n_chars = F.col("_n_chars")
+        punct_ratio = F.when(
+            n_chars > 0, F.col("_n_punct").cast("double") / n_chars
+        ).otherwise(0.0)
+        stopword_ratio = F.when(
+            n_words > 0, F.col("_sw_en").cast("double") / n_words
+        ).otherwise(0.0)
+        mean_word_len = F.when(
+            n_words > 0, F.col("_mwl_sum").cast("double") / n_words
+        ).otherwise(F.lit(0.0))
+        length_ok = F.least(n_words.cast("double") / F.lit(20.0), F.lit(1.0))
+        stop_ok = F.least(stopword_ratio * 4.0, F.lit(1.0))
+        punct_ok = F.greatest(F.lit(1.0) - punct_ratio * 5.0, F.lit(0.0))
+        wordlen_ok = F.when(
+            (mean_word_len >= 3.0) & (mean_word_len <= 10.0), F.lit(1.0)
+        ).otherwise(F.lit(0.5))
+        quality = length_ok * 0.3 + stop_ok * 0.3 + punct_ok * 0.2 + wordlen_ok * 0.2
+        if round_quality is not None:
+            quality = F.round(quality, round_quality)
+        out_cols[quality_col] = quality
+        if keep_features:
+            out_cols["n_words"] = n_words.cast("long")
+            out_cols["punct_ratio"] = punct_ratio
+            out_cols["stopword_ratio"] = stopword_ratio
 
-    return staged.withColumns({quality_col: quality, lang_col: best}).drop(
+    if want_l:
+        best = F.lit("und")
+        best_hits = F.lit(0)
+        for lang in STOPWORDS:  # same fixed order + strict > as langid()
+            cond = F.col(f"_sw_{lang}") > best_hits
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_hits = F.when(cond, F.col(f"_sw_{lang}")).otherwise(best_hits)
+        out_cols[lang_col] = best
+
+    return staged.withColumns(out_cols).drop(
         "_ws", "_n_words", "_n_chars", "_n_punct", "_mwl_sum", *hit_cols
     )
 
@@ -358,6 +401,53 @@ def repetition_signals(text: Column) -> dict[str, Column]:
         "dup_word_ratio": F.when(n > 0, (n - uniq).cast("double") / n).otherwise(0.0),
         "dup_bigram_ratio": F.when(nb > 0, (nb - uniqb).cast("double") / nb).otherwise(0.0),
     }
+
+
+def with_repetition_signals(
+    df,
+    text_col: str = "text",
+    word_col: str = "dup_word_ratio",
+    bigram_col: str = "dup_bigram_ratio",
+):
+    """:func:`repetition_signals` as a staged plan (the
+    with_quality_and_lang pattern): the pure dict-of-Columns form
+    re-derives the words array per reference (~16 ``split()`` copies in
+    q_docs_clean_and_repetition's optimized plan, round-10 audit) —
+    here the words array and the bigram array are pinned staging
+    columns evaluated once, values bit-identical (the oracle
+    differential covers them)."""
+    staging = ["_rs_ws", "_rs_bg"]
+    clash = sorted(set(staging + [word_col, bigram_col]) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"with_repetition_signals: input already has columns {clash} "
+            "— rename them (they would be silently overwritten)"
+        )
+
+    def _pin(c: Column) -> Column:
+        # always-true nondeterministic no-op — same pushdown/collapse
+        # barrier with_quality_and_lang documents
+        return F.when(F.spark_partition_id() >= 0, c)
+
+    ws = F.col("_rs_ws")
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        ws, F.slice(ws, 2, 2_000_000_000), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    bigrams = F.slice(bigrams, 1, F.greatest(n - F.lit(1), F.lit(0)))
+    staged = df.withColumn("_rs_ws", _pin(words(F.col(text_col)))).withColumn(
+        "_rs_bg", _pin(bigrams)
+    )
+    bg = F.col("_rs_bg")
+    uniq = F.size(F.array_distinct(ws))
+    nb = F.size(bg)
+    uniqb = F.size(F.array_distinct(bg))
+    return staged.withColumns(
+        {
+            word_col: F.when(n > 0, (n - uniq).cast("double") / n).otherwise(0.0),
+            bigram_col: F.when(nb > 0, (nb - uniqb).cast("double") / nb).otherwise(0.0),
+        }
+    ).drop("_rs_ws", "_rs_bg")
 
 
 # PII redaction rules, applied IN ORDER (order matters: an SSN or IPv4

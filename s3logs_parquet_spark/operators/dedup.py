@@ -1253,10 +1253,23 @@ def canonical_keep(
     keep decision is one cluster-keyed hash aggregate (max_by) joined
     back — no per-cluster sort window, no collect.
     """
+    qdf = None
     if quality is None:
-        from s3logs_parquet_spark.functions.text_analysis import quality_score
+        # staged gate (round-10 plan audit): the pure quality_score
+        # expression re-derives the words array per feature (~20
+        # split() copies at this call site's plan); the fused helper
+        # emits the identical round(quality_score, 6) value from ONE
+        # tokenize pass
+        from s3logs_parquet_spark.functions.text_analysis import (
+            with_quality_and_lang,
+        )
 
-        quality = F.round(quality_score(F.col(text_col)), 6)
+        qdf = with_quality_and_lang(
+            df.select(F.col(id_col), F.col(text_col)),
+            text_col,
+            quality_col="_ck_q",
+            emit=("quality",),
+        ).select(id_col, "_ck_q")
 
     pairs = minhash_lsh_pairs(
         df,
@@ -1281,7 +1294,9 @@ def canonical_keep(
     labels = connected_components_clusters(
         verified.select("id_a", "id_b"), df.select(id_col), id_col
     )
-    scored = labels.join(df.select(F.col(id_col), quality.alias("_ck_q")), id_col)
+    if qdf is None:
+        qdf = df.select(F.col(id_col), quality.alias("_ck_q"))
+    scored = labels.join(qdf, id_col)
     # per-doc best verified similarity (both endpoints of each edge)
     mj = (
         verified.select(F.col("id_a").alias(id_col), "jaccard")
@@ -1494,6 +1509,8 @@ def tfidf_similar_pairs(
     max_df: int = 1000,
     idf_scale: int = 1 << 14,
     tf_cap: int = 255,
+    materialize: bool = True,
+    durable: bool = False,
 ) -> DataFrame:
     """Weighted lexical similarity pairs: cosine over tf-idf-style
     term vectors ≥ ``threshold`` — the frequency-weighted complement
@@ -1540,6 +1557,15 @@ def tfidf_similar_pairs(
         )
         .filter(F.col("w") > 0)
     )
+    if materialize:
+        # three consumers scan the postings table (the norms aggregate
+        # and BOTH sides of the term self-join) — without a checkpoint
+        # each replays tokenize + two hash-aggs + the df join (the
+        # round-10 plan audit counted the tokenize 8× in this plan).
+        # Same signature discipline as minhash_lsh_pairs; the
+        # production-scale analog is persisting the postings table
+        # (the docstring's write-side precompute).
+        postings = _materialize(postings, durable)
     norms = postings.groupBy(id_col).agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
 
     a = postings.select(

@@ -31,6 +31,7 @@ from s3logs_parquet_spark.functions.text_analysis import (
     langid,
     quality_features,
     quality_score,
+    with_quality_and_lang,
 )
 from s3logs_parquet_spark.operators.ann import brute_force_topk
 from s3logs_parquet_spark.operators.dedup import (
@@ -795,13 +796,19 @@ def _sql_stop_hits(lang: str) -> str:
 
 def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    feats = quality_features(F.col("text"))
-    return d.select(
+    # staged gate (round-10 plan audit): the pure quality_features/
+    # quality_score forms re-derive the words array per feature
+    # (~11 split() copies in the optimized plan); the fused helper
+    # emits bit-identical values from one tokenize pass
+    staged = with_quality_and_lang(
+        d.select("doc_id", "text"), "text", emit=("quality",), keep_features=True
+    )
+    return staged.select(
         "doc_id",
-        feats["n_words"].alias("n_words"),
-        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
-        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
-        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        "n_words",
+        F.round(F.col("punct_ratio"), 6).alias("punct_ratio"),
+        F.round(F.col("stopword_ratio"), 6).alias("stopword_ratio"),
+        "quality",
     )
 
 
@@ -927,7 +934,13 @@ FROM h
 
 def q_docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", langid(F.col("text")).alias("lang_pred"))
+    # staged form: langid()'s when-chain duplicates each language's
+    # stopword pass internally — 26 split() copies per row in the
+    # optimized plan (round-10 audit); the fused helper is bit-identical
+    # with ONE tokenize
+    return with_quality_and_lang(
+        d.select("doc_id", "text"), "text", emit=("lang",)
+    ).select("doc_id", "lang_pred")
 
 
 _SQL_LANGID = f"""
@@ -1667,15 +1680,19 @@ FROM survivors
 def q_docs_clean_and_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization + within-doc repetition signals (the
     boilerplate/spam filters of a curation pipeline)."""
-    from s3logs_parquet_spark.functions.text_analysis import clean_text, repetition_signals
+    from s3logs_parquet_spark.functions.text_analysis import (
+        clean_text,
+        with_repetition_signals,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    sig = repetition_signals(F.col("text"))
-    return d.select(
+    # staged form (round-10 plan audit): one tokenize + one bigram
+    # build instead of the pure dict form's ~16 split() copies
+    return with_repetition_signals(d.select("doc_id", "text")).select(
         "doc_id",
         F.length(clean_text(F.col("text"))).alias("clean_chars"),
-        F.round(sig["dup_word_ratio"], 6).alias("dup_word_ratio"),
-        F.round(sig["dup_bigram_ratio"], 6).alias("dup_bigram_ratio"),
+        F.round(F.col("dup_word_ratio"), 6).alias("dup_word_ratio"),
+        F.round(F.col("dup_bigram_ratio"), 6).alias("dup_bigram_ratio"),
     )
 
 
@@ -2218,16 +2235,19 @@ def q_docs_selection_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     cap = F.lit(15) + F.pmod(hash32(F.col("source")), F.lit(20))
     capped = cap_per_group(d, "source", cap, "doc_id", max_cap=34)
-    feats = quality_features(F.col("text"))
-    scored = capped.select(
-        "doc_id",
-        "source",
-        "cap_rk",
-        "cap_keep",
-        F.round(quality_score(F.col("text")), 6).alias("quality"),
-        feats["n_words"].alias("tok"),
-    ).withColumn(
-        "_w", F.when(F.col("cap_keep"), F.col("tok")).otherwise(F.lit(0))
+    # staged gate (round-10 plan audit): one tokenize instead of the
+    # pure forms' ~11 split() copies; values bit-identical
+    scored = (
+        with_quality_and_lang(capped, "text", emit=("quality",), keep_features=True)
+        .select(
+            "doc_id",
+            "source",
+            "cap_rk",
+            "cap_keep",
+            "quality",
+            F.col("n_words").alias("tok"),
+        )
+        .withColumn("_w", F.when(F.col("cap_keep"), F.col("tok")).otherwise(F.lit(0)))
     )
     out = budget_select(scored, "quality", "doc_id", "_w", 12_000)
     return out.select(

@@ -193,3 +193,28 @@ def test_gate_filter_does_not_reexpand_tokenize(spark, sf_dir):
     # the pin itself must survive optimization (rand()-based variants
     # get range-folded away by Spark 4 — see with_quality_and_lang)
     assert "SPARK_PARTITION_ID" in plan.upper(), plan
+
+
+def test_staged_callers_tokenize_once(spark, sf_dir):
+    """Round-10 plan audit regressions: the registry queries that
+    route through the staged text-analysis helpers must keep their
+    single-tokenize plans (they previously re-expanded to 11-26
+    split() copies via the pure Column forms' internal duplication).
+    Counts are upper bounds per query so legitimately distinct uses
+    (curation's shingling etc.) stay out of scope."""
+    from s3logs_parquet_spark.plans.queries import QUERIES
+
+    budgets = {
+        "docs_langid": 1,
+        "docs_selection_budget": 1,
+        "docs_clean_and_repetition": 1,
+        "docs_neardup_canonical_keep": 2,  # gate + shingle tokenizes
+    }
+    for name, max_splits in budgets.items():
+        plan = (
+            QUERIES[name][0](spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("split(") <= max_splits, (name, plan.count("split("))
