@@ -195,7 +195,16 @@ def main() -> None:
                 out = with_partition_columns(result, cfg).drop(
                     "n_fields", "ts", "agg_window", "bucket_key"
                 )
-                write_partitioned_parquet(out, out_path, cfg, mode="overwrite")
+                # the shipped write path's size-based salt
+                # (run_batch_transform, plans/batch.py:212) — without
+                # it the dense leg collapses onto one writer task and
+                # the leg benchmarks the harness, not the engine
+                from s3logs_parquet_spark.writer import auto_files_per_partition
+
+                salt = auto_files_per_partition(lines_path, spark=spark)
+                write_partitioned_parquet(
+                    out, out_path, cfg, mode="overwrite", files_per_partition=salt
+                )
                 etl_sec = min(etl_sec, time.time() - t0)
             timings[shape] = round(etl_sec, 3)
             etl_stats[f"{shape}_lines_per_sec"] = round(n_lines / etl_sec, 1)

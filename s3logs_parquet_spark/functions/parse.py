@@ -108,7 +108,31 @@ def parse_s3_access_log(
     # ExtraField{N} naming continues from its loaded schema's len.
     names = tuple(fields) if fields is not None else LOG_FIELDS
     n_names = len(names)
-    toks = tokenize(F.col(line_col))
+    if "_toks" in df.columns:
+        raise ValueError(
+            "parse_s3_access_log: input already has a '_toks' column — "
+            "rename it (used as the tokenizer staging column)"
+        )
+    # Stage the token array as a real column behind an always-true
+    # nondeterministic no-op (the with_quality_and_lang pattern,
+    # text_analysis.py): the projection below references the array
+    # ~28 times (26 fields + ts + n_fields) and the optimizer inlines
+    # the full regexp+transform tree into every reference — 25 copies
+    # in the optimized plan. Honest effect (PERF.md round 10): ~1.16x
+    # at a 200k-line probe (178k → 206k lines/s), NOT 25x — these
+    # references are unconditionally evaluated, so Spark's RUNTIME
+    # subexpression elimination already recovered most of the work
+    # (unlike the curation gate's copies, which sat inside when/CASE
+    # branches where CSE does not apply). Staging still wins: smaller
+    # plans/codegen, an explicit guarantee instead of a runtime
+    # optimization contingent on expression shape, and the F1
+    # `ts IS NOT NULL` gate can no longer re-expand the tokenizer into
+    # a pushed filter (a separate operator, outside CSE's scope).
+    # Values are unchanged (the branch is always taken).
+    staged = df.withColumn(
+        "_toks", F.when(F.spark_partition_id() >= 0, tokenize(F.col(line_col)))
+    )
+    toks = F.col("_toks")
     ts = F.try_to_timestamp(F.get(toks, 2), F.lit(TIME_FORMAT))
     cols: list[Column] = []
     for i, name in enumerate(names):
@@ -123,7 +147,7 @@ def parse_s3_access_log(
     cols.append(F.size(toks).alias("n_fields"))
     if keep_fields_array:
         cols.append(toks.alias("_fields"))
-    return df.select(*cols)
+    return staged.select(*cols)
 
 
 def max_field_count(parsed: DataFrame) -> int:
