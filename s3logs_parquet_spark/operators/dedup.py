@@ -2281,6 +2281,8 @@ def semantic_dedup_incremental(
     threshold: float,
     max_total_pairs: int = 2_000_000_000,
     pair_kernel: str = "blas",
+    batch_assigned: DataFrame | None = None,
+    check_index: bool = True,
 ) -> DataFrame:
     """Continuous-ingest semantic dedup: flag NEW batch vectors that
     semantically duplicate the EXISTING corpus — the incremental
@@ -2301,6 +2303,16 @@ def semantic_dedup_incremental(
     volume Σ_cell batch_m·corpus_m is budgeted like semantic_dedup's
     pair stage (one tiny count-join pre-aggregate); an over-budget
     probe raises with the finer-quantizer remedy.
+
+    ``batch_assigned`` accepts an already-computed
+    :func:`semantic_assign` frame for ``batch`` (same centroids),
+    skipping the batch assignment kernel — the signature-reuse lever
+    for pipelines that assign a batch once and feed the within-batch
+    dedup, the history probe and the index contribution from the same
+    frame (run_stream_semantic_dedup; the batch_banded analog).
+    ``check_index=False`` skips the bounded single-row dim probe for
+    callers that verified the index once and hold the quantizer fixed
+    (the per-run latch pattern incremental_neardup_pairs documents).
     """
     required = {id_col, vec_col, "cell", "vec_norm"}
     missing = required - set(corpus_assigned.columns)
@@ -2313,7 +2325,11 @@ def semantic_dedup_incremental(
     # an index assigned with a different-dimension quantizer (or a
     # corrupt vector column) would silently probe wrong cells → "no
     # dups"; probe ONE row (bounded single-row job) and fail loudly
-    probe = corpus_assigned.select(F.size(vec_col).alias("_d")).limit(1).collect()
+    probe = (
+        corpus_assigned.select(F.size(vec_col).alias("_d")).limit(1).collect()
+        if check_index
+        else []
+    )
     if probe:
         d = probe[0]["_d"]
         if d is None or d != dim:
@@ -2322,7 +2338,15 @@ def semantic_dedup_incremental(
                 f"dim {d} but the quantizer has dim {dim} — the index was "
                 "built with a different model; rebuild with semantic_assign"
             )
-    batch_assigned = semantic_assign(batch, id_col, vec_col, centroids)
+    if batch_assigned is None:
+        batch_assigned = semantic_assign(batch, id_col, vec_col, centroids)
+    else:
+        missing = required - set(batch_assigned.columns)
+        if missing:
+            raise ValueError(
+                f"semantic_dedup_incremental: batch_assigned is missing "
+                f"columns {sorted(missing)} — expected a semantic_assign output"
+            )
     bm = batch_assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_bm"))
     cm = corpus_assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_cm"))
     total = (
