@@ -406,6 +406,72 @@ def run_stream_semantic_dedup(
     return writer.start()
 
 
+def run_stream_inference(
+    spark: SparkSession,
+    input_dir: str,
+    input_schema,
+    output_dir: str,
+    checkpoint_dir: str,
+    model_fn,
+    input_cols: tuple[str, ...],
+    output_schema: str,
+    weights=None,
+    passthrough_cols: tuple[str, ...] = (),
+    scfg: StreamingJobConfig | None = None,
+) -> StreamingQuery:
+    """Continuous batched inference: each arriving micro-batch is
+    scored through :func:`operators.inference.batched_inference`
+    (Arrow batches via mapInPandas, input projection before the Python
+    boundary) and committed to ``batch=<id>`` exactly-once dirs (the
+    run_manifest_stream T4 shape — a replayed batch rewrites its
+    directory bit-identically because ``model_fn`` is a pure function
+    of its batch; the batched_inference contract).
+
+    The weights payload is broadcast ONCE PER RUN here, not once per
+    trigger: batched_inference broadcasts per call, which on a
+    long-lived stream would re-ship the model every micro-batch and
+    leak one broadcast per trigger on the driver. The scorer closure
+    carries only the broadcast HANDLE (bytes-size), so tasks still
+    fetch the payload once per executor — the inference.py design
+    constraint, kept under streaming.
+
+    Micro-batch boundaries cannot change answers (stateless per-row
+    scoring), so stream output == batch scoring of the same rows —
+    pinned by tests/test_streaming.py::test_stream_inference_equals_batch.
+    """
+    from s3logs_parquet_spark.operators.inference import batched_inference
+
+    scfg = scfg or StreamingJobConfig()
+    stream = (
+        spark.readStream.schema(input_schema)
+        .option("maxFilesPerTrigger", scfg.max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    bc = spark.sparkContext.broadcast(weights) if weights is not None else None
+
+    def _scorer(pdf, _w_unused):
+        return model_fn(pdf, bc.value if bc is not None else None)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batched_inference(
+            batch_df,
+            _scorer,
+            input_cols=list(input_cols),
+            output_schema=output_schema,
+            weights=None,  # per-run broadcast above, not per-trigger
+            passthrough_cols=list(passthrough_cols),
+        ).write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if scfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=scfg.processing_time)
+    return writer.start()
+
+
 def run_stream_kmv(
     spark: SparkSession,
     input_dir: str,

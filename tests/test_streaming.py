@@ -1457,3 +1457,69 @@ def test_stream_truncates_extra_fields_like_reference(spark, tmp_path):
     # 26th token is '-' (AclRequired) in the fixture; extras never land
     assert {(r["AclRequired"], r["TLSVersion"]) for r in got} == {("-", "TLSv1.2")}
     assert table.count() == 20
+
+
+def test_stream_inference_equals_batch(spark, tmp_path):
+    """run_stream_inference (round 10): micro-batched scoring equals
+    batch scoring of the same rows (stateless per-row model => batch
+    boundaries invisible), committed to exactly-once batch dirs. The
+    weights broadcast is per-RUN (the wrapper's reason to exist — the
+    raw operator would re-broadcast the model every trigger)."""
+    from pyspark.sql import types as T
+
+    from s3logs_parquet_spark.operators.inference import (
+        LINEAR_TEXT_WEIGHTS,
+        batched_inference,
+        linear_text_model,
+    )
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        run_stream_inference,
+    )
+
+    rows = [
+        (i, f"Doc {i} with UPPER and {i * 7} digits mixed in body text")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = str(tmp_path / "in")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") < 100).coalesce(1).write.mode("append").parquet(inp)
+    docs.filter(F.col("doc_id") >= 100).coalesce(1).write.mode("append").parquet(inp)
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = run_stream_inference(
+        spark,
+        inp,
+        schema,
+        out,
+        ckpt,
+        model_fn=linear_text_model,
+        input_cols=("text",),
+        output_schema="doc_id bigint, logit double, label boolean",
+        weights=LINEAR_TEXT_WEIGHTS,
+        passthrough_cols=("doc_id",),
+        scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out).select("doc_id", "logit", "label")
+    batch = batched_inference(
+        spark.read.parquet(inp),
+        linear_text_model,
+        input_cols=["text"],
+        output_schema="doc_id bigint, logit double, label boolean",
+        weights=LINEAR_TEXT_WEIGHTS,
+        passthrough_cols=["doc_id"],
+    )
+    assert streamed.count() == 200
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    # two triggers -> two exactly-once commit dirs
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("batch=")}
+    assert len(dirs) == 2
