@@ -211,9 +211,15 @@ def main(argv: list[str] | None = None) -> int:
             install_stream_supervisor(
                 q, pidfile=args.pidfile, drain_timeout_sec=args.drain_timeout
             )
-        q.awaitTermination()
-        if args.follow and args.pidfile and os.path.exists(args.pidfile):
-            os.remove(args.pidfile)
+        try:
+            q.awaitTermination()
+        finally:
+            # remove on EVERY exit path (ADVICE round 10): a query
+            # failure raising out of awaitTermination must not leave a
+            # stale pidfile behind for a supervisor to signal a
+            # recycled PID
+            if args.follow and args.pidfile and os.path.exists(args.pidfile):
+                os.remove(args.pidfile)
         # listener events are delivered asynchronously; give the bus a
         # moment to drain before reporting
         import time as _time

@@ -129,6 +129,12 @@ def parse_s3_access_log(
     # `ts IS NOT NULL` gate can no longer re-expand the tokenizer into
     # a pushed filter (a separate operator, outside CSE's scope).
     # Values are unchanged (the branch is always taken).
+    # Pushdown consequence (ADVICE round 10): the pin blocks pushdown
+    # of ALL later predicates, so selective filters on columns that
+    # exist BEFORE the parse (source path, date partition) must be
+    # applied to ``df`` first — after this call they no longer reach
+    # the scan (see with_quality_and_lang's docstring for the pinned
+    # test).
     staged = df.withColumn(
         "_toks", F.when(F.spark_partition_id() >= 0, tokenize(F.col(line_col)))
     )

@@ -161,6 +161,17 @@ def with_quality_and_lang(
     is pinned by
     tests/test_text_functions.py::test_gate_filter_does_not_reexpand_tokenize.
 
+    **Pushdown consequence (ADVICE round 10)**: the nondeterministic
+    pin stops PushDownPredicates at this projection for ALL predicates,
+    not just the quality/lang gate — a caller filtering a selective
+    UNRELATED column (source, date partition) AFTER this helper pays a
+    full scan plus full gate compute before its filter runs. Apply
+    selective source filters to ``df`` BEFORE calling (partition/scan
+    pruning happens below this projection, where it belongs); the same
+    rule holds for :func:`functions.parse.parse_s3_access_log`'s staged
+    tokenizer. Pinned by
+    tests/test_text_functions.py::test_selective_filter_before_helper_prunes_scan.
+
     ``emit`` (round 10) narrows the staged work to what the caller
     consumes: ``("lang",)`` skips the punctuation regexp, word-length
     fold and quality arithmetic; ``("quality",)`` skips the three

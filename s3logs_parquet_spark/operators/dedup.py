@@ -1537,6 +1537,18 @@ def tfidf_similar_pairs(
     are uniform/high-cardinality; the postings table is the write-side
     precompute candidate.
 
+    **Eager evaluation (ADVICE round 10)**: with ``materialize=True``
+    (default) the postings table is localCheckpointed AT CALL TIME —
+    this function runs a Spark job before returning, unlike the other
+    lazy pair builders, and the checkpointed blocks live on executors
+    until released. Long-lived drivers calling this repeatedly should
+    free them once the returned pairs frame has been consumed
+    (collected/written/materialized):
+    ``session.release(pairs._s3lps_postings)`` — the handle is attached
+    to the returned frame, mirroring run_stream_curation's per-batch
+    release discipline. ``materialize=False`` keeps the call fully
+    lazy (and re-tokenizes ~8x, see below).
+
     Returns (id_a, id_b, cosine) with id_a < id_b.
     """
     from s3logs_parquet_spark.functions.text_analysis import words
@@ -1588,7 +1600,12 @@ def tfidf_similar_pairs(
             F.col("dot") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))),
         )
     )
-    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+    out = scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+    if materialize:
+        # release handle for long-lived drivers (see docstring) — the
+        # checkpointed postings blocks outlive this call otherwise
+        out._s3lps_postings = postings
+    return out
 
 
 def decontaminate(

@@ -42,7 +42,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 
 from s3logs_parquet_spark.config import EngineConfig
 from s3logs_parquet_spark.functions.parse import parse_s3_access_log
@@ -469,7 +469,46 @@ def run_stream_inference(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=scfg.processing_time)
-    return writer.start()
+    query = writer.start()
+    if bc is not None:
+        # per-run broadcast, per-run CLEANUP (ADVICE round 10): without
+        # this, repeated run/stop cycles in one long-lived driver leak
+        # one model payload per run. A query-scoped listener unpersists
+        # the broadcast when THIS query terminates (events are async —
+        # tasks are done by then) and unregisters itself.
+        spark.streams.addListener(_RunBroadcastCleanup(spark, query.id, bc))
+    return query
+
+
+class _RunBroadcastCleanup(StreamingQueryListener):
+    """Query-scoped broadcast release for :func:`run_stream_inference`
+    (ADVICE round 10): unpersists the per-run model broadcast when the
+    owning query terminates, then unregisters itself — so run/stop
+    cycles in one long-lived driver don't accumulate one payload per
+    run. Module-level so the latch/cleanup logic unit-tests without a
+    live stream (tests/test_streaming.py)."""
+
+    def __init__(self, spark: SparkSession, query_id, bc) -> None:
+        self._spark = spark
+        self._qid = str(query_id)
+        self._bc = bc
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        if str(event.id) != self._qid:
+            return
+        try:
+            self._bc.unpersist()
+        finally:
+            self._spark.streams.removeListener(self)
 
 
 def run_stream_kmv(
@@ -1297,7 +1336,16 @@ def install_stream_supervisor(
     handler itself must not issue blocking JVM calls, since it
     interrupts the main thread's ``awaitTermination``. Returns the
     handler for tests. Caller removes the pidfile after
-    ``awaitTermination`` returns.
+    ``awaitTermination`` returns (cli.py does so in a finally block, so
+    failure exits clean it up too).
+
+    Repeated signals are a no-op after the first (ADVICE round 10): a
+    once-latch ensures exactly one drain thread — supervisors that
+    re-signal on a deadline were otherwise racing concurrent
+    ``processAllAvailable``/``stop`` calls. Exceptions inside the drain
+    thread (e.g. ``stop()`` interrupting a timed-out
+    ``processAllAvailable``) are swallowed: past the latch the process
+    is shutting down and T4 replay covers any partial batch.
     """
     import os
     import signal
@@ -1307,10 +1355,21 @@ def install_stream_supervisor(
         with open(pidfile, "w") as fh:
             fh.write(str(os.getpid()))
 
+    draining = threading.Event()
+
+    def _drain():
+        try:
+            graceful_drain(query, drain_timeout_sec)
+        except Exception:
+            # the query is stopping either way; T4 replay covers a
+            # partial batch — don't spray stderr from a daemon thread
+            pass
+
     def _handler(signum=None, frame=None):
-        threading.Thread(
-            target=graceful_drain, args=(query, drain_timeout_sec), daemon=True
-        ).start()
+        if draining.is_set():
+            return
+        draining.set()
+        threading.Thread(target=_drain, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _handler)
     signal.signal(signal.SIGINT, _handler)

@@ -1361,3 +1361,29 @@ WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
         ).fetchall()
     }
     assert got == want
+
+
+def test_tfidf_pairs_release_handle(spark):
+    """ADVICE r10: tfidf_similar_pairs' eager postings checkpoint is
+    releasable by callers — the handle rides the returned frame and
+    session.release() frees the blocks without breaking an
+    already-consumed result (long-lived-driver discipline)."""
+    from s3logs_parquet_spark.operators.dedup import tfidf_similar_pairs
+    from s3logs_parquet_spark.session import release
+
+    d = spark.createDataFrame(
+        [
+            (1, "rare alpha vocabulary shared tokens"),
+            (2, "rare alpha vocabulary shared tokens"),
+            (3, "completely different boilerplate body"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_similar_pairs(d, "doc_id", "text", threshold=0.5)
+    assert hasattr(out, "_s3lps_postings"), "release handle missing"
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in got
+    release(out._s3lps_postings)  # must not raise
+    # lazy mode attaches no handle (nothing eager to release)
+    lazy = tfidf_similar_pairs(d, "doc_id", "text", threshold=0.5, materialize=False)
+    assert not hasattr(lazy, "_s3lps_postings")

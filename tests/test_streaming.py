@@ -1523,3 +1523,42 @@ def test_stream_inference_equals_batch(spark, tmp_path):
 
     dirs = {d for d in os.listdir(out) if d.startswith("batch=")}
     assert len(dirs) == 2
+
+
+def test_run_broadcast_cleanup_listener_unit():
+    """ADVICE r10: run_stream_inference's per-run broadcast is released
+    when ITS query terminates — the listener unpersists exactly on the
+    matching query id and unregisters itself; other queries' events are
+    ignored (a second concurrent inference stream must not lose its
+    model)."""
+    from s3logs_parquet_spark.streaming.job import _RunBroadcastCleanup
+
+    class _FakeBC:
+        def __init__(self):
+            self.unpersisted = 0
+
+        def unpersist(self):
+            self.unpersisted += 1
+
+    class _FakeStreams:
+        def __init__(self):
+            self.removed = []
+
+        def removeListener(self, listener):  # noqa: N802
+            self.removed.append(listener)
+
+    class _FakeSpark:
+        def __init__(self):
+            self.streams = _FakeStreams()
+
+    class _Event:
+        def __init__(self, qid):
+            self.id = qid
+
+    fake_spark, bc = _FakeSpark(), _FakeBC()
+    lst = _RunBroadcastCleanup(fake_spark, "q-1", bc)
+    lst.onQueryTerminated(_Event("q-other"))
+    assert bc.unpersisted == 0 and fake_spark.streams.removed == []
+    lst.onQueryTerminated(_Event("q-1"))
+    assert bc.unpersisted == 1
+    assert fake_spark.streams.removed == [lst]

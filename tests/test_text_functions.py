@@ -218,3 +218,32 @@ def test_staged_callers_tokenize_once(spark, sf_dir):
             .toString()
         )
         assert plan.count("split(") <= max_splits, (name, plan.count("split("))
+
+
+def test_selective_filter_before_helper_prunes_scan(spark, sf_dir):
+    """ADVICE r10 documentation pin: the nondeterministic staging pin
+    blocks pushdown of ALL predicates above with_quality_and_lang — so
+    the documented pattern is filter-BEFORE-helper. Before: the
+    selective doc_id predicate reaches the parquet scan (PushedFilters).
+    After: it does not (it sits above the nondeterministic projection),
+    which is exactly why the docstring tells callers to pre-filter."""
+    from s3logs_parquet_spark.functions.text_analysis import with_quality_and_lang
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def scan_pushed(df) -> str:
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        return next(
+            (ln for ln in plan.splitlines() if "PushedFilters" in ln), ""
+        )
+
+    before = with_quality_and_lang(docs.filter(F.col("doc_id") < 10), "text")
+    after = with_quality_and_lang(docs, "text").filter(F.col("doc_id") < 10)
+    assert "LessThan(doc_id" in scan_pushed(before), scan_pushed(before)
+    assert "LessThan(doc_id" not in scan_pushed(after), scan_pushed(after)
