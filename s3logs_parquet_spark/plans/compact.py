@@ -269,7 +269,11 @@ def fold_stream_batches(
 
 
 def _fold_bucketed_store(
-    spark: SparkSession, root: str, spec: dict, maxc: int | None
+    spark: SparkSession,
+    root: str,
+    spec: dict,
+    maxc: int | None,
+    only_below: int | None = None,
 ) -> dict[str, int]:
     """compact_curation_index for a BUCKETED store (plans/band_index.py):
     fold every ``batch=<id>`` partition into ``batch=<max id>`` with one
@@ -288,7 +292,15 @@ def _fold_bucketed_store(
     admitting fewer rows) and the next fold heals them — the fold
     dropDuplicates on the spec's ``dedup_cols`` key. This trades the
     dirs layout's missing-store window (the worse failure: silent
-    empty history) for a benign transient."""
+    empty history) for a benign transient.
+
+    ``only_below`` (round 11, the in-stream auto-fold): fold ONLY the
+    partitions with id < ``only_below`` and leave the rest untouched
+    without raising — the between-triggers fold mode, where the
+    sequential foreachBatch contract already guarantees ids < the
+    current batch are committed, while the current batch's OWN
+    partition may exist from a crashed prior attempt and must neither
+    be folded (replay rewrites it) nor refuse the fold."""
     from s3logs_parquet_spark.session import materialize, release
 
     tbl = _bandidx_ensure(spark, root)
@@ -307,10 +319,13 @@ def _fold_bucketed_store(
             if part.startswith("batch="):
                 listed.add(int(part.split("=", 1)[1]))
                 break
-    ids = sorted(set(_bandidx_partition_ids(spark, tbl)) | listed)
-    stats = {"batches_before": len(ids), "files_before": len(files)}
+    all_ids = sorted(set(_bandidx_partition_ids(spark, tbl)) | listed)
+    ids = (
+        [i for i in all_ids if i < only_below] if only_below is not None else all_ids
+    )
+    stats = {"batches_before": len(all_ids), "files_before": len(files)}
     if len(ids) <= 1:
-        stats.update(batches_after=len(ids), files_after=len(files))
+        stats.update(batches_after=len(all_ids), files_after=len(files))
         return stats
     if maxc is not None:
         uncommitted = sorted(i for i in ids if i > maxc)
@@ -322,7 +337,10 @@ def _fold_bucketed_store(
                 "the folded store. Drain with availableNow, then fold."
             )
     m = max(ids)
-    data = spark.table(tbl).drop("batch")
+    data = spark.table(tbl)
+    if only_below is not None:
+        data = data.where(F.col("batch") < int(only_below))
+    data = data.drop("batch")
     if spec.get("dedup_cols"):
         data = data.dropDuplicates(list(spec["dedup_cols"]))
     # sever the self-read before overwriting batch=<max> (the insert
@@ -342,7 +360,9 @@ def _fold_bucketed_store(
         for f in list_files(spark, root, recursive=True)
         if f.name.endswith(".parquet")
     ]
-    stats.update(batches_after=1, files_after=len(after))
+    stats.update(
+        batches_after=len(all_ids) - len(ids) + 1, files_after=len(after)
+    )
     return stats
 
 
@@ -396,67 +416,121 @@ def compact_curation_index(
     two renames), atomic on HDFS/local, copy+delete on object stores —
     schedule folds in the drain window on S3.
     """
+    out: dict[str, dict[str, int]] = {}
+    for store, sort_cols in (("digests", None), ("bands", ("band", "band_hash"))):
+        root = posixpath.join(index_dir.rstrip("/"), store)
+        out[store] = compact_index_store(
+            spark,
+            root,
+            checkpoint_dir=checkpoint_dir,
+            files_per_store=files_per_store,
+            compression=compression,
+            sort_cols=sort_cols,
+        )
+    return out
+
+
+def compact_index_store(
+    spark: SparkSession,
+    root: str,
+    checkpoint_dir: str | None = None,
+    files_per_store: int | None = None,
+    compression: str = "zstd",
+    sort_cols: tuple[str, ...] | None = None,
+    only_below: int | None = None,
+) -> dict[str, int]:
+    """Fold ONE per-batch index store (``root/batch=<id>`` dirs or a
+    plans/band_index.py bucketed table — layout auto-detected from the
+    spec sidecar) into its highest batch id. The single-store
+    generalization of :func:`compact_curation_index`, factored out in
+    round 11 so OTHER per-batch stores — ``run_stream_semantic_dedup``'s
+    persisted semantic index foremost — share the exact same fold,
+    commit-marker guard, dedup-on-fold and crash-recovery semantics.
+
+    ``checkpoint_dir``: the owning stream's checkpointLocation —
+    enforces drained-stream safety via the sequential-commit rule (see
+    :func:`compact_curation_index`). ``only_below`` (bucketed stores
+    only): fold just the partitions with id < the value, leaving later
+    ones untouched — the in-stream auto-fold mode where foreachBatch
+    sequencing replaces the commit-marker check for ids below the
+    current batch (``run_stream_curation``/``run_stream_semantic_dedup``
+    ``fold_every_n_batches``)."""
     maxc: int | None = None
     if checkpoint_dir is not None:
         maxc = _max_committed(spark, checkpoint_dir)
     from s3logs_parquet_spark.plans import band_index as _bandidx
 
-    out: dict[str, dict[str, int]] = {}
-    for store, sort_cols in (("digests", None), ("bands", ("band", "band_hash"))):
-        root = posixpath.join(index_dir.rstrip("/"), store)
-        recover_fold_siblings(spark, root)
-        spec = _bandidx.read_spec(spark, root)
-        if spec is not None:
-            out[store] = _fold_bucketed_store(spark, root, spec, maxc)
-            continue
-        files = [
-            f
-            for f in list_files(spark, root, recursive=True)
-            if f.name.endswith(".parquet")
-        ]
-        ids: set[int] = set()
-        for f in files:
-            for part in f.path.split("/"):
-                if part.startswith("batch="):
-                    ids.add(int(part.split("=", 1)[1]))
-                    break
-        stats = {"batches_before": len(ids), "files_before": len(files)}
-        if len(ids) <= 1:
-            stats.update(batches_after=len(ids), files_after=len(files))
-            out[store] = stats
-            continue
-        if maxc is not None:
-            # sequential-commit rule (ADVICE round 9): only ids ABOVE
-            # the highest surviving marker are uncommitted — older
-            # markers are purged by minBatchesToRetain on long streams.
-            uncommitted = sorted(i for i in ids if i > maxc)
-            if uncommitted:
-                raise ValueError(
-                    f"compact_curation_index: {store} batch dirs {uncommitted} "
-                    "have no commit marker — the stream did not drain cleanly; "
-                    "a resumed stream would replay and overwrite the folded "
-                    "store. Drain with availableNow, then fold."
-                )
-        data = spark.read.parquet(root).drop("batch")
-        n_out = int(files_per_store or spark.sparkContext.defaultParallelism)
-        if sort_cols:
-            data = data.repartition(n_out, *[F.col(c) for c in sort_cols])
-            data = data.sortWithinPartitions(*sort_cols)
-        else:
-            data = data.repartition(n_out)
-        tmp = f"{root}.folding-{uuid.uuid4().hex[:8]}"
-        data.write.mode("overwrite").option("compression", compression).parquet(
-            posixpath.join(tmp, f"batch={max(ids)}")
+    recover_fold_siblings(spark, root)
+    spec = _bandidx.read_spec(spark, root)
+    if spec is not None:
+        return _fold_bucketed_store(spark, root, spec, maxc, only_below=only_below)
+    if only_below is not None:
+        raise ValueError(
+            f"compact_index_store: only_below (in-stream fold) requires the "
+            f"bucketed layout, but {root} has no {_bandidx.SPEC_FILE}"
         )
-        old = f"{root}.folded-old-{uuid.uuid4().hex[:8]}"
-        rename(spark, root, old)
-        rename(spark, tmp, root)
-        delete(spark, old)
-        after = [
-            f
-            for f in list_files(spark, root, recursive=True)
-            if f.name.endswith(".parquet")
-        ]
-        stats.update(batches_after=1, files_after=len(after))
-        out[store] = stats
-    return out
+    return _fold_dirs_store(
+        spark, root, maxc, files_per_store, compression, sort_cols
+    )
+
+
+def _fold_dirs_store(
+    spark: SparkSession,
+    root: str,
+    maxc: int | None,
+    files_per_store: int | None,
+    compression: str,
+    sort_cols: tuple[str, ...] | None,
+) -> dict[str, int]:
+    """Dirs-layout fold: whole-store rewrite + two-rename sibling swap
+    (atomic on HDFS/local; copy+delete on object stores — fold in the
+    drain window on S3). See :func:`compact_curation_index`."""
+    files = [
+        f
+        for f in list_files(spark, root, recursive=True)
+        if f.name.endswith(".parquet")
+    ]
+    ids: set[int] = set()
+    for f in files:
+        for part in f.path.split("/"):
+            if part.startswith("batch="):
+                ids.add(int(part.split("=", 1)[1]))
+                break
+    stats = {"batches_before": len(ids), "files_before": len(files)}
+    if len(ids) <= 1:
+        stats.update(batches_after=len(ids), files_after=len(files))
+        return stats
+    if maxc is not None:
+        # sequential-commit rule (ADVICE round 9): only ids ABOVE
+        # the highest surviving marker are uncommitted — older
+        # markers are purged by minBatchesToRetain on long streams.
+        uncommitted = sorted(i for i in ids if i > maxc)
+        if uncommitted:
+            raise ValueError(
+                f"compact_index_store: {root} batch dirs {uncommitted} "
+                "have no commit marker — the stream did not drain cleanly; "
+                "a resumed stream would replay and overwrite the folded "
+                "store. Drain with availableNow, then fold."
+            )
+    data = spark.read.parquet(root).drop("batch")
+    n_out = int(files_per_store or spark.sparkContext.defaultParallelism)
+    if sort_cols:
+        data = data.repartition(n_out, *[F.col(c) for c in sort_cols])
+        data = data.sortWithinPartitions(*sort_cols)
+    else:
+        data = data.repartition(n_out)
+    tmp = f"{root}.folding-{uuid.uuid4().hex[:8]}"
+    data.write.mode("overwrite").option("compression", compression).parquet(
+        posixpath.join(tmp, f"batch={max(ids)}")
+    )
+    old = f"{root}.folded-old-{uuid.uuid4().hex[:8]}"
+    rename(spark, root, old)
+    rename(spark, tmp, root)
+    delete(spark, old)
+    after = [
+        f
+        for f in list_files(spark, root, recursive=True)
+        if f.name.endswith(".parquet")
+    ]
+    stats.update(batches_after=1, files_after=len(after))
+    return stats

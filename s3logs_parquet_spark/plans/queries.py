@@ -4559,3 +4559,22 @@ assert set(_DRIVER_WINDOW_R10) <= set(QUERIES), sorted(
 QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R10} | {
     name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R10
 }
+
+# Round-11 rotation (VERDICT r10 #2): the r09-recorded half returns to
+# the window unchanged — every r10-window entry holds a green
+# CORRECTNESS_r10 row (50/50) and rotates out. No substitutions this
+# round: round 11's new work is the bucketed semantic-index store,
+# the in-stream auto-fold cadence and the plan-budget regression gate
+# (non-SQL-expressible; pinned by the layout-parity, plan-shape and
+# fold-invisibility suites in tests/test_streaming.py /
+# tests/test_band_index.py / tests/test_plan_budgets.py). Registry
+# stays at exactly 100.
+_DRIVER_WINDOW_R11 = list(_DRIVER_WINDOW_R09)
+
+assert len(_DRIVER_WINDOW_R11) == 50, len(_DRIVER_WINDOW_R11)
+assert set(_DRIVER_WINDOW_R11) <= set(QUERIES), sorted(
+    set(_DRIVER_WINDOW_R11) - set(QUERIES)
+)
+QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R11} | {
+    name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R11
+}

@@ -307,6 +307,9 @@ def run_stream_semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     update_index: bool = True,
+    index_layout: str = "bucketed",
+    index_buckets: int | None = None,
+    fold_every_n_batches: int | None = None,
     scfg: StreamingJobConfig | None = None,
 ) -> StreamingQuery:
     """Continuous-ingest SemDeDup: each micro-batch of NEW vectors is
@@ -319,32 +322,112 @@ def run_stream_semantic_dedup(
     boundaries can't change the answer because every batch sees
     exactly the index state left by prior COMMITTED batches.
 
-    ``index_path`` is a parquet root holding semantic_assign output
-    under ``batch=<id>`` partition dirs; seed the initial corpus at
-    ``batch=-1``. Per micro-batch the index is re-read with
-    ``batch < current_id`` — strictly the history BEFORE this batch.
-    That filter is what makes replays exactly-once: a batch replayed
-    after a crash (its own ``batch=<id>`` append already on disk)
-    would otherwise probe against ITSELF, flag every row a duplicate,
-    and rewrite its append as empty; pruning its own partition makes
-    the rerun bit-identical, and both writes are mode=overwrite into
-    per-batch dirs (the run_manifest_stream commit shape, T4).
+    ``index_layout`` (round 11 — the last O(history) exchange class,
+    VERDICT r10 #1): with ``"bucketed"`` (default) the persisted index
+    is a plans/band_index.py PARTITIONED + BUCKETED catalog table,
+    bucketed on the quantizer ``cell`` key at WRITE time — so the
+    per-trigger history probe (a cell-keyed cogroup,
+    _semantic_probe_flags_blas) and the pair-budget count aggregate
+    read the index pre-partitioned and exchange ONLY the O(batch)
+    side; the ``batch < id`` replay guard becomes partition pruning.
+    Under ``"dirs"`` (the round-10 plain-parquet layout, portable and
+    catalog-free) every trigger re-shuffles the ENTIRE accumulated
+    index on cell — the same O(history) exchange run_stream_curation's
+    stores shed in round 10. A store keeps the layout it was created
+    with; mixing fails loud at start. ``index_buckets`` sets the
+    bucket count at store creation (default
+    ``spark.sql.shuffle.partitions``; a write-time property — size it
+    for the cluster, it cannot drift across resumes).
+
+    ``index_path`` holds semantic_assign output under ``batch=<id>``
+    partitions; seed the initial corpus at ``batch=-1`` (bucketed:
+    through ``plans.band_index.write_contribution(..., batch_id=-1,
+    bucket_cols=("cell",))`` so the seed shares the bucket spec; dirs:
+    a plain ``batch=-1`` parquet dir). Per micro-batch the index is
+    read with ``batch < current_id`` — strictly the history BEFORE
+    this batch. That filter is what makes replays exactly-once: a
+    batch replayed after a crash (its own ``batch=<id>`` append
+    already on disk) would otherwise probe against ITSELF, flag every
+    row a duplicate, and rewrite its append as empty; pruning its own
+    partition makes the rerun bit-identical, and both writes are
+    overwrites of per-batch units (the run_manifest_stream commit
+    shape, T4).
+
+    ``fold_every_n_batches`` (round 11, VERDICT r10 #4): opt-in
+    auto-fold cadence for the forever-stream — every N batches the
+    accumulated ``batch=<id>`` partitions are folded into one
+    (plans/compact.compact_index_store, ``only_below=current``)
+    BEFORE the trigger's probe, bounding the index's file/partition
+    count without an operator remembering to run the fold in drain
+    windows. Bucketed layout only (the dirs fold is a whole-store
+    rename swap — not safe mid-stream on object stores). Safe under
+    replay: only ids < the current batch fold (committed by
+    foreachBatch sequencing), a crashed attempt's own partition is
+    left for its retry to overwrite, and folded history keeps ids <
+    every future batch so visibility is unchanged.
 
     Output rows: (id_col, cell, is_corpus_dup, is_batch_dup) per
     batch vector — corpus = duplicates history, batch = a LOWER-id
     same-batch vector sits above the threshold (semantic_dedup's
     keep-min-id representative rule). Appended to the index: rows
-    with NEITHER flag. A long stream accumulates index partitions;
-    fold them in drain windows like any batch=... stream output.
+    with NEITHER flag.
     """
+    from s3logs_parquet_spark.fsutil import exists as _exists
     from s3logs_parquet_spark.operators.dedup import (
         semantic_assign,
         semantic_dedup,
         semantic_dedup_incremental,
     )
+    from s3logs_parquet_spark.plans import band_index as _bandidx
+    from s3logs_parquet_spark.plans.compact import (
+        _max_committed,
+        compact_index_store,
+        recover_fold_siblings,
+    )
     from s3logs_parquet_spark.session import materialize, release
 
     scfg = scfg or StreamingJobConfig()
+
+    if index_layout not in ("bucketed", "dirs"):
+        raise ValueError(
+            f"run_stream_semantic_dedup: index_layout={index_layout!r} — "
+            "expected 'bucketed' or 'dirs'"
+        )
+    if fold_every_n_batches is not None and index_layout != "bucketed":
+        raise ValueError(
+            "run_stream_semantic_dedup: fold_every_n_batches requires "
+            "index_layout='bucketed' (the dirs fold is a whole-store rename "
+            "swap — run compact_index_store in a drain window instead)"
+        )
+    bucketed = index_layout == "bucketed"
+    # layout split-brain + resume-amnesia guards (the run_stream_curation
+    # shape): a store keeps its creation layout, and a checkpoint that
+    # says batches committed while the index store is missing means a
+    # resume would dedup against nothing — fail loud, don't forget.
+    recover_fold_siblings(spark, index_path)
+    _spec = _bandidx.read_spec(spark, index_path)
+    if _spec is not None and not bucketed:
+        raise ValueError(
+            f"run_stream_semantic_dedup: {index_path} was created with the "
+            "bucketed layout — pass index_layout='bucketed' (or rebuild the "
+            "index to switch layouts)"
+        )
+    if _spec is None and bucketed and _prior_batch_dirs(spark, index_path, 2**62):
+        raise ValueError(
+            f"run_stream_semantic_dedup: {index_path} holds dirs-layout "
+            "contributions but index_layout='bucketed' — pass 'dirs' (or "
+            "rebuild the index to switch layouts)"
+        )
+    if update_index and _max_committed(spark, checkpoint_dir) >= 0 and not _exists(
+        spark, index_path
+    ):
+        raise ValueError(
+            f"run_stream_semantic_dedup: checkpoint {checkpoint_dir} shows "
+            f"committed batches but the index store is absent at {index_path} "
+            "— resuming would dedup against nothing. Restore the store or "
+            "start a fresh checkpoint+index."
+        )
+
     stream = (
         spark.readStream.schema(input_schema)
         .option("maxFilesPerTrigger", scfg.max_files_per_trigger)
@@ -357,7 +440,23 @@ def run_stream_semantic_dedup(
     # trigger checks, the rest skip the bounded probe job
     _idx_checked = {"done": False}
 
+    def _read_history(batch_id: int) -> DataFrame | None:
+        if bucketed:
+            return _bandidx.prior_batches(spark, index_path, batch_id)
+        dirs = _prior_batch_dirs(spark, index_path, batch_id)
+        return spark.read.parquet(*dirs) if dirs else None
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if (
+            fold_every_n_batches is not None
+            and batch_id > 0
+            and batch_id % int(fold_every_n_batches) == 0
+            and _bandidx.read_spec(spark, index_path) is not None
+        ):
+            # between-triggers auto-fold: ids < batch_id are committed
+            # (sequential foreachBatch), a crashed attempt's own
+            # partition is skipped via only_below — see docstring
+            compact_index_store(spark, index_path, only_below=batch_id)
         # Assignment-reuse (round 10, the curation-stream fusion
         # applied here): the r9 shape ran the assignment kernel up to
         # THREE times per trigger (inside the history probe, inside
@@ -369,18 +468,25 @@ def run_stream_semantic_dedup(
         assigned = materialize(
             semantic_assign(batch_df, id_col, vec_col, centroids)
         )
-        index = spark.read.parquet(index_path).filter(F.col("batch") < batch_id)
-        hist = semantic_dedup_incremental(
-            batch_df,
-            index,
-            id_col,
-            vec_col,
-            centroids,
-            threshold,
-            batch_assigned=assigned,
-            check_index=not _idx_checked["done"],
-        ).select(id_col, "cell", F.col("is_semdup").alias("is_corpus_dup"))
-        _idx_checked["done"] = True
+        index = _read_history(batch_id)
+        if index is not None:
+            hist = semantic_dedup_incremental(
+                batch_df,
+                index,
+                id_col,
+                vec_col,
+                centroids,
+                threshold,
+                batch_assigned=assigned,
+                check_index=not _idx_checked["done"],
+            ).select(id_col, "cell", F.col("is_semdup").alias("is_corpus_dup"))
+            _idx_checked["done"] = True
+        else:
+            # no history yet (unseeded first batch): nothing can be a
+            # corpus dup
+            hist = assigned.select(
+                id_col, "cell", F.lit(False).alias("is_corpus_dup")
+            )
         within = semantic_dedup(
             batch_df, id_col, vec_col, centroids, threshold, assigned=assigned
         ).select(id_col, F.col("is_semdup").alias("is_batch_dup"))
@@ -390,9 +496,25 @@ def run_stream_semantic_dedup(
             kept = out.filter(
                 ~F.col("is_corpus_dup") & ~F.col("is_batch_dup")
             ).select(id_col)
-            assigned.join(kept, on=id_col).write.mode("overwrite").parquet(
-                f"{index_path}/batch={batch_id}"
-            )
+            contribution = assigned.join(kept, on=id_col)
+            if bucketed:
+                # one overwritable batch=<id> Hive partition, bucketed
+                # on the probe's cell key (T4 replay contract identical
+                # to the dirs write; a vec arrives in exactly one batch
+                # → id keys the store, folds dedup on it)
+                _bandidx.write_contribution(
+                    spark,
+                    index_path,
+                    contribution,
+                    batch_id,
+                    ("cell",),
+                    n_buckets=index_buckets,
+                    dedup_cols=(id_col,),
+                )
+            else:
+                contribution.write.mode("overwrite").parquet(
+                    f"{index_path}/batch={batch_id}"
+                )
         release(out)
         release(assigned)
 
@@ -788,6 +910,7 @@ def run_stream_curation(
     band_index_max_bucket: int | None = None,
     band_index_layout: str = "bucketed",
     index_buckets: int | None = None,
+    fold_every_n_batches: int | None = None,
     scfg: StreamingJobConfig | None = None,
 ) -> StreamingQuery:
     """Continuous training-data curation — plans/curation.py's pipeline
@@ -851,6 +974,19 @@ def run_stream_curation(
     threshold against its surviving canonical, now survives). The
     DIGEST index always covers all arrived exact-uniques either way
     (16-byte rows; an exact copy of a dropped doc must always drop).
+
+    ``fold_every_n_batches`` (round 11, VERDICT r10 #4): opt-in
+    auto-fold cadence — every N batches, BEFORE that trigger's probe,
+    both index stores' accumulated ``batch=<id>`` partitions fold into
+    one (plans/compact.compact_index_store with ``only_below=current``),
+    bounding the per-trigger directory/file growth the round-10
+    hotprobe measured (+10% per-trigger per 2x history from the index
+    scan term) without an operator remembering to run
+    compact_curation_index in drain windows. Bucketed layout only.
+    Replay-safe: only ids < the current batch fold (committed by
+    foreachBatch sequencing), a crashed attempt's own partition is
+    left for its retry, and folded history keeps ids < every future
+    batch, so the probe's visibility contract is unchanged.
 
     ``band_index_max_bucket`` (round 9) bounds the warned O(history)
     probe blowup that ``index_dropped=False`` alone cannot: when a
@@ -918,6 +1054,7 @@ def run_stream_curation(
     from s3logs_parquet_spark.fsutil import exists as _exists
     from s3logs_parquet_spark.plans.compact import (
         _max_committed,
+        compact_index_store,
         recover_fold_siblings,
     )
 
@@ -925,6 +1062,13 @@ def run_stream_curation(
         raise ValueError(
             f"run_stream_curation: band_index_layout={band_index_layout!r} "
             "— expected 'bucketed' or 'dirs'"
+        )
+    if fold_every_n_batches is not None and band_index_layout != "bucketed":
+        raise ValueError(
+            "run_stream_curation: fold_every_n_batches requires "
+            "band_index_layout='bucketed' (the dirs fold is a whole-store "
+            "rename swap — run compact_curation_index in a drain window "
+            "instead)"
         )
     from s3logs_parquet_spark.plans import band_index as _bandidx
 
@@ -1000,6 +1144,20 @@ def run_stream_curation(
                 now = _time.time()
                 _marks.append((label, now - _t0))
                 _t0 = now
+
+        if (
+            fold_every_n_batches is not None
+            and batch_id > 0
+            and batch_id % int(fold_every_n_batches) == 0
+        ):
+            # between-triggers auto-fold (see docstring): ids <
+            # batch_id are committed by foreachBatch sequencing; a
+            # crashed attempt's own partition is skipped via
+            # only_below and stays for its retry to overwrite
+            for _store in (dg_store, band_store):
+                if _bandidx.read_spec(spark, _store) is not None:
+                    compact_index_store(spark, _store, only_below=batch_id)
+            _mark("auto-fold")
         # A micro-batch arrives with the SOURCE's split count — often
         # ONE partition (a 50k-doc file is a single <128 MB split), and
         # the quality/langid expressions are the pipeline's most

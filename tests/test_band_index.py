@@ -237,3 +237,81 @@ def test_layout_mismatch_fails_loud(spark, tmp_path):
         run_stream_curation(
             spark, inp, DOC_SCHEMA, out2, idx2, ck2, band_index_layout="bucketed", **kw
         )
+
+
+def test_semantic_probe_plan_no_exchange_on_index_side(spark, tmp_path):
+    """Round 11 (VERDICT r10 #1): the SEMANTIC history probe — a
+    cell-keyed cogroup (FlatMapCoGroupsInPandas) — must not re-shuffle
+    the persisted index when it lives in the bucketed layout: the index
+    side feeds the cogroup straight from the bucketed scan
+    (partition-pruned on batch < current), only the O(batch) side
+    exchanges on cell. Mirrors test_probe_plan_no_exchange_on_index_side
+    for the curation band store."""
+    from s3logs_parquet_spark.operators.dedup import (
+        semantic_assign,
+        semantic_dedup_incremental,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    vec_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    store = str(tmp_path / "semidx")
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]) for i in range(20)],
+        vec_schema,
+    )
+    assigned = semantic_assign(corpus, "vec_id", "embedding", cents)
+    for b in (-1, 0):
+        bi.write_contribution(
+            spark,
+            store,
+            assigned.filter(F.col("vec_id") % 2 == (b + 1) % 2),
+            b,
+            ("cell",),
+            n_buckets=4,
+            dedup_cols=("vec_id",),
+        )
+    idx = bi.prior_batches(spark, store, 1)
+    batch = spark.createDataFrame(
+        [(500, [0.9, 0.1]), (501, [0.1, 0.9])], vec_schema
+    )
+    flags = semantic_dedup_incremental(
+        batch, idx, "vec_id", "embedding", cents, threshold=0.99
+    )
+    plan = _formatted_plan(flags)
+
+    assert "Bucketed: true" in plan, plan
+    assert "batch" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    # the index scan's path up to the cogroup must hold no Exchange
+    tree = [
+        ln
+        for ln in plan.splitlines()
+        if ("+- " in ln or ":- " in ln or ln.startswith("Adaptive"))
+    ]
+
+    def depth(ln):
+        for m in ("+- ", ":- "):
+            if m in ln:
+                return ln.index(m)
+        return -1
+
+    scan_i = next(i for i, ln in enumerate(tree) if "Scan parquet" in ln)
+    ancestors, d = [], depth(tree[scan_i])
+    for i in range(scan_i - 1, -1, -1):
+        di = depth(tree[i])
+        if di < d:
+            ancestors.append(tree[i])
+            d = di
+            if "FlatMapCoGroupsInPandas" in tree[i]:
+                break
+    assert ancestors and "FlatMapCoGroupsInPandas" in ancestors[-1], ancestors
+    assert not any("Exchange" in ln for ln in ancestors), (
+        "index side of the semantic probe is exchanged:\n" + "\n".join(ancestors)
+    )
+    # and the probe still flags the history dups through the index
+    got = {r["vec_id"]: r["is_semdup"] for r in flags.collect()}
+    assert got == {500: True, 501: True}

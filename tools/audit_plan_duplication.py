@@ -21,7 +21,15 @@ output is a review queue, ranked; the hard pins live in
 tests/test_text_functions.py::test_staged_callers_tokenize_once and
 ::test_gate_filter_does_not_reexpand_tokenize.
 
+Round 11 (VERDICT r10 #5): the audit is ALSO a standing regression
+gate — ``--write-budgets tests/plan_budgets.json`` records each
+registry query's per-marker counts, and
+tests/test_plan_budgets.py fails any plan whose marker count EXCEEDS
+its recorded budget (a Spark upgrade or operator edit reintroducing
+the 37x class fails CI instead of waiting for a trace).
+
 Usage: python tools/audit_plan_duplication.py [sf_dir] [--min 8]
+       python tools/audit_plan_duplication.py [sf_dir] --write-budgets tests/plan_budgets.json
 """
 
 from __future__ import annotations
@@ -50,10 +58,27 @@ MARKERS = [
 ]
 
 
+def optimized_plan(spark, fn, sf_dir: str) -> str:
+    """One query's optimized logical plan string (shared with
+    tests/test_plan_budgets.py so the gate and the audit count the
+    same text)."""
+    return fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+
+
+def marker_hits(plan: str) -> dict[str, int]:
+    """Non-zero marker counts of a plan string."""
+    return {m: plan.count(m) for m in MARKERS if m in plan}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--min", type=int, default=8, help="flag threshold per marker")
+    ap.add_argument(
+        "--write-budgets",
+        help="record per-query marker counts to this JSON file (the "
+        "tests/test_plan_budgets.py regression baseline)",
+    )
     args = ap.parse_args()
 
     from s3logs_parquet_spark.plans.queries import QUERIES
@@ -62,20 +87,21 @@ def main() -> None:
     spark = get_spark(app_name="audit-plan-duplication")
     flagged = []
     errors = []
+    budgets: dict[str, dict[str, int]] = {}
     for name, (fn, _sql) in QUERIES.items():
         try:
-            plan = (
-                fn(spark, args.sf_dir)
-                ._jdf.queryExecution()
-                .optimizedPlan()
-                .toString()
-            )
+            plan = optimized_plan(spark, fn, args.sf_dir)
         except Exception as e:  # noqa: BLE001 — audit must cover the rest
             errors.append({"query": name, "error": str(e)[:120]})
             continue
-        hits = {m: plan.count(m) for m in MARKERS if plan.count(m) >= args.min}
+        budgets[name] = marker_hits(plan)
+        hits = {m: c for m, c in budgets[name].items() if c >= args.min}
         if hits:
             flagged.append({"query": name, "plan_len": len(plan), "hits": hits})
+    if args.write_budgets:
+        with open(args.write_budgets, "w") as fh:
+            json.dump(budgets, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     flagged.sort(key=lambda r: -max(r["hits"].values()))
     print(
         json.dumps(
