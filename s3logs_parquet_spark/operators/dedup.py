@@ -922,9 +922,20 @@ def connected_components_clusters(
     n_edges = edges.count()
     if strategy not in ("auto", "driver", "contract", "loop"):
         raise ValueError(f"connected_components_clusters: unknown strategy {strategy!r}")
+    if n_edges == 0:
+        # Zero-edge short-circuit (round 11, VERDICT r10 #8): every id
+        # is its own singleton cluster — no collect, no component map,
+        # no anti-join. Streaming curation hits this on every trigger
+        # whose batch holds no fresh candidate pairs (unique-corpus
+        # regime); the edge count above IS the cheap pre-test, and
+        # this drops the union-find collect + map-frame + anti-join
+        # jobs that used to follow it (measured: 8 -> 5 jobs per
+        # zero-pair CC call end-to-end, PERF.md round 11).
+        _release(edges)
+        return ids.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     use_driver = strategy == "driver" or (
-        strategy == "auto" and 0 < n_edges <= driver_edge_limit
-    ) or n_edges == 0
+        strategy == "auto" and n_edges <= driver_edge_limit
+    )
     if use_driver:
         out = _cc_driver_union_find(edges, ids, id_col)
         _release(edges)

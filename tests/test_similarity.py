@@ -1387,3 +1387,21 @@ def test_tfidf_pairs_release_handle(spark):
     # lazy mode attaches no handle (nothing eager to release)
     lazy = tfidf_similar_pairs(d, "doc_id", "text", threshold=0.5, materialize=False)
     assert not hasattr(lazy, "_s3lps_postings")
+
+
+def test_connected_components_zero_edges_short_circuit(spark):
+    """Round 11 (VERDICT r10 #8): zero candidate pairs → identity
+    labels with NO driver collect/map-join plan (the per-trigger job
+    floor for unique-corpus streaming triggers). Semantics pinned:
+    every id is its own cluster, same as the general path's answer."""
+    from s3logs_parquet_spark.operators.dedup import (
+        connected_components_clusters,
+    )
+
+    ids = spark.range(50).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    labels = connected_components_clusters(pairs, ids, "doc_id")
+    # the short-circuit plan is a bare projection over ids — no Join
+    assert "Join" not in labels._jdf.queryExecution().optimizedPlan().toString()
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: i for i in range(50)}

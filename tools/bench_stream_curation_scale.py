@@ -103,9 +103,9 @@ def synth_hotprobe(spark, n: int, rows_per_batch: int, member_fraction: float = 
 
 def run_mode(
     spark, inp: str, work: str, index_dropped: bool, band_cap=None,
-    band_layout: str = "bucketed",
+    band_layout: str = "bucketed", fold_every: int | None = None,
 ) -> dict:
-    tag = f"{index_dropped}-{band_cap}-{band_layout}"
+    tag = f"{index_dropped}-{band_cap}-{band_layout}-{fold_every}"
     out = os.path.join(work, f"out-{tag}")
     idx = os.path.join(work, f"idx-{tag}")
     ck = os.path.join(work, f"ck-{tag}")
@@ -123,6 +123,7 @@ def run_mode(
         index_dropped=index_dropped,
         band_index_max_bucket=band_cap,
         band_index_layout=band_layout,
+        fold_every_n_batches=fold_every,
         scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
     )
     q.awaitTermination(3600)
@@ -144,10 +145,16 @@ def run_mode(
         F.sum(F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000_007)))
     ).collect()[0][0]  # pmod keeps the ANSI-mode sum far from long overflow
     bands_rows = spark.read.parquet(os.path.join(idx, "bands")).count()
+    bands_files = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(os.path.join(idx, "bands"))
+    )
     return {
         "index_dropped": index_dropped,
         "band_cap": band_cap,
         "band_layout": band_layout,
+        "fold_every": fold_every,
+        "band_index_files": bands_files,
         "wall_sec": round(wall, 1),
         "survivors": survivors,
         "survivors_fp": surv_fp,
@@ -179,6 +186,13 @@ def main() -> None:
         help="index store layout (round 10); 'both' A/Bs the two layouts "
         "back-to-back in the same session",
     )
+    ap.add_argument(
+        "--fold-every",
+        type=int,
+        default=None,
+        help="fold_every_n_batches for run_stream_curation (round 11 "
+        "in-stream auto-fold; bucketed layout only)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench-stream-curation")
@@ -200,7 +214,10 @@ def main() -> None:
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
     layouts = ["bucketed", "dirs"] if args.band_layout == "both" else [args.band_layout]
     results = [
-        run_mode(spark, inp, work, m == "dropped", args.band_cap, layout)
+        run_mode(
+            spark, inp, work, m == "dropped", args.band_cap, layout,
+            fold_every=args.fold_every,
+        )
         for layout in layouts
         for m in modes
     ]
