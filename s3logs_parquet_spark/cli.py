@@ -103,8 +103,8 @@ def main(argv: list[str] | None = None) -> int:
             "level entirely for a finished stream)."
         ),
     )
-    pm.add_argument("action", choices=["compact", "fold"])
-    pm.add_argument("table", help="parquet table root")
+    pm.add_argument("action", choices=["compact", "fold", "fold-index"])
+    pm.add_argument("table", help="parquet table root (fold-index: one per-batch index store — curation digests/bands or the semantic index)")
     pm.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
     pm.add_argument("--min-files", type=int, default=2)
     pm.add_argument("-k", "--checkpoint", help="(fold) stream checkpoint dir to verify commits against")
@@ -178,6 +178,22 @@ def main(argv: list[str] | None = None) -> int:
             for pdir, (nb, na) in res.items():
                 print(f"compacted {pdir}: {nb} -> {na} files", file=sys.stderr)
             print(f"partitions_compacted={len(res)}", file=sys.stderr)
+            return 0
+        if args.action == "fold-index":
+            # one per-batch index store (bucketed or dirs layout,
+            # auto-detected): the drain-window fold of the README's
+            # step-5 cadence. Pass -k CKPT (the owning stream's
+            # checkpointLocation) to enforce drained-stream safety.
+            from s3logs_parquet_spark.plans.compact import compact_index_store
+
+            res = compact_index_store(
+                spark, args.table, checkpoint_dir=args.checkpoint
+            )
+            print(
+                f"batches={res['batches_before']}->{res['batches_after']} "
+                f"files={res['files_before']}->{res['files_after']}",
+                file=sys.stderr,
+            )
             return 0
         from s3logs_parquet_spark.plans.compact import fold_stream_batches
 

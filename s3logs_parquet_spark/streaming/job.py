@@ -364,7 +364,10 @@ def run_stream_semantic_dedup(
     replay: only ids < the current batch fold (committed by
     foreachBatch sequencing), a crashed attempt's own partition is
     left for its retry to overwrite, and folded history keeps ids <
-    every future batch so visibility is unchanged.
+    every future batch so visibility is unchanged. Each inline fold
+    rewrites the whole store (O(history) per fold — see
+    run_stream_curation's measured numbers); pick the cadence for the
+    file-count bound, not local wall-clock.
 
     Output rows: (id_col, cell, is_corpus_dup, is_batch_dup) per
     batch vector — corpus = duplicates history, batch = a LOWER-id
@@ -986,7 +989,14 @@ def run_stream_curation(
     Replay-safe: only ids < the current batch fold (committed by
     foreachBatch sequencing), a crashed attempt's own partition is
     left for its retry, and folded history keeps ids < every future
-    batch, so the probe's visibility contract is unchanged.
+    batch, so the probe's visibility contract is unchanged. Cost,
+    measured honestly (PERF.md round 11, 40x50k hotprobe): each
+    inline fold REWRITES the whole store — O(history) per fold, 20 s
+    at 4M rows growing to 67 s at 12M — while survivors stay
+    fingerprint-identical and file counts drop 1280 -> 352. Pick the
+    cadence for the file-count bound (object-store listing is where
+    unfolded stores hurt), not for local wall-clock; on very long
+    histories prefer drain-window compact_curation_index runs.
 
     ``band_index_max_bucket`` (round 9) bounds the warned O(history)
     probe blowup that ``index_dropped=False`` alone cannot: when a

@@ -222,3 +222,32 @@ def test_stream_cli_removes_pidfile_on_query_failure(monkeypatch, spark, tmp_pat
             ]
         )
     assert not pidfile.exists(), "pidfile left behind on the failure path"
+
+
+def test_maintenance_fold_index_cli(spark, tmp_path):
+    """Round 11: `maintenance fold-index STORE -k CKPT` folds one
+    per-batch index store (bucketed layout auto-detected) — the
+    drain-window cadence of the README deployment recipe, exposed on
+    the ops CLI like compact/fold."""
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.plans import band_index as bi
+
+    store = str(tmp_path / "semidx")
+    ck = tmp_path / "ck" / "commits"
+    ck.mkdir(parents=True)
+    (ck / "0").write_text("{}")
+    (ck / "1").write_text("{}")
+    df = spark.range(20).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 4).cast("int").alias("cell")
+    )
+    for b in (0, 1):
+        bi.write_contribution(
+            spark, store, df.filter(F.col("vec_id") % 2 == b), b, ("cell",),
+            n_buckets=2, dedup_cols=("vec_id",),
+        )
+    rc = cli_main(["maintenance", "fold-index", store, "-k", str(tmp_path / "ck")])
+    assert rc == 0
+    tbl = bi.ensure_table(spark, store)
+    assert bi.partition_ids(spark, tbl) == [1]
+    assert spark.table(tbl).count() == 20
