@@ -274,6 +274,7 @@ def _fold_bucketed_store(
     spec: dict,
     maxc: int | None,
     only_below: int | None = None,
+    only_ids: list[int] | None = None,
 ) -> dict[str, int]:
     """compact_curation_index for a BUCKETED store (plans/band_index.py):
     fold every ``batch=<id>`` partition into ``batch=<max id>`` with one
@@ -300,7 +301,18 @@ def _fold_bucketed_store(
     sequential foreachBatch contract already guarantees ids < the
     current batch are committed, while the current batch's OWN
     partition may exist from a crashed prior attempt and must neither
-    be folded (replay rewrites it) nor refuse the fold."""
+    be folded (replay rewrites it) nor refuse the fold.
+
+    ``only_ids`` (round 11, the WINDOW fold): fold exactly these
+    partition ids (intersected with what exists) into their max,
+    leaving everything else — including older folded runs and the
+    ``batch=-1`` seed — untouched. This is the log-structured cadence:
+    each fold rewrites O(window) rows instead of O(history), so the
+    cumulative in-stream fold cost is O(H) rather than the full-fold
+    mode's O(H²/N) (PERF.md round 11's measured 20→54→67 s growth).
+    Composes with ``only_below`` (ids must also be < it). Visibility
+    and replay contracts are unchanged: folded ids stay < every future
+    batch."""
     from s3logs_parquet_spark.session import materialize, release
 
     tbl = _bandidx_ensure(spark, root)
@@ -323,6 +335,9 @@ def _fold_bucketed_store(
     ids = (
         [i for i in all_ids if i < only_below] if only_below is not None else all_ids
     )
+    if only_ids is not None:
+        wanted = set(only_ids)
+        ids = [i for i in ids if i in wanted]
     stats = {"batches_before": len(all_ids), "files_before": len(files)}
     if len(ids) <= 1:
         stats.update(batches_after=len(all_ids), files_after=len(files))
@@ -338,7 +353,9 @@ def _fold_bucketed_store(
             )
     m = max(ids)
     data = spark.table(tbl)
-    if only_below is not None:
+    if only_ids is not None:
+        data = data.where(F.col("batch").isin([int(i) for i in ids]))
+    elif only_below is not None:
         data = data.where(F.col("batch") < int(only_below))
     data = data.drop("batch")
     if spec.get("dedup_cols"):
@@ -438,6 +455,7 @@ def compact_index_store(
     compression: str = "zstd",
     sort_cols: tuple[str, ...] | None = None,
     only_below: int | None = None,
+    only_ids: list[int] | None = None,
 ) -> dict[str, int]:
     """Fold ONE per-batch index store (``root/batch=<id>`` dirs or a
     plans/band_index.py bucketed table — layout auto-detected from the
@@ -454,7 +472,8 @@ def compact_index_store(
     ones untouched — the in-stream auto-fold mode where foreachBatch
     sequencing replaces the commit-marker check for ids below the
     current batch (``run_stream_curation``/``run_stream_semantic_dedup``
-    ``fold_every_n_batches``)."""
+    ``fold_every_n_batches``). ``only_ids`` (bucketed only): the
+    window-fold subset — see :func:`_fold_bucketed_store`."""
     maxc: int | None = None
     if checkpoint_dir is not None:
         maxc = _max_committed(spark, checkpoint_dir)
@@ -463,11 +482,13 @@ def compact_index_store(
     recover_fold_siblings(spark, root)
     spec = _bandidx.read_spec(spark, root)
     if spec is not None:
-        return _fold_bucketed_store(spark, root, spec, maxc, only_below=only_below)
-    if only_below is not None:
+        return _fold_bucketed_store(
+            spark, root, spec, maxc, only_below=only_below, only_ids=only_ids
+        )
+    if only_below is not None or only_ids is not None:
         raise ValueError(
-            f"compact_index_store: only_below (in-stream fold) requires the "
-            f"bucketed layout, but {root} has no {_bandidx.SPEC_FILE}"
+            f"compact_index_store: only_below/only_ids (in-stream fold) "
+            f"requires the bucketed layout, but {root} has no {_bandidx.SPEC_FILE}"
         )
     return _fold_dirs_store(
         spark, root, maxc, files_per_store, compression, sort_cols

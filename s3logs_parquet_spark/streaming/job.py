@@ -310,6 +310,7 @@ def run_stream_semantic_dedup(
     index_layout: str = "bucketed",
     index_buckets: int | None = None,
     fold_every_n_batches: int | None = None,
+    fold_mode: str = "window",
     scfg: StreamingJobConfig | None = None,
 ) -> StreamingQuery:
     """Continuous-ingest SemDeDup: each micro-batch of NEW vectors is
@@ -364,10 +365,13 @@ def run_stream_semantic_dedup(
     replay: only ids < the current batch fold (committed by
     foreachBatch sequencing), a crashed attempt's own partition is
     left for its retry to overwrite, and folded history keeps ids <
-    every future batch so visibility is unchanged. Each inline fold
-    rewrites the whole store (O(history) per fold — see
-    run_stream_curation's measured numbers); pick the cadence for the
-    file-count bound, not local wall-clock.
+    every future batch so visibility is unchanged. ``fold_mode``:
+    ``"window"`` (default) folds only the last N partitions — each
+    fold rewrites O(batch·N) rows, cumulative O(H), partition count
+    bounded by H/N + seed; ``"all"`` folds the entire store each time
+    (fewest partitions, but O(history) per fold — see
+    run_stream_curation's measured numbers; prefer it only as an
+    occasional drain-window compact_index_store run).
 
     Output rows: (id_col, cell, is_corpus_dup, is_batch_dup) per
     batch vector — corpus = duplicates history, batch = a LOWER-id
@@ -401,6 +405,11 @@ def run_stream_semantic_dedup(
             "run_stream_semantic_dedup: fold_every_n_batches requires "
             "index_layout='bucketed' (the dirs fold is a whole-store rename "
             "swap — run compact_index_store in a drain window instead)"
+        )
+    if fold_mode not in ("window", "all"):
+        raise ValueError(
+            f"run_stream_semantic_dedup: fold_mode={fold_mode!r} — expected "
+            "'window' or 'all'"
         )
     bucketed = index_layout == "bucketed"
     # layout split-brain + resume-amnesia guards (the run_stream_curation
@@ -459,7 +468,14 @@ def run_stream_semantic_dedup(
             # between-triggers auto-fold: ids < batch_id are committed
             # (sequential foreachBatch), a crashed attempt's own
             # partition is skipped via only_below — see docstring
-            compact_index_store(spark, index_path, only_below=batch_id)
+            only = (
+                list(range(batch_id - int(fold_every_n_batches), batch_id))
+                if fold_mode == "window"
+                else None
+            )
+            compact_index_store(
+                spark, index_path, only_below=batch_id, only_ids=only
+            )
         # Assignment-reuse (round 10, the curation-stream fusion
         # applied here): the r9 shape ran the assignment kernel up to
         # THREE times per trigger (inside the history probe, inside
@@ -914,6 +930,7 @@ def run_stream_curation(
     band_index_layout: str = "bucketed",
     index_buckets: int | None = None,
     fold_every_n_batches: int | None = None,
+    fold_mode: str = "window",
     scfg: StreamingJobConfig | None = None,
 ) -> StreamingQuery:
     """Continuous training-data curation — plans/curation.py's pipeline
@@ -989,14 +1006,17 @@ def run_stream_curation(
     Replay-safe: only ids < the current batch fold (committed by
     foreachBatch sequencing), a crashed attempt's own partition is
     left for its retry, and folded history keeps ids < every future
-    batch, so the probe's visibility contract is unchanged. Cost,
-    measured honestly (PERF.md round 11, 40x50k hotprobe): each
-    inline fold REWRITES the whole store — O(history) per fold, 20 s
-    at 4M rows growing to 67 s at 12M — while survivors stay
-    fingerprint-identical and file counts drop 1280 -> 352. Pick the
-    cadence for the file-count bound (object-store listing is where
-    unfolded stores hurt), not for local wall-clock; on very long
-    histories prefer drain-window compact_curation_index runs.
+    batch, so the probe's visibility contract is unchanged.
+    ``fold_mode="window"`` (default) folds only the LAST N partitions
+    into one — O(batch·N) rows per fold, cumulative O(H), partition
+    count bounded by H/N (+ the untouched seed); ``"all"`` folds the
+    whole store each time, whose cost was measured honestly (PERF.md
+    round 11, 40x50k hotprobe): O(history) per fold — 20 s at 4M rows
+    growing to 67 s at 12M — cumulative O(H²/N), though survivors stay
+    fingerprint-identical and file counts drop 1280 -> 352 either way.
+    Pick the cadence for the file-count bound (object-store listing is
+    where unfolded stores hurt); run drain-window
+    compact_curation_index for the occasional everything-fold.
 
     ``band_index_max_bucket`` (round 9) bounds the warned O(history)
     probe blowup that ``index_dropped=False`` alone cannot: when a
@@ -1079,6 +1099,11 @@ def run_stream_curation(
             "band_index_layout='bucketed' (the dirs fold is a whole-store "
             "rename swap — run compact_curation_index in a drain window "
             "instead)"
+        )
+    if fold_mode not in ("window", "all"):
+        raise ValueError(
+            f"run_stream_curation: fold_mode={fold_mode!r} — expected "
+            "'window' or 'all'"
         )
     from s3logs_parquet_spark.plans import band_index as _bandidx
 
@@ -1164,9 +1189,16 @@ def run_stream_curation(
             # batch_id are committed by foreachBatch sequencing; a
             # crashed attempt's own partition is skipped via
             # only_below and stays for its retry to overwrite
+            only = (
+                list(range(batch_id - int(fold_every_n_batches), batch_id))
+                if fold_mode == "window"
+                else None
+            )
             for _store in (dg_store, band_store):
                 if _bandidx.read_spec(spark, _store) is not None:
-                    compact_index_store(spark, _store, only_below=batch_id)
+                    compact_index_store(
+                        spark, _store, only_below=batch_id, only_ids=only
+                    )
             _mark("auto-fold")
         # A micro-batch arrives with the SOURCE's split count — often
         # ONE partition (a 50k-doc file is a single <128 MB split), and

@@ -1628,12 +1628,14 @@ def test_run_broadcast_cleanup_listener_unit():
     assert fake_spark.streams.removed == [lst]
 
 
-def test_stream_curation_auto_fold_matches_manual(spark, tmp_path):
+@pytest.mark.parametrize("fold_mode", ["window", "all"])
+def test_stream_curation_auto_fold_matches_manual(spark, tmp_path, fold_mode):
     """Round 11 (VERDICT r10 #4): fold_every_n_batches folds the
     bucketed index stores BETWEEN triggers, invisibly — survivors
     identical to a never-folded control, the store's partition count
-    stays bounded, and the knob refuses the dirs layout."""
-    import pytest
+    stays bounded, and the knob refuses the dirs layout. Both fold
+    modes: 'window' (log-structured, O(batch*N) per fold — the scale
+    default) and 'all' (whole-store)."""
     from pyspark.sql import types as T
 
     from s3logs_parquet_spark.plans import band_index as bi
@@ -1668,7 +1670,7 @@ def test_stream_curation_auto_fold_matches_manual(spark, tmp_path):
         q = run_stream_curation(
             spark, inp, schema, out, idx, ck,
             min_quality=0.3, jaccard_threshold=0.3, index_dropped=True,
-            fold_every_n_batches=fold_every, scfg=scfg,
+            fold_every_n_batches=fold_every, fold_mode=fold_mode, scfg=scfg,
         )
         q.awaitTermination(240)
         parts = {
@@ -1682,10 +1684,12 @@ def test_stream_curation_auto_fold_matches_manual(spark, tmp_path):
     assert control == folded
     assert 900 not in folded  # exact dup caught through folded history
     assert parts_c["bands"] == [0, 1, 2, 3, 4, 5]
-    # cadence 2: fold before batch 2 ({0,1}->1), before batch 4
-    # ({1,2,3}->3); batches 4 and 5 append after the last fold
-    assert parts_f["bands"] == [3, 4, 5]
-    assert parts_f["digests"] == [3, 4, 5]
+    # cadence 2, mode 'all': fold before batch 2 ({0,1}->1), before
+    # batch 4 ({1,2,3}->3). Mode 'window': {0,1}->1 and {2,3}->3 —
+    # older folded runs stay put (log-structured).
+    expect = [3, 4, 5] if fold_mode == "all" else [1, 3, 4, 5]
+    assert parts_f["bands"] == expect
+    assert parts_f["digests"] == expect
 
     with pytest.raises(ValueError, match="fold_every_n_batches requires"):
         run_stream_curation(
@@ -1695,7 +1699,8 @@ def test_stream_curation_auto_fold_matches_manual(spark, tmp_path):
         )
 
 
-def test_stream_semantic_dedup_auto_fold_and_manual_fold(spark, tmp_path):
+@pytest.mark.parametrize("fold_mode", ["window", "all"])
+def test_stream_semantic_dedup_auto_fold_and_manual_fold(spark, tmp_path, fold_mode):
     """Round 11: the semantic index store folds like the curation
     stores — (a) fold_every_n_batches auto-folds between triggers with
     flags identical to a never-folded control; (b) the standalone
@@ -1740,7 +1745,7 @@ def test_stream_semantic_dedup_auto_fold_and_manual_fold(spark, tmp_path):
         scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
         q = run_stream_semantic_dedup(
             spark, inp, schema, idx, cents, 0.999, out, ck,
-            fold_every_n_batches=fold_every, scfg=scfg,
+            fold_every_n_batches=fold_every, fold_mode=fold_mode, scfg=scfg,
         )
         q.awaitTermination(240)
         flags = {
@@ -1758,8 +1763,9 @@ def test_stream_semantic_dedup_auto_fold_and_manual_fold(spark, tmp_path):
     assert control[0][0] is False
     assert all(control[10 * b][0] for b in range(1, 5)), control
     assert parts_c == [0, 1, 2, 3, 4]
-    # folds before batch 2 ({0,1}->1) and batch 4 ({1,2,3}->3)
-    assert parts_f == [3, 4]
+    # 'all': fold before batch 2 ({0,1}->1) and batch 4 ({1,2,3}->3);
+    # 'window': {0,1}->1 stays put when {2,3}->3 folds
+    assert parts_f == ([3, 4] if fold_mode == "all" else [1, 3, 4])
 
     # (b) manual drained-stream fold + resume: fold everything, then a
     # new batch duplicating old history must still flag

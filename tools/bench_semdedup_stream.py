@@ -49,6 +49,7 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.95)
     ap.add_argument("--layout", choices=["bucketed", "dirs"], default="bucketed")
     ap.add_argument("--fold-every", type=int, default=None)
+    ap.add_argument("--fold-mode", choices=["window", "all"], default="window")
     ap.add_argument(
         "--fresh-frac",
         type=float,
@@ -141,6 +142,7 @@ def main() -> None:
         q = run_stream_semantic_dedup(
             spark, inp, schema, idx, centroids, args.threshold, out, ckpt,
             index_layout=args.layout, fold_every_n_batches=args.fold_every,
+            fold_mode=args.fold_mode,
             scfg=scfg,
         )
         q.awaitTermination(3600)
@@ -174,6 +176,7 @@ def main() -> None:
                     "metric": "semdedup_stream_scale",
                     "layout": args.layout,
                     "fold_every": args.fold_every,
+                    "fold_mode": args.fold_mode,
                     "corpus": args.corpus,
                     "cells": args.cells,
                     "batches": n_batches,

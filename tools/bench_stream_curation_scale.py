@@ -104,8 +104,9 @@ def synth_hotprobe(spark, n: int, rows_per_batch: int, member_fraction: float = 
 def run_mode(
     spark, inp: str, work: str, index_dropped: bool, band_cap=None,
     band_layout: str = "bucketed", fold_every: int | None = None,
+    fold_mode: str = "window",
 ) -> dict:
-    tag = f"{index_dropped}-{band_cap}-{band_layout}-{fold_every}"
+    tag = f"{index_dropped}-{band_cap}-{band_layout}-{fold_every}-{fold_mode}"
     out = os.path.join(work, f"out-{tag}")
     idx = os.path.join(work, f"idx-{tag}")
     ck = os.path.join(work, f"ck-{tag}")
@@ -124,6 +125,7 @@ def run_mode(
         band_index_max_bucket=band_cap,
         band_index_layout=band_layout,
         fold_every_n_batches=fold_every,
+        fold_mode=fold_mode,
         scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
     )
     q.awaitTermination(3600)
@@ -154,6 +156,7 @@ def run_mode(
         "band_cap": band_cap,
         "band_layout": band_layout,
         "fold_every": fold_every,
+        "fold_mode": fold_mode,
         "band_index_files": bands_files,
         "wall_sec": round(wall, 1),
         "survivors": survivors,
@@ -193,6 +196,13 @@ def main() -> None:
         help="fold_every_n_batches for run_stream_curation (round 11 "
         "in-stream auto-fold; bucketed layout only)",
     )
+    ap.add_argument(
+        "--fold-mode",
+        default="window",
+        choices=["window", "all"],
+        help="window = fold only the last N partitions (O(batch*N) per "
+        "fold); all = whole-store fold (O(history) per fold)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench-stream-curation")
@@ -216,7 +226,7 @@ def main() -> None:
     results = [
         run_mode(
             spark, inp, work, m == "dropped", args.band_cap, layout,
-            fold_every=args.fold_every,
+            fold_every=args.fold_every, fold_mode=args.fold_mode,
         )
         for layout in layouts
         for m in modes
