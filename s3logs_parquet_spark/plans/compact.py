@@ -312,7 +312,16 @@ def _fold_bucketed_store(
     mode's O(H²/N) (PERF.md round 11's measured 20→54→67 s growth).
     Composes with ``only_below`` (ids must also be < it). Visibility
     and replay contracts are unchanged: folded ids stay < every future
-    batch."""
+    batch. Crash-window difference vs the full fold: a crash between
+    the window fold's insert and its partition drops leaves the window
+    duplicated, and LATER window folds never revisit those ids — the
+    duplicates persist until an everything-fold
+    (:func:`compact_index_store` without ``only_ids``) dedups on the
+    spec key. Every consumer is duplicate-tolerant meanwhile (probe
+    candidates dedup per pair, the digest anti-join is idempotent,
+    bucket-cap counts inflate conservatively), so this is bounded
+    bloat, not wrong answers — schedule the occasional drain-window
+    full fold, as the deployment recipe says."""
     from s3logs_parquet_spark.session import materialize, release
 
     tbl = _bandidx_ensure(spark, root)

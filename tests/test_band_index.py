@@ -315,3 +315,46 @@ def test_semantic_probe_plan_no_exchange_on_index_side(spark, tmp_path):
     # and the probe still flags the history dups through the index
     got = {r["vec_id"]: r["is_semdup"] for r in flags.collect()}
     assert got == {500: True, 501: True}
+
+
+def test_compact_index_store_window_and_dirs_guard(spark, tmp_path):
+    """compact_index_store API surface (round 11): only_ids folds
+    exactly the named window into its max (older runs and the seed
+    untouched); a crash-duplicated window is healed by a later FULL
+    fold via the spec's dedup key; only_below/only_ids on a dirs-layout
+    store fail loud."""
+    import pytest as _pytest
+
+    from s3logs_parquet_spark.plans.compact import compact_index_store
+
+    store = str(tmp_path / "store")
+    for b in (-1, 0, 1, 2):
+        bi.write_contribution(
+            spark, store, _contrib(spark, range(10 * (b + 2), 10 * (b + 2) + 4)),
+            b, ("band", "band_hash"), n_buckets=2, dedup_cols=("doc_id",),
+        )
+    tbl = bi.ensure_table(spark, store)
+    # window fold {0,1} -> 1; seed and batch 2 untouched
+    res = compact_index_store(spark, store, only_ids=[0, 1])
+    assert res["batches_before"] == 4 and res["batches_after"] == 3
+    assert bi.partition_ids(spark, tbl) == [-1, 1, 2]
+    assert spark.table(tbl).count() == 16
+
+    # simulate the crash window: re-insert batch 0's rows next to the
+    # folded copy (duplicates on the dedup key), then heal with a FULL
+    # fold — dropDuplicates on dedup_cols restores exact rows
+    bi.write_contribution(
+        spark, store, _contrib(spark, range(20, 24)), 0, ("band", "band_hash")
+    )
+    assert spark.table(tbl).count() == 20  # duplicated window visible
+    res2 = compact_index_store(spark, store)
+    assert res2["batches_after"] == 1
+    assert spark.table(tbl).count() == 16  # healed
+
+    # dirs layout refuses the in-stream fold modes
+    droot = str(tmp_path / "dirs_store")
+    _contrib(spark, range(4)).write.parquet(f"{droot}/batch=0")
+    with _pytest.raises(ValueError, match="requires the bucketed layout"):
+        compact_index_store(spark, droot, only_below=5)
+    with _pytest.raises(ValueError, match="requires the bucketed layout"):
+        compact_index_store(spark, droot, only_ids=[0])
