@@ -4578,3 +4578,22 @@ assert set(_DRIVER_WINDOW_R11) <= set(QUERIES), sorted(
 QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R11} | {
     name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R11
 }
+
+# Round-12 rotation (VERDICT r11 #2): the r10-recorded half returns to
+# the window unchanged — every r11-window entry holds a green
+# CORRECTNESS_r11 row (50/50) and rotates out. No substitutions this
+# round: round 12's new work is measurement/hardening (shuffle-count
+# plan budgets, long-horizon fold + 10x semantic-index curves,
+# trigger-floor probe skip, README recipe smoke test — all
+# non-SQL-expressible, pinned by tests/test_plan_budgets.py /
+# tests/test_band_index.py / tests/test_cli.py). Registry stays at
+# exactly 100.
+_DRIVER_WINDOW_R12 = list(_DRIVER_WINDOW_R10)
+
+assert len(_DRIVER_WINDOW_R12) == 50, len(_DRIVER_WINDOW_R12)
+assert set(_DRIVER_WINDOW_R12) <= set(QUERIES), sorted(
+    set(_DRIVER_WINDOW_R12) - set(QUERIES)
+)
+QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R12} | {
+    name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R12
+}
