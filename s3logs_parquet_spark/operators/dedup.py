@@ -1555,10 +1555,15 @@ def tfidf_similar_pairs(
     until released. Long-lived drivers calling this repeatedly should
     free them once the returned pairs frame has been consumed
     (collected/written/materialized):
-    ``session.release(pairs._s3lps_postings)`` — the handle is attached
-    to the returned frame, mirroring run_stream_curation's per-batch
-    release discipline. ``materialize=False`` keeps the call fully
-    lazy (and re-tokenizes ~8x, see below).
+    ``session.release_tracked("tfidf_postings")`` — the handle is
+    registered with the session module at call time, so it survives
+    any transformation of the returned frame. The frame ALSO carries
+    the handle as ``pairs._s3lps_postings`` for single-call use, but
+    that attribute lives on THIS frame only — ``.filter()/.select()``
+    return a new DataFrame without it (ADVICE r11 #3), so read it off
+    the frame returned by this call before transforming, or use the
+    registry. ``materialize=False`` keeps the call fully lazy (and
+    re-tokenizes ~8x, see below).
 
     Returns (id_a, id_b, cosine) with id_a < id_b.
     """
@@ -1613,8 +1618,13 @@ def tfidf_similar_pairs(
     )
     out = scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
     if materialize:
-        # release handle for long-lived drivers (see docstring) — the
-        # checkpointed postings blocks outlive this call otherwise
+        # release handles for long-lived drivers (see docstring) — the
+        # checkpointed postings blocks outlive this call otherwise.
+        # Registry first (transformation-proof, ADVICE r11 #3); the
+        # frame attribute stays for single-call back-compat.
+        from s3logs_parquet_spark.session import track as _track
+
+        _track(postings, "tfidf_postings")
         out._s3lps_postings = postings
     return out
 

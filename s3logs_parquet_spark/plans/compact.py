@@ -21,6 +21,7 @@ for the same reason).
 
 from __future__ import annotations
 
+import json
 import posixpath
 import uuid
 
@@ -275,6 +276,7 @@ def _fold_bucketed_store(
     maxc: int | None,
     only_below: int | None = None,
     only_ids: list[int] | None = None,
+    fold_mode: str = "all",
 ) -> dict[str, int]:
     """compact_curation_index for a BUCKETED store (plans/band_index.py):
     fold every ``batch=<id>`` partition into ``batch=<max id>`` with one
@@ -321,7 +323,24 @@ def _fold_bucketed_store(
     candidates dedup per pair, the digest anti-join is idempotent,
     bucket-cap counts inflate conservatively), so this is bounded
     bloat, not wrong answers — schedule the occasional drain-window
-    full fold, as the deployment recipe says."""
+    full fold, as the deployment recipe says.
+
+    ``fold_mode="window"`` (round 12, ADVICE r11 #2): derive the window
+    from STORE STATE instead of an arithmetic range — the spec sidecar
+    records ``folded_below`` (everything under it is a fold survivor or
+    the seed), and the window is every existing id in
+    ``[folded_below, only_below)``. The r11 arithmetic window
+    (``range(batch_id - N, batch_id)``) left a permanent gap when a
+    stream restarted with a different ``fold_every_n_batches``:
+    partitions between the old and new fold boundaries fell outside
+    every future window. State-derived windows have no such gap — a
+    cadence change just makes the next fold's window cover the
+    leftover ids too. ``folded_below`` advances only when the fold
+    covered ALL existing ids below the new boundary (derived windows
+    and full folds; explicit ``only_ids`` subsets never advance it),
+    and a crash before the sidecar update merely re-folds the same
+    window next time (idempotent — dedup on the spec key)."""
+    from s3logs_parquet_spark.plans.band_index import SPEC_FILE
     from s3logs_parquet_spark.session import materialize, release
 
     tbl = _bandidx_ensure(spark, root)
@@ -344,9 +363,17 @@ def _fold_bucketed_store(
     ids = (
         [i for i in all_ids if i < only_below] if only_below is not None else all_ids
     )
+    covers_below = only_ids is None  # derived windows/full folds cover
     if only_ids is not None:
         wanted = set(only_ids)
         ids = [i for i in ids if i in wanted]
+    elif fold_mode == "window":
+        # state-derived window (ADVICE r11 #2): everything under the
+        # sidecar's folded_below is a prior fold's survivor (or the
+        # batch=-1 seed, which full folds handle); the window is every
+        # existing id at/above it — cadence changes leave no gap.
+        start = int(spec.get("folded_below", 0))
+        ids = [i for i in ids if i >= start]
     stats = {"batches_before": len(all_ids), "files_before": len(files)}
     if len(ids) <= 1:
         stats.update(batches_after=len(all_ids), files_after=len(files))
@@ -362,10 +389,11 @@ def _fold_bucketed_store(
             )
     m = max(ids)
     data = spark.table(tbl)
-    if only_ids is not None:
+    if len(ids) < len(all_ids):
+        # partition-pruned scan of exactly the fold's id set — the
+        # derived window, explicit only_ids and only_below cases alike
+        # (an isin on the partition column prunes identically to `<`)
         data = data.where(F.col("batch").isin([int(i) for i in ids]))
-    elif only_below is not None:
-        data = data.where(F.col("batch") < int(only_below))
     data = data.drop("batch")
     if spec.get("dedup_cols"):
         data = data.dropDuplicates(list(spec["dedup_cols"]))
@@ -386,6 +414,21 @@ def _fold_bucketed_store(
         for f in list_files(spark, root, recursive=True)
         if f.name.endswith(".parquet")
     ]
+    if covers_below:
+        # this fold covered EVERY existing id below the new boundary,
+        # so future derived windows may start there. Sidecar write is
+        # last — a crash before it re-folds the same window next time
+        # (idempotent). Explicit only_ids subsets never advance it.
+        new_below = int(only_below) if only_below is not None else m + 1
+        if new_below > int(spec.get("folded_below", 0)):
+            from s3logs_parquet_spark.fsutil import write_text
+
+            spec["folded_below"] = new_below
+            write_text(
+                spark,
+                posixpath.join(root.rstrip("/"), SPEC_FILE),
+                json.dumps(spec),
+            )
     stats.update(
         batches_after=len(all_ids) - len(ids) + 1, files_after=len(after)
     )
@@ -465,6 +508,7 @@ def compact_index_store(
     sort_cols: tuple[str, ...] | None = None,
     only_below: int | None = None,
     only_ids: list[int] | None = None,
+    fold_mode: str = "all",
 ) -> dict[str, int]:
     """Fold ONE per-batch index store (``root/batch=<id>`` dirs or a
     plans/band_index.py bucketed table — layout auto-detected from the
@@ -481,8 +525,16 @@ def compact_index_store(
     ones untouched — the in-stream auto-fold mode where foreachBatch
     sequencing replaces the commit-marker check for ids below the
     current batch (``run_stream_curation``/``run_stream_semantic_dedup``
-    ``fold_every_n_batches``). ``only_ids`` (bucketed only): the
-    window-fold subset — see :func:`_fold_bucketed_store`."""
+    ``fold_every_n_batches``). ``only_ids`` (bucketed only): an
+    explicit window-fold subset. ``fold_mode="window"`` (bucketed only,
+    round 12): derive that subset from the store's own ``folded_below``
+    state instead — cadence-change-safe; see
+    :func:`_fold_bucketed_store`."""
+    if fold_mode not in ("all", "window"):
+        raise ValueError(
+            f"compact_index_store: fold_mode={fold_mode!r} — expected "
+            "'all' or 'window'"
+        )
     maxc: int | None = None
     if checkpoint_dir is not None:
         maxc = _max_committed(spark, checkpoint_dir)
@@ -492,12 +544,19 @@ def compact_index_store(
     spec = _bandidx.read_spec(spark, root)
     if spec is not None:
         return _fold_bucketed_store(
-            spark, root, spec, maxc, only_below=only_below, only_ids=only_ids
+            spark,
+            root,
+            spec,
+            maxc,
+            only_below=only_below,
+            only_ids=only_ids,
+            fold_mode=fold_mode,
         )
-    if only_below is not None or only_ids is not None:
+    if only_below is not None or only_ids is not None or fold_mode != "all":
         raise ValueError(
-            f"compact_index_store: only_below/only_ids (in-stream fold) "
-            f"requires the bucketed layout, but {root} has no {_bandidx.SPEC_FILE}"
+            f"compact_index_store: only_below/only_ids/fold_mode='window' "
+            f"(in-stream fold) requires the bucketed layout, but {root} has "
+            f"no {_bandidx.SPEC_FILE}"
         )
     return _fold_dirs_store(
         spark, root, maxc, files_per_store, compression, sort_cols

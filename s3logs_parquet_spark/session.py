@@ -70,6 +70,35 @@ def release(df) -> None:
     sc._jsc.sc().unpersistRDD(rdd_id, True)
 
 
+# Checkpoint handles registered by operators whose RETURNED frame is
+# not the materialized one (tfidf_similar_pairs' postings table,
+# ADVICE r11 #3): an attribute stashed on a DataFrame does not survive
+# .filter()/.select()/.join() — each transformation returns a NEW
+# frame — so callers that transform before releasing silently keep the
+# blocks alive. This registry is the transformation-proof path: the
+# operator records its handle under a tag at call time; long-lived
+# drivers call release_tracked(tag) once the consumer action has run.
+_TRACKED: dict[str, list] = {}
+
+
+def track(df, tag: str):
+    """Register a materialized frame for later :func:`release_tracked`.
+    Returns ``df`` so call sites can wrap in-line."""
+    _TRACKED.setdefault(tag, []).append(df)
+    return df
+
+
+def release_tracked(tag: str) -> int:
+    """Release every frame registered under ``tag`` (all calls since
+    the last release — the release-all hook for operators invoked in a
+    loop) and return how many were released. Safe to call repeatedly;
+    unknown tags release nothing."""
+    handles = _TRACKED.pop(tag, [])
+    for df in handles:
+        release(df)
+    return len(handles)
+
+
 def get_spark(
     app_name: str = "s3logs-parquet-spark",
     master: str | None = None,

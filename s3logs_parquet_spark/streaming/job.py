@@ -343,8 +343,13 @@ def run_stream_semantic_dedup(
     ``index_path`` holds semantic_assign output under ``batch=<id>``
     partitions; seed the initial corpus at ``batch=-1`` (bucketed:
     through ``plans.band_index.write_contribution(..., batch_id=-1,
-    bucket_cols=("cell",))`` so the seed shares the bucket spec; dirs:
-    a plain ``batch=-1`` parquet dir). Per micro-batch the index is
+    bucket_cols=("cell",), dedup_cols=(id_col,))`` so the seed shares
+    the bucket spec AND records the fold's dedup key — dedup_cols is a
+    creation-time property, and without it every later fold skips
+    dropDuplicates, so the documented crash-window healing never
+    happens (ADVICE r11 #1; this function fails loud on such a store
+    when ``fold_every_n_batches`` is set); dirs: a plain ``batch=-1``
+    parquet dir). Per micro-batch the index is
     read with ``batch < current_id`` — strictly the history BEFORE
     this batch. That filter is what makes replays exactly-once: a
     batch replayed after a crash (its own ``batch=<id>`` append
@@ -366,12 +371,14 @@ def run_stream_semantic_dedup(
     foreachBatch sequencing), a crashed attempt's own partition is
     left for its retry to overwrite, and folded history keeps ids <
     every future batch so visibility is unchanged. ``fold_mode``:
-    ``"window"`` (default) folds only the last N partitions — each
-    fold rewrites O(batch·N) rows, cumulative O(H), partition count
-    bounded by H/N + seed; ``"all"`` folds the entire store each time
-    (fewest partitions, but O(history) per fold — see
-    run_stream_curation's measured numbers; prefer it only as an
-    occasional drain-window compact_index_store run).
+    ``"window"`` (default) folds only the not-yet-folded partitions —
+    derived from the store's ``folded_below`` sidecar state, so a
+    restart with a different cadence leaves no never-folded gap
+    (ADVICE r11 #2) — each fold rewrites O(batch·N) rows, cumulative
+    O(H), partition count bounded by H/N + seed; ``"all"`` folds the
+    entire store each time (fewest partitions, but O(history) per
+    fold — see run_stream_curation's measured numbers; prefer it only
+    as an occasional drain-window compact_index_store run).
 
     Output rows: (id_col, cell, is_corpus_dup, is_batch_dup) per
     batch vector — corpus = duplicates history, batch = a LOWER-id
@@ -430,6 +437,22 @@ def run_stream_semantic_dedup(
             "contributions but index_layout='bucketed' — pass 'dirs' (or "
             "rebuild the index to switch layouts)"
         )
+    if (
+        fold_every_n_batches is not None
+        and _spec is not None
+        and not _spec.get("dedup_cols")
+    ):
+        # ADVICE r11 #1: a store seeded without dedup_cols makes every
+        # fold skip dropDuplicates — the crash-window healing the fold
+        # docs promise silently never happens. Creation-time property,
+        # so the only fix is reseeding; fail before any batch commits.
+        raise ValueError(
+            f"run_stream_semantic_dedup: the index store at {index_path} "
+            "was created without dedup_cols, so folds cannot dedup and the "
+            "fold crash-window healing never happens — seed it with "
+            f"write_contribution(..., dedup_cols=({id_col!r},)) (rebuild "
+            "the store) or run without fold_every_n_batches"
+        )
     if update_index and _max_committed(spark, checkpoint_dir) >= 0 and not _exists(
         spark, index_path
     ):
@@ -467,14 +490,11 @@ def run_stream_semantic_dedup(
         ):
             # between-triggers auto-fold: ids < batch_id are committed
             # (sequential foreachBatch), a crashed attempt's own
-            # partition is skipped via only_below — see docstring
-            only = (
-                list(range(batch_id - int(fold_every_n_batches), batch_id))
-                if fold_mode == "window"
-                else None
-            )
+            # partition is skipped via only_below; window mode derives
+            # its id set from the store's folded_below state, so a
+            # cadence change leaves no never-folded gap (ADVICE r11 #2)
             compact_index_store(
-                spark, index_path, only_below=batch_id, only_ids=only
+                spark, index_path, only_below=batch_id, fold_mode=fold_mode
             )
         # Assignment-reuse (round 10, the curation-stream fusion
         # applied here): the r9 shape ran the assignment kernel up to
@@ -1007,9 +1027,11 @@ def run_stream_curation(
     foreachBatch sequencing), a crashed attempt's own partition is
     left for its retry, and folded history keeps ids < every future
     batch, so the probe's visibility contract is unchanged.
-    ``fold_mode="window"`` (default) folds only the LAST N partitions
-    into one — O(batch·N) rows per fold, cumulative O(H), partition
-    count bounded by H/N (+ the untouched seed); ``"all"`` folds the
+    ``fold_mode="window"`` (default) folds only the not-yet-folded
+    partitions into one — derived from each store's ``folded_below``
+    sidecar state, so a cadence change leaves no never-folded gap
+    (ADVICE r11 #2) — O(batch·N) rows per fold, cumulative O(H),
+    partition count bounded by H/N (+ the untouched seed); ``"all"`` folds the
     whole store each time, whose cost was measured honestly (PERF.md
     round 11, 40x50k hotprobe): O(history) per fold — 20 s at 4M rows
     growing to 67 s at 12M — cumulative O(H²/N), though survivors stay
@@ -1130,6 +1152,21 @@ def run_stream_curation(
                 "but band_index_layout='bucketed' — pass 'dirs' (or rebuild "
                 "the index to switch layouts)"
             )
+        if (
+            fold_every_n_batches is not None
+            and _spec is not None
+            and not _spec.get("dedup_cols")
+        ):
+            # ADVICE r11 #1 (same class as the semantic store): folds
+            # of a store seeded without dedup_cols cannot dedup, so
+            # the fold crash-window healing never happens — fail loud
+            raise ValueError(
+                f"run_stream_curation: the index store at {_sd} was created "
+                "without dedup_cols, so folds cannot dedup and the fold "
+                "crash-window healing never happens — reseed it through "
+                "write_contribution(..., dedup_cols=...) or run without "
+                "fold_every_n_batches"
+            )
     if _max_committed(spark, checkpoint_dir) >= 0:
         _missing = [
             s for s in ("digests", "bands") if not _exists(spark, f"{index_dir}/{s}")
@@ -1188,16 +1225,13 @@ def run_stream_curation(
             # between-triggers auto-fold (see docstring): ids <
             # batch_id are committed by foreachBatch sequencing; a
             # crashed attempt's own partition is skipped via
-            # only_below and stays for its retry to overwrite
-            only = (
-                list(range(batch_id - int(fold_every_n_batches), batch_id))
-                if fold_mode == "window"
-                else None
-            )
+            # only_below and stays for its retry to overwrite. Window
+            # mode derives its id set from each store's folded_below
+            # state — cadence changes leave no gap (ADVICE r11 #2)
             for _store in (dg_store, band_store):
                 if _bandidx.read_spec(spark, _store) is not None:
                     compact_index_store(
-                        spark, _store, only_below=batch_id, only_ids=only
+                        spark, _store, only_below=batch_id, fold_mode=fold_mode
                     )
             _mark("auto-fold")
         # A micro-batch arrives with the SOURCE's split count — often

@@ -358,3 +358,77 @@ def test_compact_index_store_window_and_dirs_guard(spark, tmp_path):
         compact_index_store(spark, droot, only_below=5)
     with _pytest.raises(ValueError, match="requires the bucketed layout"):
         compact_index_store(spark, droot, only_ids=[0])
+    with _pytest.raises(ValueError, match="requires the bucketed layout"):
+        compact_index_store(spark, droot, only_below=5, fold_mode="window")
+
+
+def test_window_fold_state_derived_no_cadence_gap(spark, tmp_path):
+    """ADVICE r11 #2: fold_mode='window' derives its id set from the
+    store's folded_below sidecar state, not an arithmetic
+    range(batch_id - N, batch_id) — so a stream restarted with a
+    DIFFERENT fold cadence still folds the ids the old cadence left
+    behind (the r11 arithmetic window orphaned them forever).
+    Explicit only_ids subsets never advance the state."""
+    import pytest as _pytest
+
+    from s3logs_parquet_spark.plans.compact import compact_index_store
+
+    store = str(tmp_path / "store")
+    for b in (-1, 0, 1, 2, 3):
+        bi.write_contribution(
+            spark, store, _contrib(spark, range(10 * (b + 2), 10 * (b + 2) + 4)),
+            b, ("band", "band_hash"), n_buckets=2, dedup_cols=("doc_id",),
+        )
+    tbl = bi.ensure_table(spark, store)
+    assert bi.read_spec(spark, store).get("folded_below") is None
+
+    # first in-stream fold at batch 4 (cadence N=4): window derives
+    # [0, 4) from folded_below default 0 — seed untouched
+    res = compact_index_store(spark, store, only_below=4, fold_mode="window")
+    assert res["batches_before"] == 5 and res["batches_after"] == 2
+    assert bi.partition_ids(spark, tbl) == [-1, 3]
+    assert bi.read_spec(spark, store)["folded_below"] == 4
+
+    # cadence change: batches 4..7 land, but the NEW cadence (N=2,
+    # restart) first folds at batch 8 — the r11 arithmetic window
+    # range(6, 8) would orphan 4 and 5 forever; the derived window is
+    # every existing id in [4, 8)
+    for b in (4, 5, 6, 7):
+        bi.write_contribution(
+            spark, store, _contrib(spark, range(10 * (b + 2), 10 * (b + 2) + 4)),
+            b, ("band", "band_hash"),
+        )
+    res2 = compact_index_store(spark, store, only_below=8, fold_mode="window")
+    assert res2["batches_after"] == 3  # seed, 3, 7 — nothing orphaned
+    assert bi.partition_ids(spark, tbl) == [-1, 3, 7]
+    assert bi.read_spec(spark, store)["folded_below"] == 8
+    assert spark.table(tbl).count() == 9 * 4  # every row survived
+
+    # an explicit only_ids subset fold must NOT advance the state:
+    # it may skip ids the derived window would still need to cover
+    for b in (8, 9):
+        bi.write_contribution(
+            spark, store, _contrib(spark, range(10 * (b + 2), 10 * (b + 2) + 4)),
+            b, ("band", "band_hash"),
+        )
+    compact_index_store(spark, store, only_ids=[8, 9])
+    assert bi.partition_ids(spark, tbl) == [-1, 3, 7, 9]
+    assert bi.read_spec(spark, store)["folded_below"] == 8
+
+    # next derived window picks up from the RECORDED state (8), so the
+    # only_ids survivor 9 folds forward with the new batches — nothing
+    # below the boundary is ever orphaned
+    for b in (10, 11):
+        bi.write_contribution(
+            spark, store, _contrib(spark, range(10 * (b + 2), 10 * (b + 2) + 4)),
+            b, ("band", "band_hash"),
+        )
+    res3 = compact_index_store(spark, store, only_below=12, fold_mode="window")
+    assert res3["batches_after"] == 4  # seed + survivors 3, 7 + new 11
+    assert bi.partition_ids(spark, tbl) == [-1, 3, 7, 11]
+    assert bi.read_spec(spark, store)["folded_below"] == 12
+    assert spark.table(tbl).count() == 13 * 4
+
+    # bad mode fails loud
+    with _pytest.raises(ValueError, match="fold_mode"):
+        compact_index_store(spark, store, only_below=14, fold_mode="bogus")

@@ -1389,6 +1389,35 @@ def test_tfidf_pairs_release_handle(spark):
     assert not hasattr(lazy, "_s3lps_postings")
 
 
+def test_tfidf_pairs_release_registry_survives_transforms(spark):
+    """ADVICE r11 #3: the frame attribute dies on any transformation
+    (.filter returns a NEW DataFrame), so the session registry is the
+    transformation-proof release path — release_tracked frees every
+    handle registered since the last release, and is idempotent."""
+    from s3logs_parquet_spark.operators.dedup import tfidf_similar_pairs
+    from s3logs_parquet_spark.session import release_tracked
+
+    release_tracked("tfidf_postings")  # drain leftovers from other tests
+    d = spark.createDataFrame(
+        [
+            (1, "rare alpha vocabulary shared tokens"),
+            (2, "rare alpha vocabulary shared tokens"),
+            (3, "completely different boilerplate body"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_similar_pairs(d, "doc_id", "text", threshold=0.5)
+    transformed = out.filter(F.col("cosine") >= 0.9)
+    # the documented pitfall: the attribute does NOT ride transformations
+    assert not hasattr(transformed, "_s3lps_postings")
+    assert {(r["id_a"], r["id_b"]) for r in transformed.collect()} == {(1, 2)}
+    assert release_tracked("tfidf_postings") == 1  # frees the blocks anyway
+    assert release_tracked("tfidf_postings") == 0  # idempotent
+    # lazy mode registers nothing
+    tfidf_similar_pairs(d, "doc_id", "text", threshold=0.5, materialize=False)
+    assert release_tracked("tfidf_postings") == 0
+
+
 def test_connected_components_zero_edges_short_circuit(spark):
     """Round 11 (VERDICT r10 #8): zero candidate pairs → identity
     labels with NO driver collect/map-join plan (the per-trigger job

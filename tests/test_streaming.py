@@ -646,6 +646,29 @@ def test_stream_semantic_dedup_layout_split_brain_guards(spark, tmp_path):
             cents, 0.99, str(tmp_path / "o3"), str(tmp_path / "ck_resume"),
         )
 
+    # ADVICE r11 #1: a store seeded WITHOUT dedup_cols (the bucketed
+    # store above) cannot heal fold crash windows — auto-fold streams
+    # must fail loud at start, not skip dropDuplicates forever
+    with _pytest.raises(ValueError, match="without dedup_cols"):
+        run_stream_semantic_dedup(
+            spark, str(tmp_path / "in"), schema, bidx, cents, 0.99,
+            str(tmp_path / "o4"), str(tmp_path / "c4"),
+            index_layout="bucketed", fold_every_n_batches=2,
+        )
+    # ...but the same store without the fold cadence is fine (folds
+    # never run), and a dedup_cols-seeded store passes the guard (the
+    # auto-fold e2e test covers the running stream)
+    from s3logs_parquet_spark.streaming.job import StreamingJobConfig as _SC
+
+    in_ok = str(tmp_path / "in_ok")
+    spark.createDataFrame([(5, [0.5, 0.5])], schema).coalesce(1).write.parquet(in_ok)
+    q = run_stream_semantic_dedup(
+        spark, in_ok, schema, bidx, cents, 0.99,
+        str(tmp_path / "o5"), str(tmp_path / "c5"),
+        index_layout="bucketed", scfg=_SC(available_now=True),
+    )
+    q.awaitTermination(60)
+
 
 def test_stream_kmv_equals_batch_sketch(spark, tmp_path):
     """Streaming KMV maintenance: per-batch k-min contributions merged
