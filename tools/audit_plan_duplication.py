@@ -65,9 +65,45 @@ def optimized_plan(spark, fn, sf_dir: str) -> str:
     return fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
 
 
+def physical_plan(spark, fn, sf_dir: str) -> str:
+    """One query's planned PHYSICAL plan string (no execution — under
+    AQE this is the AdaptiveSparkPlan's initial plan, which is the
+    deterministic pre-runtime shape the shuffle budget pins; runtime
+    re-planning can only IMPROVE on it)."""
+    return fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
 def marker_hits(plan: str) -> dict[str, int]:
     """Non-zero marker counts of a plan string."""
     return {m: plan.count(m) for m in MARKERS if m in plan}
+
+
+# Physical shuffle markers (round 12, VERDICT r11 #3): every `weak` in
+# rounds 9-11 was an Exchange reappearing on a path that was designed
+# exchange-free — a class the expression markers above cannot see. The
+# word-boundary regexes keep the three node families apart:
+# "BroadcastExchange" and "ReusedExchange" both CONTAIN "Exchange" but
+# have no word boundary before it, so `\bExchange ` counts only true
+# shuffle exchanges. ReusedExchange is counted separately (it is a
+# pointer at another exchange's output, not a new shuffle — but one
+# APPEARING means plan structure changed and deserves a look).
+import re as _re
+
+EXCHANGE_MARKERS = {
+    "Exchange": _re.compile(r"\bExchange "),
+    "BroadcastExchange": _re.compile(r"\bBroadcastExchange"),
+    "ReusedExchange": _re.compile(r"\bReusedExchange"),
+}
+
+
+def exchange_hits(plan: str) -> dict[str, int]:
+    """Non-zero physical shuffle-node counts of an executedPlan string."""
+    out = {}
+    for name, rx in EXCHANGE_MARKERS.items():
+        n = len(rx.findall(plan))
+        if n:
+            out[name] = n
+    return out
 
 
 def main() -> None:
@@ -88,13 +124,15 @@ def main() -> None:
     flagged = []
     errors = []
     budgets: dict[str, dict[str, int]] = {}
+    spark.catalog.clearCache()  # InMemoryRelation toString pollution
     for name, (fn, _sql) in QUERIES.items():
         try:
             plan = optimized_plan(spark, fn, args.sf_dir)
+            phys = physical_plan(spark, fn, args.sf_dir)
         except Exception as e:  # noqa: BLE001 — audit must cover the rest
             errors.append({"query": name, "error": str(e)[:120]})
             continue
-        budgets[name] = marker_hits(plan)
+        budgets[name] = marker_hits(plan) | exchange_hits(phys)
         hits = {m: c for m, c in budgets[name].items() if c >= args.min}
         if hits:
             flagged.append({"query": name, "plan_len": len(plan), "hits": hits})

@@ -104,7 +104,7 @@ def synth_hotprobe(spark, n: int, rows_per_batch: int, member_fraction: float = 
 def run_mode(
     spark, inp: str, work: str, index_dropped: bool, band_cap=None,
     band_layout: str = "bucketed", fold_every: int | None = None,
-    fold_mode: str = "window",
+    fold_mode: str = "window", final_full_fold: bool = False,
 ) -> dict:
     tag = f"{index_dropped}-{band_cap}-{band_layout}-{fold_every}-{fold_mode}"
     out = os.path.join(work, f"out-{tag}")
@@ -151,7 +151,30 @@ def run_mode(
         len([f for f in files if f.endswith(".parquet")])
         for _, _, files in os.walk(os.path.join(idx, "bands"))
     )
+    full_fold = None
+    if final_full_fold:
+        # the drain-window escalation the window-fold docstrings
+        # recommend: one everything-fold per store after the stream
+        # stops — measures what the occasional full compact costs at
+        # this history depth and what it buys in files/partitions
+        from s3logs_parquet_spark.plans.compact import compact_index_store
+
+        full_fold = {}
+        for store in ("digests", "bands"):
+            t1 = time.time()
+            st = compact_index_store(
+                spark, os.path.join(idx, store), checkpoint_dir=ck
+            )
+            st["sec"] = round(time.time() - t1, 1)
+            full_fold[store] = st
+        # answer parity must hold across the fold: rows read back from
+        # the folded band store equal the unfolded count minus nothing
+        # (window-fold crash duplicates would be healed here)
+        full_fold["bands_rows_after"] = spark.read.parquet(
+            os.path.join(idx, "bands")
+        ).count()
     return {
+        **({"final_full_fold": full_fold} if full_fold else {}),
         "index_dropped": index_dropped,
         "band_cap": band_cap,
         "band_layout": band_layout,
@@ -203,6 +226,13 @@ def main() -> None:
         help="window = fold only the last N partitions (O(batch*N) per "
         "fold); all = whole-store fold (O(history) per fold)",
     )
+    ap.add_argument(
+        "--final-full-fold",
+        action="store_true",
+        help="after the drain, run + time one everything-fold per index "
+        "store (the drain-window escalation the window-fold docs "
+        "recommend) and record files/partitions before/after",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench-stream-curation")
@@ -227,6 +257,7 @@ def main() -> None:
         run_mode(
             spark, inp, work, m == "dropped", args.band_cap, layout,
             fold_every=args.fold_every, fold_mode=args.fold_mode,
+            final_full_fold=args.final_full_fold,
         )
         for layout in layouts
         for m in modes
