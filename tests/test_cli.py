@@ -251,3 +251,128 @@ def test_maintenance_fold_index_cli(spark, tmp_path):
     tbl = bi.ensure_table(spark, store)
     assert bi.partition_ids(spark, tbl) == [1]
     assert spark.table(tbl).count() == 20
+
+
+def test_readme_production_recipe_end_to_end(spark, tmp_path):
+    """README "Running it for real" smoke test (VERDICT r11 #7): the
+    five recipe steps executed verbatim against a local manifest dir
+    with the stubbed SQS client — if a README command drifts from the
+    API, this fails, not a deployer. Steps: (1) session w/ committer
+    profile, (2) SQS->manifest bridge, (3) supervised ingestion stream
+    + drain, (4) maintenance compact/fold/fold-index, (5) the curation
+    fold knobs are pinned by their own e2e suites (referenced, not
+    re-run here)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from s3logs_parquet_spark.plans import band_index as bi
+    from s3logs_parquet_spark.session import get_spark
+    from s3logs_parquet_spark.sources.sqs_bridge import SqsManifestBridge
+    from s3logs_parquet_spark.streaming.job import (
+        StreamingJobConfig,
+        install_stream_supervisor,
+        run_manifest_stream,
+    )
+    from s3logs_parquet_spark.writer import s3a_committer_profile
+
+    # -- step 1: the recipe's session call runs as written; under the
+    # test fixture getOrCreate returns the running session, so the
+    # committer profile's shape is asserted directly (its live-AWS leg
+    # is the one sandbox-untestable seam, noted in README/VERDICT)
+    prof = s3a_committer_profile()
+    s = get_spark(app_name="s3logs-prod", extra_conf=prof)
+    assert s is spark
+    assert prof["spark.hadoop.fs.s3a.committer.name"] == "magic"
+
+    # -- step 2: queue bridge with the stubbed client (the README's
+    # "no AWS at hand" path); three created objects, one junk event
+    objroot = tmp_path / "objects"
+    paths = []
+    for i, (bucket, key) in enumerate(
+        [("bkt-a", "logs/obj0.log"), ("bkt-a", "logs/obj1.log"), ("bkt-b", "logs/obj2.log")]
+    ):
+        p = objroot / bucket / key
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text("\n".join(generate_lines(200, seed=i)) + "\n")
+        paths.append((bucket, key))
+
+    def _event(bucket, key, event="ObjectCreated:Put"):
+        return json.dumps(
+            {"Records": [{"eventName": event,
+                          "s3": {"bucket": {"name": bucket},
+                                 "object": {"key": key, "size": 1}}}]}
+        )
+
+    class _FakeSqs:
+        def __init__(self, bodies):
+            self.pending = [
+                {"Body": b, "ReceiptHandle": f"rh-{i}"} for i, b in enumerate(bodies)
+            ]
+            self.deleted = []
+
+        def receive_message(self, QueueUrl, MaxNumberOfMessages, WaitTimeSeconds):
+            out, self.pending = (
+                self.pending[:MaxNumberOfMessages],
+                self.pending[MaxNumberOfMessages:],
+            )
+            return {"Messages": out} if out else {}
+
+        def delete_message_batch(self, QueueUrl, Entries):
+            self.deleted.extend(e["ReceiptHandle"] for e in Entries)
+            return {"Failed": []}
+
+    man = str(tmp_path / "manifests")
+    fake = _FakeSqs(
+        [_event(b, k) for b, k in paths]
+        + [_event("bkt-x", "tmp/ignored", "ObjectRemoved:Delete")]
+    )
+    bridge = SqsManifestBridge(queue_url="q", manifest_dir=man, client=fake)
+    assert bridge.run(stop_after_empty=1) == 4
+    assert len(fake.deleted) == 4  # delete-on-commit acked everything
+
+    # -- step 3: the ingestion stream, supervised (pidfile), drained
+    out, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    pidfile = str(tmp_path / "s3logs.pid")
+    q = run_manifest_stream(
+        spark, man, out, ckpt,
+        scheme="file://", object_root=str(objroot),
+        scfg=StreamingJobConfig(available_now=True),
+    )
+    install_stream_supervisor(q, pidfile=pidfile)
+    assert os.path.exists(pidfile)  # supervisor wrote it for the init system
+    q.awaitTermination(120)
+    os.remove(pidfile)  # the caller's finally-block duty (cli.py does this)
+    table = spark.read.parquet(out)
+    n_ingested = table.count()
+    assert n_ingested > 500  # three 200-line objects minus dups/garbage
+    assert {r["Bucket"] for r in table.select("Bucket").distinct().collect()} == {
+        "bucket-a", "bucket-b", "bucket-c"
+    }
+
+    # -- step 4: maintenance cadence, exactly the README commands
+    assert cli_main(["maintenance", "compact", out]) == 0
+    assert cli_main(["maintenance", "fold", out, "-k", ckpt]) == 0
+    folded = spark.read.parquet(out)
+    assert folded.count() == n_ingested
+    assert folded.select("batch").distinct().count() == 1
+
+    # fold-index against a per-batch index store (the third command)
+    store = str(tmp_path / "curidx" / "bands")
+    df = spark.range(12).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("int").alias("band"),
+        (F.col("id") % 8).cast("int").alias("band_hash"),
+    )
+    ick = tmp_path / "cur_ck" / "commits"
+    ick.mkdir(parents=True)
+    for b in (0, 1):
+        (ick / str(b)).write_text("{}")
+        bi.write_contribution(
+            spark, store, df.filter(F.col("doc_id") % 2 == b), b,
+            ("band", "band_hash"), n_buckets=2, dedup_cols=("doc_id",),
+        )
+    assert cli_main(
+        ["maintenance", "fold-index", store, "-k", str(tmp_path / "cur_ck")]
+    ) == 0
+    assert bi.partition_ids(spark, bi.ensure_table(spark, store)) == [1]
