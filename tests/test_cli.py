@@ -276,14 +276,18 @@ def test_readme_production_recipe_end_to_end(spark, tmp_path):
     )
     from s3logs_parquet_spark.writer import s3a_committer_profile
 
-    # -- step 1: the recipe's session call runs as written; under the
-    # test fixture getOrCreate returns the running session, so the
-    # committer profile's shape is asserted directly (its live-AWS leg
-    # is the one sandbox-untestable seam, noted in README/VERDICT)
+    # -- step 1: the committer profile's shape (the recipe applies it
+    # at SESSION BUILD; its committer classes ship in
+    # spark-hadoop-cloud, which the README lists as a runtime
+    # requirement and is absent here — applying it to the live fixture
+    # session correctly fails class validation, so this is the one
+    # sandbox-untestable seam, noted in README/VERDICT)
     prof = s3a_committer_profile()
-    s = get_spark(app_name="s3logs-prod", extra_conf=prof)
-    assert s is spark
     assert prof["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert prof["spark.hadoop.fs.s3a.committer.magic.enabled"] == "true"
+    assert "cloud" in prof["spark.sql.parquet.output.committer.class"]
+    s = get_spark(app_name="s3logs-prod")  # the call shape, sans profile
+    assert s is spark
 
     # -- step 2: queue bridge with the stubbed client (the README's
     # "no AWS at hand" path); three created objects, one junk event
