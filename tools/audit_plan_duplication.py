@@ -66,11 +66,23 @@ def optimized_plan(spark, fn, sf_dir: str) -> str:
 
 
 def physical_plan(spark, fn, sf_dir: str) -> str:
-    """One query's planned PHYSICAL plan string (no execution — under
-    AQE this is the AdaptiveSparkPlan's initial plan, which is the
-    deterministic pre-runtime shape the shuffle budget pins; runtime
-    re-planning can only IMPROVE on it)."""
-    return fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    """One query's planned PHYSICAL plan string — the AdaptiveSparkPlan
+    INITIAL plan, the deterministic pre-runtime shape the shuffle
+    budget pins (runtime re-planning can only improve on it).
+
+    The initial-plan slice matters beyond intent: several registry
+    queries cache their DataFrame per process (prepared-statement
+    semantics), so by the time the full suite's gate plans them,
+    test_oracles_full has EXECUTED the cached frame — and an executed
+    AdaptiveSparkPlan's toString prints BOTH '== Final Plan ==' (with
+    ShuffleQueryStage/ReusedExchange wrappers) and '== Initial Plan =='
+    sections, exactly doubling every exchange count (observed: 4->8 /
+    3->6 on the four cached-plan queries under full-suite ordering,
+    green standalone). Counting only the Initial section makes the
+    budget identical before and after execution."""
+    s = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    marker = "== Initial Plan =="
+    return s.split(marker, 1)[1] if marker in s else s
 
 
 def marker_hits(plan: str) -> dict[str, int]:
