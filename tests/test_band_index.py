@@ -429,6 +429,35 @@ def test_window_fold_state_derived_no_cadence_gap(spark, tmp_path):
     assert bi.read_spec(spark, store)["folded_below"] == 12
     assert spark.table(tbl).count() == 13 * 4
 
+    # crash idempotency: a fold that completed but died BEFORE the
+    # sidecar update leaves folded_below stale — the next derived fold
+    # simply re-covers the window (survivor partitions re-fold into the
+    # same max) without losing or duplicating rows
+    spec = bi.read_spec(spark, store)
+    spec["folded_below"] = 8  # wind the state back past the last fold
+    from s3logs_parquet_spark.fsutil import write_text as _wt
+    import json as _json
+    import posixpath as _pp
+
+    _wt(spark, _pp.join(store, bi.SPEC_FILE), _json.dumps(spec))
+    # the stale window [8,12) holds only survivor 11 -> single-id
+    # no-op (early return): nothing rewritten, state intentionally
+    # left for the next real fold
+    compact_index_store(spark, store, only_below=12, fold_mode="window")
+    assert bi.partition_ids(spark, tbl) == [-1, 3, 7, 11]
+    assert bi.read_spec(spark, store)["folded_below"] == 8
+    # ...which heals forward as soon as the window has >1 id: the
+    # survivor re-folds with the new batches, no loss, no duplication
+    for b in (12, 13):
+        bi.write_contribution(
+            spark, store, _contrib(spark, range(10 * (b + 2), 10 * (b + 2) + 4)),
+            b, ("band", "band_hash"),
+        )
+    compact_index_store(spark, store, only_below=14, fold_mode="window")
+    assert bi.partition_ids(spark, tbl) == [-1, 3, 7, 13]
+    assert bi.read_spec(spark, store)["folded_below"] == 14  # healed
+    assert spark.table(tbl).count() == 15 * 4  # nothing lost, nothing doubled
+
     # bad mode fails loud
     with _pytest.raises(ValueError, match="fold_mode"):
         compact_index_store(spark, store, only_below=14, fold_mode="bogus")
