@@ -4597,3 +4597,21 @@ assert set(_DRIVER_WINDOW_R12) <= set(QUERIES), sorted(
 QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R12} | {
     name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R12
 }
+
+# Round-13 rotation (VERDICT r12 #6): the r11-recorded half returns to
+# the window unchanged — every r12-window entry holds a green
+# CORRECTNESS_r12 row (50/50) and rotates out. No substitutions this
+# round: round 13's new work is hardening/measurement (atomic fold
+# sidecar state, band_index_max_bucket horizon record, per-trigger
+# sink-job floor, streaming plan budgets — all non-SQL-expressible,
+# pinned by tests/test_band_index.py / tests/test_plan_budgets.py /
+# tests/test_session.py). Registry stays at exactly 100.
+_DRIVER_WINDOW_R13 = list(_DRIVER_WINDOW_R11)
+
+assert len(_DRIVER_WINDOW_R13) == 50, len(_DRIVER_WINDOW_R13)
+assert set(_DRIVER_WINDOW_R13) <= set(QUERIES), sorted(
+    set(_DRIVER_WINDOW_R13) - set(QUERIES)
+)
+QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R13} | {
+    name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R13
+}
