@@ -1557,7 +1557,12 @@ def tfidf_similar_pairs(
     (collected/written/materialized):
     ``session.release_tracked("tfidf_postings")`` — the handle is
     registered with the session module at call time, so it survives
-    any transformation of the returned frame. The frame ALSO carries
+    any transformation of the returned frame. The bare tag releases
+    ALL registered postings frames (single-tenant loops); CONCURRENT
+    callers in one driver must instead release only their own via the
+    per-call token ``pairs._s3lps_postings._s3lps_track_token``
+    (VERDICT r12 #5 — a shared-tag release would unpersist the other
+    caller's still-in-flight postings). The frame ALSO carries
     the handle as ``pairs._s3lps_postings`` for single-call use, but
     that attribute lives on THIS frame only — ``.filter()/.select()``
     return a new DataFrame without it (ADVICE r11 #3), so read it off

@@ -57,9 +57,16 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3logs_parquet_spark.fsutil import read_text, write_text
+from s3logs_parquet_spark.fsutil import delete, read_text, rename, write_text
 
 SPEC_FILE = "_INDEX_SPEC.json"
+# Fold watermark sidecar (ADVICE r12 #1): ``folded_below`` lives in its
+# OWN small file so _INDEX_SPEC.json stays immutable after creation —
+# a crash mid-rewrite of the spec would have taken the creation-time
+# bucket layout (table name, bucket_cols, dedup_cols) with it and
+# bricked every probe; a lost/corrupt FOLD state merely costs one
+# idempotent O(history) re-fold.
+FOLD_STATE_FILE = "_FOLD_STATE.json"
 
 
 def table_name(store_dir: str) -> str:
@@ -71,9 +78,69 @@ def table_name(store_dir: str) -> str:
 
 def read_spec(spark: SparkSession, store_dir: str) -> dict | None:
     """The store's bucket spec sidecar, or None for a missing/dirs-layout
-    store."""
-    raw = read_text(spark, posixpath.join(store_dir.rstrip("/"), SPEC_FILE))
-    return json.loads(raw) if raw is not None else None
+    store.
+
+    An UNPARSEABLE spec fails loud (ADVICE r12 #1): the spec is
+    write-once at creation, so corruption means a partial write or
+    filesystem damage — silently returning None here would flip the
+    layout auto-detection and misroute a bucketed store down the
+    dirs-layout path (whole-store rename folds against a registered
+    table's location)."""
+    path = posixpath.join(store_dir.rstrip("/"), SPEC_FILE)
+    raw = read_text(spark, path)
+    if raw is None:
+        return None
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError as exc:
+        raise ValueError(
+            f"band_index.read_spec: corrupt {SPEC_FILE} at {path} "
+            f"({exc}) — refusing to treat the store as dirs-layout. The "
+            "spec is write-once at store creation; restore it from the "
+            "creation-time values (table/bucket_cols/sort_cols/schema/"
+            "n_buckets/dedup_cols) or recreate the store."
+        ) from exc
+
+
+def read_fold_state(spark: SparkSession, store_dir: str) -> int:
+    """The store's ``folded_below`` fold watermark (0 when never
+    folded). Reads the :data:`FOLD_STATE_FILE` sidecar; legacy stores
+    folded by the round-12 code recorded the watermark inside the spec
+    itself — honor the max of both so upgrading never winds the
+    watermark back. A corrupt fold-state sidecar degrades to 0 (the
+    next window fold re-covers all unfolded ids — idempotent, dedup on
+    the spec key), unlike the spec where corruption fails loud."""
+    raw = read_text(
+        spark, posixpath.join(store_dir.rstrip("/"), FOLD_STATE_FILE)
+    )
+    sidecar = 0
+    if raw is not None:
+        try:
+            sidecar = int(json.loads(raw)["folded_below"])
+        except (KeyError, TypeError, ValueError, json.JSONDecodeError):
+            sidecar = 0
+    spec = read_spec(spark, store_dir) or {}
+    legacy = int(spec.get("folded_below", 0) or 0)
+    return max(sidecar, legacy)
+
+
+def write_fold_state(spark: SparkSession, store_dir: str, folded_below: int) -> None:
+    """Persist the fold watermark atomically: write a temp sibling,
+    then rename over the live file (atomic on HDFS/local; on object
+    stores rename is copy+delete, but a reader there sees either the
+    old or the new complete object — never a truncated one). If the
+    filesystem's rename refuses to clobber, delete-then-rename: the
+    brief missing-file window degrades to watermark 0, which is the
+    safe direction (re-fold, not data loss)."""
+    path = posixpath.join(store_dir.rstrip("/"), FOLD_STATE_FILE)
+    tmp = path + ".tmp"
+    write_text(spark, tmp, json.dumps({"folded_below": int(folded_below)}))
+    if not rename(spark, tmp, path):
+        delete(spark, path, recursive=False)
+        if not rename(spark, tmp, path):
+            raise OSError(
+                f"band_index.write_fold_state: rename {tmp} -> {path} failed"
+            )
 
 
 def partition_ids(spark: SparkSession, table: str) -> list[int]:
@@ -176,21 +243,35 @@ def write_contribution(
         int(spec["n_buckets"]), *[F.col(c) for c in spec["bucket_cols"]]
     )
     # insertInto ignores per-write writer options (verified), so the
-    # dynamic-overwrite switch must be a session conf — set/restore
-    # around the write. CRITICAL: on ``df``'s OWN session, not the
-    # caller's — inside foreachBatch the batch frame belongs to the
-    # stream's CLONED session with an isolated SQLConf, and a conf set
-    # on the outer session never reaches the write, which then runs
-    # STATIC overwrite and deletes the whole store (observed).
-    # foreachBatch runs batches sequentially, so no race with the
-    # stream's own writes.
-    sess = out.sparkSession
-    old = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out.write.mode("overwrite").insertInto(tbl)
-    finally:
-        sess.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    # dynamic-overwrite switch must be a session conf. Since round 13
+    # the insert runs on a PRIVATE session clone instead of a
+    # set/restore dance on the caller's session: cloneSession() shares
+    # the external catalog (the table registration) and the spark
+    # context but has an ISOLATED SQLConf, so (a) concurrent sink
+    # threads can never race each other's restores into leaking a conf
+    # change onto the shared session, and (b) a conf set here can never
+    # perturb a probe the main thread is planning at the same moment.
+    # The clone MUST derive from ``df``'s OWN session — inside
+    # foreachBatch the batch frame belongs to the stream's cloned
+    # session; a conf set anywhere else never reaches the write, which
+    # then runs STATIC overwrite and deletes the whole store (observed).
+    #
+    # AQE off for this insert (round 13, VERDICT r12 #2): the write is
+    # an exact repartition-to-n_buckets + bucketed sink — AQE cannot
+    # coalesce or re-plan it (the bucket count is a hard layout
+    # requirement) but DOES materialize the repartition exchange as
+    # its own query-stage job, doubling every contribution insert's
+    # job count (measured: 2 jobs -> 1, tools/exp_sink_insert_jobs.py,
+    # wall-neutral at 20k rows). Per-trigger scheduler load halves on
+    # the sink path of a forever-stream.
+    jsess = out._jdf.sparkSession().cloneSession()
+    jsess.conf().set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    jsess.conf().set("spark.sql.adaptive.enabled", "false")
+    jvm = spark._jvm
+    jout = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        jsess, out._jdf.logicalPlan()
+    )
+    jout.write().mode("overwrite").insertInto(tbl)
     return tbl
 
 

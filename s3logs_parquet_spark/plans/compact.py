@@ -340,7 +340,6 @@ def _fold_bucketed_store(
     and full folds; explicit ``only_ids`` subsets never advance it),
     and a crash before the sidecar update merely re-folds the same
     window next time (idempotent — dedup on the spec key)."""
-    from s3logs_parquet_spark.plans.band_index import SPEC_FILE
     from s3logs_parquet_spark.session import materialize, release
 
     tbl = _bandidx_ensure(spark, root)
@@ -369,10 +368,15 @@ def _fold_bucketed_store(
         ids = [i for i in ids if i in wanted]
     elif fold_mode == "window":
         # state-derived window (ADVICE r11 #2): everything under the
-        # sidecar's folded_below is a prior fold's survivor (or the
+        # folded_below watermark is a prior fold's survivor (or the
         # batch=-1 seed, which full folds handle); the window is every
-        # existing id at/above it — cadence changes leave no gap.
-        start = int(spec.get("folded_below", 0))
+        # existing id at/above it — cadence changes leave no gap. The
+        # watermark lives in its own atomically-renamed sidecar since
+        # round 13 (ADVICE r12 #1) so the creation-time spec stays
+        # immutable; read_fold_state honors the legacy in-spec field.
+        from s3logs_parquet_spark.plans.band_index import read_fold_state
+
+        start = read_fold_state(spark, root)
         ids = [i for i in ids if i >= start]
     stats = {"batches_before": len(all_ids), "files_before": len(files)}
     if len(ids) <= 1:
@@ -419,16 +423,16 @@ def _fold_bucketed_store(
         # so future derived windows may start there. Sidecar write is
         # last — a crash before it re-folds the same window next time
         # (idempotent). Explicit only_ids subsets never advance it.
+        # The watermark goes to its own atomic sidecar (ADVICE r12 #1);
+        # _INDEX_SPEC.json is never rewritten after creation.
         new_below = int(only_below) if only_below is not None else m + 1
-        if new_below > int(spec.get("folded_below", 0)):
-            from s3logs_parquet_spark.fsutil import write_text
+        from s3logs_parquet_spark.plans.band_index import (
+            read_fold_state,
+            write_fold_state,
+        )
 
-            spec["folded_below"] = new_below
-            write_text(
-                spark,
-                posixpath.join(root.rstrip("/"), SPEC_FILE),
-                json.dumps(spec),
-            )
+        if new_below > read_fold_state(spark, root):
+            write_fold_state(spark, root, new_below)
     stats.update(
         batches_after=len(all_ids) - len(ids) + 1, files_after=len(after)
     )
@@ -534,6 +538,17 @@ def compact_index_store(
         raise ValueError(
             f"compact_index_store: fold_mode={fold_mode!r} — expected "
             "'all' or 'window'"
+        )
+    if only_ids is not None and fold_mode == "window":
+        # ADVICE r12 #4: the only_ids branch would take precedence and
+        # never advance folded_below — a caller could believe
+        # state-derived windows are in effect while getting the
+        # gap-prone explicit subset. Conflicting; refuse.
+        raise ValueError(
+            "compact_index_store: only_ids and fold_mode='window' conflict "
+            "— an explicit id subset never advances the folded_below "
+            "watermark. Pass only_ids with the default fold_mode='all', "
+            "or let fold_mode='window' derive the id set from store state."
         )
     maxc: int | None = None
     if checkpoint_dir is not None:

@@ -10,7 +10,9 @@ AQE coalescing makes the static number non-critical).
 
 from __future__ import annotations
 
+import itertools
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -59,6 +61,17 @@ def release(df) -> None:
     for frames that aren't checkpoint-backed (durable checkpoints keep
     their files; only residual memory blocks are dropped).
     """
+    # drain any registry entries holding this exact frame (ADVICE r12
+    # #2): the documented attribute path release(pairs._s3lps_postings)
+    # must not leave a dead handle accumulating in _TRACKED forever
+    with _TRACKED_LOCK:
+        for tag in list(_TRACKED):
+            kept = [e for e in _TRACKED[tag] if e[1] is not df]
+            if len(kept) != len(_TRACKED[tag]):
+                if kept:
+                    _TRACKED[tag] = kept
+                else:
+                    del _TRACKED[tag]
     try:
         plan = df._jdf.queryExecution().analyzed()
         rdd_id = plan.rdd().id()
@@ -78,25 +91,55 @@ def release(df) -> None:
 # blocks alive. This registry is the transformation-proof path: the
 # operator records its handle under a tag at call time; long-lived
 # drivers call release_tracked(tag) once the consumer action has run.
+#
+# Round 13 (ADVICE r12 #2, VERDICT r12 #5): entries are (token, frame)
+# pairs behind a lock. Each track() also mints a per-call token
+# (``tag#N``, stashed on the frame as ``_s3lps_track_token``) so
+# CONCURRENT callers sharing a tag can release exactly their own frame
+# — release_tracked(tag) remains the single-tenant release-all hook.
+# release() drains matching registry entries too, so the documented
+# attribute path (release(pairs._s3lps_postings)) no longer leaks
+# registry handles in a long-lived driver.
 _TRACKED: dict[str, list] = {}
+_TRACKED_LOCK = threading.Lock()
+_TRACK_IDS = itertools.count()
 
 
 def track(df, tag: str):
     """Register a materialized frame for later :func:`release_tracked`.
-    Returns ``df`` so call sites can wrap in-line."""
-    _TRACKED.setdefault(tag, []).append(df)
+    Returns ``df`` so call sites can wrap in-line; the minted per-call
+    token is stashed on the frame as ``_s3lps_track_token`` for
+    callers that must release only their own frame under a shared
+    tag."""
+    token = f"{tag}#{next(_TRACK_IDS)}"
+    with _TRACKED_LOCK:
+        _TRACKED.setdefault(tag, []).append((token, df))
+    df._s3lps_track_token = token
     return df
 
 
-def release_tracked(tag: str) -> int:
-    """Release every frame registered under ``tag`` (all calls since
-    the last release — the release-all hook for operators invoked in a
-    loop) and return how many were released. Safe to call repeatedly;
-    unknown tags release nothing."""
-    handles = _TRACKED.pop(tag, [])
-    for df in handles:
+def release_tracked(tag_or_token: str) -> int:
+    """Release tracked frames and return how many were released.
+
+    A bare tag (``"tfidf_postings"``) releases EVERY frame registered
+    under it — the release-all hook for a single-tenant driver invoking
+    an operator in a loop. A token (``"tfidf_postings#7"``, from the
+    frame's ``_s3lps_track_token``) releases exactly that frame,
+    leaving concurrent callers' still-in-flight frames alone — the
+    multi-tenant path (What's wrong r12 #1: a shared-tag release used
+    to unpersist the OTHER caller's postings mid-query). Safe to call
+    repeatedly; unknown tags/tokens release nothing."""
+    tag, sep, _ = tag_or_token.partition("#")
+    with _TRACKED_LOCK:
+        entries = _TRACKED.pop(tag, [])
+        if sep:
+            keep = [e for e in entries if e[0] != tag_or_token]
+            if keep:
+                _TRACKED[tag] = keep
+            entries = [e for e in entries if e[0] == tag_or_token]
+    for _, df in entries:
         release(df)
-    return len(handles)
+    return len(entries)
 
 
 def get_spark(

@@ -49,6 +49,37 @@ from s3logs_parquet_spark.functions.parse import parse_s3_access_log
 from s3logs_parquet_spark.functions.timeops import shifted
 from s3logs_parquet_spark.sources.text_source import KEY_DATE_PATTERN
 
+# Streaming plan probe (round 13, VERDICT r12 #4): the batch-query
+# shuffle budgets (tests/plan_budgets.json) gate all 100 registry
+# plans, but the per-trigger plans inside foreachBatch — where the
+# r9/r10 scale defects actually lived — were pinned only by targeted
+# band-index tests. When ARMED (capture_stream_plans(sink)), each
+# stream job records the AQE *initial* physical plan of its
+# representative per-trigger output frame into the sink, once per key
+# (the first micro-batch that reaches it), so the plan-budget gate can
+# count Exchange/BroadcastExchange on stream-side plans exactly like
+# batch queries. Disarmed (the default) this is a None-check per
+# trigger — zero planning or string cost in production.
+_PLAN_PROBE: dict | None = None
+
+
+def capture_stream_plans(sink: dict | None) -> None:
+    """Arm (or, with None, disarm) the per-trigger plan probe. Armed,
+    subsequent foreachBatch invocations record each instrumented
+    frame's initial physical plan string into ``sink`` under its
+    ``stream:<job>/<stage>`` key — first micro-batch wins, so one
+    availableNow drain yields one representative plan per stage."""
+    global _PLAN_PROBE
+    _PLAN_PROBE = sink
+
+
+def _probe_plan(key: str, df: DataFrame) -> None:
+    if _PLAN_PROBE is None or key in _PLAN_PROBE:
+        return
+    s = df._jdf.queryExecution().executedPlan().toString()
+    marker = "== Initial Plan =="
+    _PLAN_PROBE[key] = s.split(marker, 1)[1] if marker in s else s
+
 
 @dataclass
 class StreamingJobConfig:
@@ -529,7 +560,9 @@ def run_stream_semantic_dedup(
         within = semantic_dedup(
             batch_df, id_col, vec_col, centroids, threshold, assigned=assigned
         ).select(id_col, F.col("is_semdup").alias("is_batch_dup"))
-        out = materialize(hist.join(within, on=id_col))
+        out = hist.join(within, on=id_col)
+        _probe_plan("stream:semdedup/flags", out)
+        out = materialize(out)
         out.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
         if update_index:
             kept = out.filter(
@@ -614,14 +647,16 @@ def run_stream_inference(
         return model_fn(pdf, bc.value if bc is not None else None)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        batched_inference(
+        scored = batched_inference(
             batch_df,
             _scorer,
             input_cols=list(input_cols),
             output_schema=output_schema,
             weights=None,  # per-run broadcast above, not per-trigger
             passthrough_cols=list(passthrough_cols),
-        ).write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
+        )
+        _probe_plan("stream:inference/scored", scored)
+        scored.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -715,9 +750,9 @@ def run_stream_kmv(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        group_kmins(batch_df, [group_col], value_col, k).write.mode(
-            "overwrite"
-        ).parquet(f"{sketch_path}/batch={batch_id}")
+        contrib = group_kmins(batch_df, [group_col], value_col, k)
+        _probe_plan("stream:kmv/contribution", contrib)
+        contrib.write.mode("overwrite").parquet(f"{sketch_path}/batch={batch_id}")
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -801,9 +836,9 @@ def run_stream_mg(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        mg_partition_summaries(batch_df, item_col, k).write.mode(
-            "overwrite"
-        ).parquet(f"{sketch_path}/batch={batch_id}")
+        contrib = mg_partition_summaries(batch_df, item_col, k)
+        _probe_plan("stream:mg/contribution", contrib)
+        contrib.write.mode("overwrite").parquet(f"{sketch_path}/batch={batch_id}")
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -869,9 +904,9 @@ def run_stream_rollup(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        rollup_events(batch_df, window_seconds, list(by), ts_col, value_col).write.mode(
-            "overwrite"
-        ).parquet(f"{rollup_path}/batch={batch_id}")
+        contrib = rollup_events(batch_df, window_seconds, list(by), ts_col, value_col)
+        _probe_plan("stream:rollup/contribution", contrib)
+        contrib.write.mode("overwrite").parquet(f"{rollup_path}/batch={batch_id}")
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -1344,6 +1379,10 @@ def run_stream_curation(
                 check_index=not _idx_checked["done"],
             )
             _idx_checked["done"] = True
+            # the r9/r10 scale defects lived exactly here: the
+            # batch x history probe join's index side must plan
+            # exchange-free against the bucketed store
+            _probe_plan("stream:curation/history_probe", hits)
             dup_ids = hits.select(F.col("batch_id").alias(id_col)).distinct()
             survivors = survivors.join(dup_ids, id_col, "left_anti")
 
@@ -1448,9 +1487,11 @@ def run_stream_curation(
                 .when(bucket < 90, F.lit("val"))
                 .otherwise(F.lit("test"))
             )
-            survivors.select(
+            out = survivors.select(
                 id_col, "lang_pred", "quality", split.alias("split")
-            ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+            )
+            _probe_plan("stream:curation/survivors", out)
+            out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
         band_in = (
             banded_fresh
@@ -1470,32 +1511,24 @@ def run_stream_curation(
             # commit-irrelevant: each sink owns its batch=<id> unit and
             # the probe's history scan prunes to batch < id, so a
             # concurrently-committed current-batch contribution is
-            # never visible to it. partitionOverwriteMode is pinned
-            # dynamic on the batch session for the whole region so the
-            # concurrent write_contribution set/restore cycles are
-            # no-ops instead of a conf race. The survivors-only mode
-            # stays sequential — its band contribution derives FROM the
+            # never visible to it. Since round 13 write_contribution
+            # runs each insert on a PRIVATE session clone with its own
+            # SQLConf (dynamic overwrite + AQE off), so the concurrent
+            # sink threads touch NO shared session conf at all — the
+            # conf-race class this region used to pin around is gone
+            # by construction. The survivors-only mode stays
+            # sequential — its band contribution derives FROM the
             # survivors frame.
             import concurrent.futures as _cf
 
-            sess = fresh.sparkSession
-            old_pom = sess.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "STATIC"
-            )
-            sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            try:
-                with _cf.ThreadPoolExecutor(
-                    max_workers=2, thread_name_prefix="s3lps-sink"
-                ) as pool:
-                    f_dg = pool.submit(_write_digests)
-                    f_bd = pool.submit(_write_bands, band_in)
-                    _write_survivors()
-                    band_ckpt = f_bd.result()
-                    f_dg.result()
-            finally:
-                sess.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", old_pom
-                )
+            with _cf.ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="s3lps-sink"
+            ) as pool:
+                f_dg = pool.submit(_write_digests)
+                f_bd = pool.submit(_write_bands, band_in)
+                _write_survivors()
+                band_ckpt = f_bd.result()
+                f_dg.result()
             _mark("sinks-parallel+probe")
         else:
             _write_digests()

@@ -381,13 +381,14 @@ def test_window_fold_state_derived_no_cadence_gap(spark, tmp_path):
         )
     tbl = bi.ensure_table(spark, store)
     assert bi.read_spec(spark, store).get("folded_below") is None
+    assert bi.read_fold_state(spark, store) == 0
 
     # first in-stream fold at batch 4 (cadence N=4): window derives
     # [0, 4) from folded_below default 0 — seed untouched
     res = compact_index_store(spark, store, only_below=4, fold_mode="window")
     assert res["batches_before"] == 5 and res["batches_after"] == 2
     assert bi.partition_ids(spark, tbl) == [-1, 3]
-    assert bi.read_spec(spark, store)["folded_below"] == 4
+    assert bi.read_fold_state(spark, store) == 4
 
     # cadence change: batches 4..7 land, but the NEW cadence (N=2,
     # restart) first folds at batch 8 — the r11 arithmetic window
@@ -401,7 +402,7 @@ def test_window_fold_state_derived_no_cadence_gap(spark, tmp_path):
     res2 = compact_index_store(spark, store, only_below=8, fold_mode="window")
     assert res2["batches_after"] == 3  # seed, 3, 7 — nothing orphaned
     assert bi.partition_ids(spark, tbl) == [-1, 3, 7]
-    assert bi.read_spec(spark, store)["folded_below"] == 8
+    assert bi.read_fold_state(spark, store) == 8
     assert spark.table(tbl).count() == 9 * 4  # every row survived
 
     # an explicit only_ids subset fold must NOT advance the state:
@@ -413,7 +414,7 @@ def test_window_fold_state_derived_no_cadence_gap(spark, tmp_path):
         )
     compact_index_store(spark, store, only_ids=[8, 9])
     assert bi.partition_ids(spark, tbl) == [-1, 3, 7, 9]
-    assert bi.read_spec(spark, store)["folded_below"] == 8
+    assert bi.read_fold_state(spark, store) == 8
 
     # next derived window picks up from the RECORDED state (8), so the
     # only_ids survivor 9 folds forward with the new batches — nothing
@@ -426,26 +427,20 @@ def test_window_fold_state_derived_no_cadence_gap(spark, tmp_path):
     res3 = compact_index_store(spark, store, only_below=12, fold_mode="window")
     assert res3["batches_after"] == 4  # seed + survivors 3, 7 + new 11
     assert bi.partition_ids(spark, tbl) == [-1, 3, 7, 11]
-    assert bi.read_spec(spark, store)["folded_below"] == 12
+    assert bi.read_fold_state(spark, store) == 12
     assert spark.table(tbl).count() == 13 * 4
 
     # crash idempotency: a fold that completed but died BEFORE the
     # sidecar update leaves folded_below stale — the next derived fold
     # simply re-covers the window (survivor partitions re-fold into the
     # same max) without losing or duplicating rows
-    spec = bi.read_spec(spark, store)
-    spec["folded_below"] = 8  # wind the state back past the last fold
-    from s3logs_parquet_spark.fsutil import write_text as _wt
-    import json as _json
-    import posixpath as _pp
-
-    _wt(spark, _pp.join(store, bi.SPEC_FILE), _json.dumps(spec))
+    bi.write_fold_state(spark, store, 8)  # wind the state back past the last fold
     # the stale window [8,12) holds only survivor 11 -> single-id
     # no-op (early return): nothing rewritten, state intentionally
     # left for the next real fold
     compact_index_store(spark, store, only_below=12, fold_mode="window")
     assert bi.partition_ids(spark, tbl) == [-1, 3, 7, 11]
-    assert bi.read_spec(spark, store)["folded_below"] == 8
+    assert bi.read_fold_state(spark, store) == 8
     # ...which heals forward as soon as the window has >1 id: the
     # survivor re-folds with the new batches, no loss, no duplication
     for b in (12, 13):
@@ -455,9 +450,186 @@ def test_window_fold_state_derived_no_cadence_gap(spark, tmp_path):
         )
     compact_index_store(spark, store, only_below=14, fold_mode="window")
     assert bi.partition_ids(spark, tbl) == [-1, 3, 7, 13]
-    assert bi.read_spec(spark, store)["folded_below"] == 14  # healed
+    assert bi.read_fold_state(spark, store) == 14  # healed
     assert spark.table(tbl).count() == 15 * 4  # nothing lost, nothing doubled
 
     # bad mode fails loud
     with _pytest.raises(ValueError, match="fold_mode"):
         compact_index_store(spark, store, only_below=14, fold_mode="bogus")
+
+
+def test_spec_immutable_and_fold_state_sidecar_atomic(spark, tmp_path):
+    """ADVICE r12 #1: _INDEX_SPEC.json is write-once at store creation
+    — folds persist the folded_below watermark in the separate
+    _FOLD_STATE.json sidecar (temp write + rename, atomic on
+    HDFS/local), so a crash mid-watermark-update can never take the
+    creation-time bucket spec with it. No temp residue is left
+    behind."""
+    import json
+    import pathlib
+
+    from s3logs_parquet_spark.plans.compact import compact_index_store
+
+    store = str(tmp_path / "store")
+    for b in range(4):
+        bi.write_contribution(
+            spark, store, _contrib(spark, range(10 * b, 10 * b + 4)),
+            b, ("band", "band_hash"), n_buckets=2, dedup_cols=("doc_id",),
+        )
+    spec_path = pathlib.Path(store) / bi.SPEC_FILE
+    before = spec_path.read_bytes()
+    compact_index_store(spark, store, only_below=4, fold_mode="window")
+    assert bi.read_fold_state(spark, store) == 4
+    # the spec bytes are untouched by the fold; the watermark lives in
+    # its own sidecar; the temp sibling was renamed away
+    assert spec_path.read_bytes() == before
+    state_path = pathlib.Path(store) / bi.FOLD_STATE_FILE
+    assert json.loads(state_path.read_text()) == {"folded_below": 4}
+    assert not (pathlib.Path(store) / (bi.FOLD_STATE_FILE + ".tmp")).exists()
+    # a second fold overwrites the live sidecar in place (rename over)
+    for b in (4, 5):
+        bi.write_contribution(
+            spark, store, _contrib(spark, range(10 * b, 10 * b + 4)),
+            b, ("band", "band_hash"),
+        )
+    compact_index_store(spark, store, only_below=6, fold_mode="window")
+    assert json.loads(state_path.read_text()) == {"folded_below": 6}
+    assert spec_path.read_bytes() == before
+
+
+def test_corrupt_spec_fails_loud_not_dirs_layout(spark, tmp_path):
+    """ADVICE r12 #1 (second half): an UNPARSEABLE spec must raise, not
+    silently read as None — None flips the layout auto-detection and
+    misroutes a bucketed store down the dirs-layout fold path."""
+    from s3logs_parquet_spark.plans.compact import compact_index_store
+
+    store = str(tmp_path / "store")
+    bi.write_contribution(
+        spark, store, _contrib(spark, range(4)), 0,
+        ("band", "band_hash"), n_buckets=2,
+    )
+    import posixpath
+
+    from s3logs_parquet_spark.fsutil import write_text
+
+    spec_path = posixpath.join(store, bi.SPEC_FILE)
+    # corrupt through the Hadoop FS path (keeps the .crc sidecar in
+    # step — a pathlib write would fail the checksum instead)
+    write_text(spark, spec_path, '{"table": "s3lps_index_tru')  # truncated
+    with pytest.raises(ValueError, match="corrupt"):
+        bi.read_spec(spark, store)
+    with pytest.raises(ValueError, match="corrupt"):
+        bi.ensure_table(spark, store)
+    with pytest.raises(ValueError, match="corrupt"):
+        compact_index_store(spark, store)
+    # a corrupt FOLD-STATE sidecar, by contrast, degrades to watermark
+    # 0 — the safe direction (one idempotent re-fold), never a brick
+    write_text(spark, spec_path, '{"bogus": true}')  # valid JSON again
+    write_text(spark, posixpath.join(store, bi.FOLD_STATE_FILE), "garbage{")
+    assert bi.read_fold_state(spark, store) == 0
+
+
+def test_fold_state_honors_legacy_in_spec_watermark(spark, tmp_path):
+    """Upgrade path: a store folded by the round-12 code carries
+    folded_below INSIDE _INDEX_SPEC.json and has no _FOLD_STATE.json —
+    read_fold_state must honor it (max of both) so the first
+    post-upgrade window fold doesn't re-cover already-folded ids."""
+    import json
+
+    store = str(tmp_path / "store")
+    bi.write_contribution(
+        spark, store, _contrib(spark, range(4)), 0,
+        ("band", "band_hash"), n_buckets=2,
+    )
+    import posixpath
+
+    from s3logs_parquet_spark.fsutil import read_text, write_text
+
+    spec_path = posixpath.join(store, bi.SPEC_FILE)
+    spec = json.loads(read_text(spark, spec_path))
+    spec["folded_below"] = 7  # what the r12 fold would have written
+    write_text(spark, spec_path, json.dumps(spec))
+    assert bi.read_fold_state(spark, store) == 7
+    # the new sidecar wins once it moves past the legacy value
+    bi.write_fold_state(spark, store, 9)
+    assert bi.read_fold_state(spark, store) == 9
+    # ...but never backwards (max semantics)
+    bi.write_fold_state(spark, store, 3)
+    assert bi.read_fold_state(spark, store) == 7
+
+
+def test_only_ids_window_mode_conflict_rejected(spark, tmp_path):
+    """ADVICE r12 #4: only_ids + fold_mode='window' silently ignored
+    window mode (the explicit subset took precedence and never advanced
+    folded_below) — now a loud ValueError, mirroring the fold_mode
+    validation."""
+    from s3logs_parquet_spark.plans.compact import compact_index_store
+
+    store = str(tmp_path / "store")
+    for b in (0, 1):
+        bi.write_contribution(
+            spark, store, _contrib(spark, range(10 * b, 10 * b + 4)),
+            b, ("band", "band_hash"), n_buckets=2,
+        )
+    with pytest.raises(ValueError, match="only_ids and fold_mode='window' conflict"):
+        compact_index_store(spark, store, only_ids=[0], fold_mode="window")
+    # store untouched by the rejected call
+    tbl = bi.ensure_table(spark, store)
+    assert bi.partition_ids(spark, tbl) == [0, 1]
+
+
+def test_probe_plan_after_full_fold_still_bucketed(spark, tmp_path):
+    """VERDICT r12 #3: the drain-time FULL fold rewrites every batch
+    partition into one — the store must come out the other side with
+    its bucket spec intact: a probe against the folded store still
+    shows no Exchange on the index side, the fold output landed in
+    batch=<max>, and folded_below advanced past every folded id."""
+    from s3logs_parquet_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_banded,
+    )
+    from s3logs_parquet_spark.plans.compact import compact_index_store
+
+    store = str(tmp_path / "bands")
+    docs = spark.createDataFrame(
+        [(i, f"{EN} alpha beta gamma tail{i}") for i in range(8)], DOC_SCHEMA
+    )
+    banded = minhash_banded(docs, "doc_id", "text", num_hashes=32, bands=8)
+    for b in range(4):
+        bi.write_contribution(
+            spark, store, banded.filter(F.col("doc_id") % 4 == b), b,
+            ("band", "band_hash"), dedup_cols=("doc_id", "band"),
+        )
+    tbl = bi.ensure_table(spark, store)
+    rows_before = spark.table(tbl).count()
+    res = compact_index_store(spark, store)  # the everything-fold
+    assert res["batches_after"] == 1
+    # all history now lives in batch=<max>; the watermark covers it
+    assert bi.partition_ids(spark, tbl) == [3]
+    assert bi.read_fold_state(spark, store) == 4
+    assert spark.table(tbl).count() == rows_before  # dedup had nothing to heal
+
+    idx = bi.prior_batches(spark, store, 100)
+    probe = spark.createDataFrame(
+        [(100, f"{EN} alpha beta gamma tailX")], DOC_SCHEMA
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hits = incremental_neardup_pairs(
+            probe, idx, "doc_id", "text", num_hashes=32, bands=8,
+            jaccard_threshold=0.3, carry_signatures=True,
+        )
+        plan = _formatted_plan(hits)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the bucket spec survived the rewrite: bucketed scan, partition
+    # pruning on batch, no Exchange between the index scan and the join
+    assert "Bucketed: true" in plan
+    assert "batch" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    ancestors = _scan_ancestors_to_join(plan, "Scan parquet")
+    assert ancestors and "Join" in ancestors[-1], ancestors
+    assert not any("Exchange" in ln for ln in ancestors), (
+        "index side exchanged after full fold:\n" + "\n".join(ancestors)
+    )
+    assert hits.count() > 0  # near-dups still found through the folded store

@@ -129,13 +129,24 @@ def test_round_artifacts_are_git_tracked():
         int(m.group(1)) for p in paths if (m := re.search(r"_r(\d+)\.json$", p.name))
     ]
     newest = max(rounds, default=0)
+    # ADVICE r12 #3: exempt-match on the PARSED round number, not a
+    # formatted string — a zero-padding mismatch between the exemption
+    # format and the driver's actual naming would silently never match
+    # and hard-fail legitimately-new artifacts.
+    def _round_of(name: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", name)
+        return int(m.group(1)) if m else -1
+
+    # padded and unpadded single-digit names both resolve (the r12
+    # exemption's failure mode was exactly this)
+    assert _round_of("CORRECTNESS_r9.json") == 9
+    assert _round_of("CORRECTNESS_r09.json") == 9
+
     untracked = [
         p.name
         for p in paths
         if p.name not in tracked
-        and not (
-            f"_r{newest:02d}.json" in p.name and p.stat().st_mtime > last_commit
-        )
+        and not (_round_of(p.name) == newest and p.stat().st_mtime > last_commit)
     ]
     assert not untracked, (
         f"driver artifacts on disk but not in git: {untracked} — "

@@ -127,6 +127,15 @@ def main() -> None:
         help="record per-query marker counts to this JSON file (the "
         "tests/test_plan_budgets.py regression baseline)",
     )
+    ap.add_argument(
+        "--streams",
+        action="store_true",
+        help="also capture the streaming per-trigger plans (round 13, "
+        "VERDICT r12 #4: tools/stream_plan_scenarios.py drives every "
+        "instrumented stream job once) and record their exchange "
+        "budgets under stream: keys. Without this flag an existing "
+        "budgets file's stream: entries are preserved verbatim.",
+    )
     args = ap.parse_args()
 
     from s3logs_parquet_spark.plans.queries import QUERIES
@@ -148,7 +157,37 @@ def main() -> None:
         hits = {m: c for m, c in budgets[name].items() if c >= args.min}
         if hits:
             flagged.append({"query": name, "plan_len": len(plan), "hits": hits})
+    if args.streams:
+        import shutil
+        import tempfile
+
+        from tools.stream_plan_scenarios import capture_all_stream_plans
+
+        work = tempfile.mkdtemp(prefix="stream-plan-budgets-")
+        try:
+            for key, plan in capture_all_stream_plans(spark, work).items():
+                budgets[key] = marker_hits(plan) | exchange_hits(plan)
+                hits = {m: c for m, c in budgets[key].items() if c >= args.min}
+                if hits:
+                    flagged.append(
+                        {"query": key, "plan_len": len(plan), "hits": hits}
+                    )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
     if args.write_budgets:
+        if not args.streams:
+            # keep the committed stream budgets when this run didn't
+            # regenerate them — a batch-only regen must not drop the
+            # stream gate's baselines
+            try:
+                with open(args.write_budgets) as fh:
+                    budgets |= {
+                        k: v
+                        for k, v in json.load(fh).items()
+                        if k.startswith("stream:")
+                    }
+            except FileNotFoundError:
+                pass
         with open(args.write_budgets, "w") as fh:
             json.dump(budgets, fh, indent=1, sort_keys=True)
             fh.write("\n")

@@ -201,9 +201,10 @@ def main() -> None:
     )
     ap.add_argument(
         "--band-cap",
-        type=int,
         default=None,
-        help="band_index_max_bucket for run_stream_curation (None = uncapped)",
+        help="band_index_max_bucket for run_stream_curation (None = "
+        "uncapped). Accepts a comma list for a same-session sweep, "
+        "with 'none' for the uncapped control leg: --band-cap none,8,64",
     )
     ap.add_argument(
         "--band-layout",
@@ -253,14 +254,19 @@ def main() -> None:
 
     modes = [m.strip() for m in args.modes.split(",") if m.strip()]
     layouts = ["bucketed", "dirs"] if args.band_layout == "both" else [args.band_layout]
+    caps = [
+        None if c.strip().lower() in ("", "none") else int(c)
+        for c in str(args.band_cap).split(",")
+    ] if args.band_cap is not None else [None]
     results = [
         run_mode(
-            spark, inp, work, m == "dropped", args.band_cap, layout,
+            spark, inp, work, m == "dropped", cap, layout,
             fold_every=args.fold_every, fold_mode=args.fold_mode,
             final_full_fold=args.final_full_fold,
         )
         for layout in layouts
         for m in modes
+        for cap in caps
     ]
     n = args.rows_per_batch * args.batches
     print(
@@ -273,7 +279,9 @@ def main() -> None:
                 "modes": results,
                 "docs_per_sec": {
                     ("dropped" if r["index_dropped"] else "survivors")
-                    + "/" + r["band_layout"]: round(n / r["wall_sec"], 1)
+                    + "/" + r["band_layout"]
+                    + (f"/cap{r['band_cap']}" if r["band_cap"] else ""):
+                    round(n / r["wall_sec"], 1)
                     for r in results
                 },
             }
