@@ -1,0 +1,172 @@
+"""Headline-query scaling record (round 13, VERDICT r12 #7 stretch):
+one MEASURED point under the 100x design claim.
+
+Synthesizes documents/embeddings tables in the driver testdata shape
+(same schemas; near-dup families, 5-language salads, clusterable
+64-dim embeddings) at --base-rows and at --factor x that, runs the
+named registry queries at both scales with bench.py semantics (noop
+sink, warm + best-of-2), and reports the wall ratio and the implied
+scaling exponent alpha = log(t_big/t_small) / log(factor):
+
+- alpha ~ 1  -> linear (the design claim for scan/agg-shaped queries)
+- alpha < 1  -> sub-linear (fixed overhead still amortizing)
+- alpha > 1  -> super-linear = A FINDING (some pairwise/skew term grew)
+
+Run sequentially with nothing else on the box; queries that read
+tables other than documents/embeddings are rejected (this tool only
+synthesizes those two).
+
+Usage: python tools/bench_scaling_record.py \\
+    [--queries docs_remove_dup_spans,...] [--base-rows 50000] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from s3logs_parquet_spark.session import get_spark  # noqa: E402
+
+DEFAULT_QUERIES = (
+    # top-5 documents/embeddings queries by BENCH_r12 cost
+    "docs_remove_dup_spans",
+    "emb_pq_topk",
+    "emb_neardup_pairs",
+    "docs_minhash_lsh_pairs",
+    "docs_incremental_neardup",
+)
+
+
+def synth_documents(spark, n: int):
+    """Driver-testdata-shaped documents: word salads over a small
+    vocabulary, ~10% verbatim dups of earlier ids, ~20% near-dup family
+    variants, 5 langs, 4 sources — the same dup/near-dup structure the
+    sf tables carry so LSH/banding queries do comparable work per
+    row."""
+    from tools.bench_curation_scale import _salad
+
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    kind = F.pmod(F.xxhash64("doc_id"), F.lit(10))
+    fam = F.concat(
+        _salad(F.pmod(F.col("doc_id"), F.lit(max(n // 50, 1)))),
+        F.lit(" tail "),
+        F.col("doc_id").cast("string"),
+    )
+    dup_of = _salad(F.pmod(F.col("doc_id"), F.lit(max(n // 10, 1))))
+    text = (
+        F.when(kind <= 1, fam)  # 20% near-dup family members
+        .when(kind == 2, dup_of)  # 10% verbatim dups
+        .otherwise(_salad(F.col("doc_id")))
+    )
+    langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "zh", "es")])
+    return df.select(
+        "doc_id",
+        text.alias("text"),
+        F.get(langs, F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(5)).cast("int")).alias("lang"),
+        F.concat(F.lit("src"), F.pmod(F.col("doc_id"), F.lit(4)).cast("string")).alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+
+
+def synth_embeddings(spark, n: int, dim: int = 64, n_clusters: int = 10):
+    """Clusterable unit-ish vectors: cluster center + deterministic
+    hash noise per coordinate, same 64-dim float shape as the driver
+    table. ~5% of vectors are near-copies of an earlier id (the
+    near-dup mass emb_neardup_pairs exists for)."""
+    df = spark.range(n).withColumnRenamed("id", "vec_id")
+    src = F.when(
+        F.pmod(F.xxhash64("vec_id"), F.lit(20)) == 0,
+        F.pmod(F.col("vec_id"), F.lit(max(n // 20, 1))),
+    ).otherwise(F.col("vec_id"))
+    cluster = F.pmod(F.xxhash64(src), F.lit(n_clusters))
+    coords = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.when(F.pmod(cluster, F.lit(dim)) == i, F.lit(4.0)).otherwise(F.lit(0.0))
+            + (F.pmod(F.xxhash64(src, i), F.lit(1000)) / F.lit(1000.0) - F.lit(0.5))
+        ).cast("float"),
+    )
+    return df.select(
+        "vec_id", coords.alias("embedding"), cluster.cast("int").alias("label")
+    )
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--base-rows", type=int, default=50_000)
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--emb-fraction", type=float, default=0.4,
+        help="embeddings rows as a fraction of documents rows (driver "
+        "testdata carries 2000 vecs per 5000 docs)",
+    )
+    args = ap.parse_args()
+    names = [q.strip() for q in args.queries.split(",") if q.strip()]
+
+    from s3logs_parquet_spark.plans.queries import QUERIES
+
+    spark = get_spark(app_name="bench-scaling-record")
+    work = tempfile.mkdtemp(prefix="scaling-record-")
+    scales = {"small": args.base_rows, "big": args.base_rows * args.factor}
+    try:
+        for tag, n in scales.items():
+            d = os.path.join(work, tag)
+            os.makedirs(d, exist_ok=True)
+            synth_documents(spark, n).coalesce(max(n // 50_000, 1)).write.parquet(
+                os.path.join(d, "documents.parquet")
+            )
+            synth_embeddings(spark, int(n * args.emb_fraction)).coalesce(
+                max(n // 50_000, 1)
+            ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        results = {}
+        for name in names:
+            fn = QUERIES[name][0]
+            walls = {}
+            for tag in scales:
+                d = os.path.join(work, tag)
+                force(fn(spark, d))  # warm: listing, footers, codegen
+                best = math.inf
+                for _ in range(2):
+                    t0 = time.time()
+                    force(fn(spark, d))
+                    best = min(best, time.time() - t0)
+                walls[tag] = round(best, 3)
+            ratio = walls["big"] / walls["small"]
+            results[name] = {
+                **walls,
+                "ratio": round(ratio, 2),
+                "alpha": round(math.log(ratio) / math.log(args.factor), 3),
+            }
+            print(json.dumps({name: results[name]}), flush=True)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_record",
+                    "base_rows": args.base_rows,
+                    "factor": args.factor,
+                    "queries": results,
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
