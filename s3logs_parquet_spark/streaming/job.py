@@ -1099,7 +1099,14 @@ def run_stream_curation(
     are near-identical families in practice (the same argument as
     minhash_lsh_pairs' star policy), where rep-similarity ~
     member-similarity. Default None keeps exact accumulate-everything
-    semantics.
+    semantics. Measured at the 100-batch/5M-doc horizon (PERF.md
+    round 13): the cap's fixed per-trigger machinery (O(index) counts
+    pass + capacity window + lineage checkpoint) costs 33-49% MORE
+    wall than fattened buckets do at <=40M index rows, and cap=8
+    admits 1,907 duplicates / cap=64 admits 463 that uncapped
+    catches. Leave it OFF at bounded horizons; it is the escape hatch
+    for a reported adversarial hot bucket, not a steady-state
+    optimizer.
 
     Online-vs-offline semantics, stated honestly: the streamed output
     guarantees NO SURVIVOR IS AN EXACT OR NEAR DUP OF ANY
