@@ -1062,12 +1062,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_k
     Vectorized as array lambdas: for each bit position, count shingles
     with that bit set vs total, bit = 1 iff majority. Returns
     (id, simhash long).
+
+    ``bits`` up to 64 (round 13): bits <= 32 hash shingles with the
+    portable :func:`hash32`; wider fingerprints use the native
+    ``xxhash64`` (no DuckDB-oracle portability — the 64-bit path is
+    the cluster-scale configuration, see
+    :func:`simhash_near_pairs`'s candidate-complexity note).
     """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash: bits must be in 1..64, got {bits}")
     # Spark-first shape (same rationale as minhash_signatures): windowed
     # shingle explosion → ONE hash-aggregate computing all per-bit ones
     # counts — instead of `bits` separate array traversals per row.
+    shingle_hash = (
+        hash32(F.col("shingle")) if bits <= 32 else F.xxhash64(F.col("shingle"))
+    )
     exploded = exploded_shingles(df, id_col, text_col, shingle_k).select(
-        id_col, hash32(F.col("shingle")).alias("_h")
+        id_col, shingle_hash.alias("_h")
     )
     counts = exploded.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
@@ -1078,12 +1089,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_k
     )
     sim = None
     for b in range(bits):
-        term = (
-            F.when(F.col(f"_b{b}") * 2 >= F.col("_n"), F.lit(1).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-            * F.lit(1 << b).cast("long")
-        )
-        sim = term if sim is None else sim + term
+        # shiftleft, not 1<<b arithmetic: bit 63's literal would
+        # overflow a signed long; OR-ing disjoint one-bit terms is
+        # value-identical to the previous sum construction for any bits
+        term = F.when(
+            F.col(f"_b{b}") * 2 >= F.col("_n"),
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim.bitwiseOR(term)
     return counts.select(F.col(id_col), sim.alias("simhash"))
 
 
@@ -1094,14 +1107,61 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     materialize: bool = True,
     durable: bool = False,
+    bits: int = 32,
+    n_blocks: int = 4,
+    max_bucket_size: int | None = 10_000,
+    oversize_policy: str = "star",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
-    the 4-block pigeonhole trick: any pair within distance 3 shares at
-    least one exact 8-bit block of the 32-bit signature → join per
-    block, never all-pairs."""
-    sigs = simhash(df, id_col, text_col)
-    if materialize:
+    the block pigeonhole trick: with ``n_blocks`` blocks, any pair
+    within distance ``n_blocks - 1`` shares at least one exact block of
+    the signature → join per block, never all-pairs. The default
+    (32-bit fingerprint, 4 x 8-bit blocks) guarantees recall for
+    distance <= 3; a larger ``max_hamming`` (the gate query uses 8)
+    keeps the same candidate screen and accepts partial recall —
+    documented contract, replicated exactly by the DuckDB oracle.
+
+    **Candidate-complexity note (round 13, measured)**: block values
+    are uniform over ``2^block_bits`` even for unrelated docs, so the
+    expected candidate count is ``n_blocks * n^2 / (2 * 2^block_bits)``
+    — QUADRATIC in corpus size regardless of content. With the default
+    8-bit blocks that is n^2/128: fine to ~100k docs, measured 34x
+    wall for 10x docs crossing 50k→500k (PERF.md round 13 scaling
+    record, alpha = 1.54). Worse, at loose thresholds the 32-bit
+    SKETCH itself saturates: P[hamming(a,b) <= 8] for unrelated docs
+    is ~0.35% over 32 bits, so even the emitted pair set goes
+    quadratic (measured: 283.8M pairs at 500k docs). At cluster scale
+    use ``bits=64`` (4 x 16-bit blocks): the same recall guarantee,
+    buckets of n/65536, random-pair probability ~2e-10 — measured
+    50k→500k at bits=64: 2.64 → 4.84 s, alpha = 0.26, 482k genuine
+    pairs (PERF.md round 13). The 64-bit fingerprint hashes shingles
+    with native xxhash64 (no DuckDB oracle; the 32-bit default stays
+    the portable, value-checked configuration).
+
+    ``max_bucket_size`` / ``oversize_policy`` (round 13): the same
+    hot-bucket guard as :func:`minhash_lsh_pairs` — an identical-text
+    flood shares ALL blocks and a naive block join evaluates m^2/2
+    pairs per block. ``star`` (default) joins oversized buckets'
+    members to the bucket-min representative only (connectivity
+    preserved, m^2 → m, every emitted pair still passes the exact
+    Hamming filter); ``drop`` excludes oversized buckets; ``error``
+    poisons them loudly; ``None`` opts back into exact all-pairs.
+    The guard bounds ADVERSARIAL skew; it does not remove the uniform
+    n^2/2^block_bits term above — size ``bits`` for that.
+    """
+    if oversize_policy not in ("star", "drop", "error"):
+        raise ValueError(f"oversize_policy must be star|drop|error, got {oversize_policy!r}")
+    if not 1 <= n_blocks <= bits:
+        raise ValueError(f"simhash_near_pairs: need 1 <= n_blocks <= bits, got {n_blocks}/{bits}")
+    sigs = simhash(df, id_col, text_col, bits=bits)
+    if materialize and max_bucket_size is None:
+        # guarded path checkpoints AFTER the bucket-size window instead
+        # (one checkpoint either way; the self-join never recomputes
+        # signatures)
         sigs = _materialize(sigs, durable)
+    # block i covers bit range [i*bits//n_blocks, (i+1)*bits//n_blocks)
+    # — equal 8-bit widths at the 32/4 default, uneven widths allowed
+    bounds = [i * bits // n_blocks for i in range(n_blocks + 1)]
     blocks = sigs.select(
         id_col,
         "simhash",
@@ -1110,15 +1170,65 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("simhash"), 8 * i)
-                        .bitwiseAND(F.lit(0xFF))
+                        F.shiftrightunsigned(F.col("simhash"), bounds[i])
+                        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
                         .alias("blk_val"),
                     )
-                    for i in range(4)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("b"),
     ).select(id_col, "simhash", "b.blk", "b.blk_val")
+
+    star_pairs = None
+    if max_bucket_size is not None:
+        # ONE window pass computes bucket size AND (star) the bucket-min
+        # representative — identical window specs merge into a single
+        # Window node, so the guard costs exactly one (blk, blk_val)
+        # exchange + sort; the checkpoint below makes the three
+        # consumers (both join sides, the star branch) read it once
+        # instead of recomputing the windowed subtree per consumer
+        w = Window.partitionBy("blk", "blk_val")
+        sized = blocks.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        if oversize_policy == "error":
+            sized = sized.withColumn(
+                "_bsz",
+                F.when(
+                    F.col("_bsz") <= max_bucket_size, F.col("_bsz")
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("simhash_near_pairs: block bucket over max_bucket_size="),
+                            F.lit(str(max_bucket_size)),
+                            F.lit(" (size "),
+                            F.col("_bsz").cast("string"),
+                            F.lit(") — identical-text flood; use oversize_policy='star'"),
+                        )
+                    ).cast("long")
+                ),
+            )
+        elif oversize_policy == "star":
+            sized = sized.withColumn(
+                "_rep",
+                F.min(
+                    F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+                ).over(w),
+            )
+        if materialize:
+            sized = _materialize(sized, durable)
+        if oversize_policy == "star":
+            star_pairs = (
+                sized.filter(F.col("_bsz") > max_bucket_size)
+                .select(
+                    F.col("_rep").getField("i").alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                    F.col("_rep").getField("s").alias("sh_a"),
+                    F.col("simhash").alias("sh_b"),
+                )
+                .filter(F.col("id_a") != F.col("id_b"))
+            )
+        blocks = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz", "_rep")
+
     l, r = blocks.alias("l"), blocks.alias("r")
     pairs = (
         l.join(
@@ -1136,6 +1246,8 @@ def simhash_near_pairs(
             F.col("r.simhash").alias("sh_b"),
         )
     )
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
     # score before the pair dedup (the embedding_neardup_pairs rework,
     # PERF.md round 7): bit_count(xor) is identical on every block
     # copy, and pigeonhole collisions that FAIL the hamming cut — the

@@ -1721,7 +1721,12 @@ FROM b
 
 def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 8-bit-block pigeonhole candidates, exact
-    Hamming filter — the cheap-sketch complement to MinHash-LSH."""
+    Hamming filter — the cheap-sketch complement to MinHash-LSH. The
+    32-bit fingerprint here is the DuckDB-oracle-portable
+    configuration; at cluster scale pass ``bits=64`` to the operator
+    (16-bit blocks — the pigeonhole's uniform n^2/2^block_bits
+    candidate term and the 32-bit sketch's saturation at loose
+    thresholds both measured and bounded in PERF.md round 13)."""
     from s3logs_parquet_spark.operators.dedup import simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents")

@@ -88,6 +88,88 @@ def test_simhash_near_pairs(spark):
         assert (1, 2) in pairs
 
 
+def test_simhash_64bit_pigeonhole_equals_bruteforce(spark):
+    """The cluster-scale configuration (bits=64, 4 x 16-bit blocks):
+    the pigeonhole guarantee — any pair within Hamming distance
+    n_blocks-1 = 3 shares at least one exact block — means the
+    screened join must find EXACTLY the brute-force hamming<=3 set.
+    Pins the round-13 generalized block extraction (shift/mask bounds,
+    xxhash64 shingle path, bit-63 shiftleft construction)."""
+    rows = [(i, f"word{i} alpha beta gamma delta epsilon zeta eta theta") for i in range(40)]
+    # planted identical + near-identical docs land within distance 3
+    rows += [(100, rows[0][1]), (101, rows[1][1])]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(d, "doc_id", "text", bits=64).collect()}
+    brute = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(
+            d, "doc_id", "text", max_hamming=3, bits=64
+        ).collect()
+    }
+    assert got == brute
+    assert (0, 100) in got and got[(0, 100)] == 0  # planted exact dup
+
+
+def test_simhash_32bit_value_stable_across_construction(spark):
+    """The round-13 OR/shiftleft construction must produce bit-identical
+    32-bit simhashes to the original sum construction (the DuckDB
+    oracle replicates the original formula)."""
+    d = _docs(spark)
+    sh = simhash(d, "doc_id", "text", bits=32).collect()
+    from s3logs_parquet_spark.functions.hashing import hash32
+    from s3logs_parquet_spark.operators.dedup import exploded_shingles
+
+    exploded = exploded_shingles(d, "doc_id", "text", 2).select(
+        "doc_id", hash32(F.col("shingle")).alias("_h")
+    )
+    counts = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftrightunsigned(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+            for b in range(32)
+        ],
+    )
+    sim = None
+    for b in range(32):
+        term = (
+            F.when(F.col(f"_b{b}") * 2 >= F.col("_n"), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            * F.lit(1 << b).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    legacy = {r["doc_id"]: r["s"] for r in counts.select("doc_id", sim.alias("s")).collect()}
+    for r in sh:
+        assert r["simhash"] == legacy[r["doc_id"]]
+
+
+def test_simhash_star_cap_bounds_identical_flood(spark):
+    """An identical-text flood shares ALL blocks; with the round-13
+    hot-bucket guard the oversized bucket emits rep->member star pairs
+    (m-1 of them, connectivity preserved) instead of m(m-1)/2."""
+    flood = [(i, "flood flood flood identical text body here") for i in range(30)]
+    distinct = [(100 + i, f"unique{i} totally different doc number {i} with words") for i in range(5)]
+    d = spark.createDataFrame(flood + distinct, ["doc_id", "text"])
+    out = simhash_near_pairs(
+        d, "doc_id", "text", max_hamming=3, max_bucket_size=10, oversize_policy="star"
+    ).collect()
+    flood_pairs = [(r["id_a"], r["id_b"]) for r in out if r["id_a"] < 30 and r["id_b"] < 30]
+    # star topology: every flood pair anchored at the bucket-min rep (0)
+    assert len(flood_pairs) == 29
+    assert all(a == 0 for a, _ in flood_pairs)
+    assert all(r["hamming"] == 0 for r in out if r["id_a"] == 0)
+    # drop policy excludes the flood entirely
+    dropped = simhash_near_pairs(
+        d, "doc_id", "text", max_hamming=3, max_bucket_size=10, oversize_policy="drop"
+    ).collect()
+    assert all(r["id_a"] >= 30 or r["id_b"] >= 30 for r in dropped) or not dropped
+
+
 def test_ngram_jaccard_exact_value(spark):
     d = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
