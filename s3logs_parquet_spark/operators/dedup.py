@@ -1477,6 +1477,19 @@ def embedding_neardup_pairs(
     want fewer bits per band / more bands for recall, higher thresholds
     more bits for precision of the candidate set.
 
+    Tune ``bits_per_band`` to CORPUS SIZE too (the simhash round-13
+    lesson, PERF.md): band keys occupy only ``2^bits_per_band`` values,
+    and unrelated vectors land ~uniformly over them, so expected
+    candidates carry an ``n_bands * n^2 / 2^(bits_per_band+1)`` term
+    regardless of content — with the 8-band x 8-bit default that is
+    n^2/64.
+    Keep ``2^bits_per_band >> n / target_bucket_size`` as the corpus
+    grows (and add bands to hold recall at the threshold); otherwise
+    the ``max_bucket_size`` star guard engages on SATURATED — not
+    genuinely hot — buckets and silently trades recall for the bound
+    (the measured alpha=0.08 scaling point in PERF.md round 13 is that
+    guard absorbing a 10-cluster adversarial corpus).
+
     ``max_bucket_size`` guards the same quadratic cliff as
     minhash_lsh_pairs' hot-bucket cap (PERF.md round 3) — an embedding
     hot spot (the duplicate mass itself!) puts m near-identical
