@@ -136,15 +136,22 @@ def main() -> None:
         for name in names:
             fn = QUERIES[name][0]
             walls = {}
-            for tag in scales:
-                d = os.path.join(work, tag)
-                force(fn(spark, d))  # warm: listing, footers, codegen
-                best = math.inf
-                for _ in range(2):
-                    t0 = time.time()
-                    force(fn(spark, d))
-                    best = min(best, time.time() - t0)
-                walls[tag] = round(best, 3)
+            try:
+                for tag in scales:
+                    d = os.path.join(work, tag)
+                    force(fn(spark, d))  # warm: listing, footers, codegen
+                    best = math.inf
+                    for _ in range(2):
+                        t0 = time.time()
+                        force(fn(spark, d))
+                        best = min(best, time.time() - t0)
+                    walls[tag] = round(best, 3)
+            except Exception as exc:  # noqa: BLE001 — a guard refusing a
+                # leg (e.g. semantic_dedup's max_total_pairs) is itself a
+                # result; record it and keep sweeping
+                results[name] = {**walls, "error": str(exc).split("\n")[0][:300]}
+                print(json.dumps({name: results[name]}), flush=True)
+                continue
             ratio = walls["big"] / walls["small"]
             results[name] = {
                 **walls,
