@@ -2324,7 +2324,12 @@ def semantic_dedup(
 
     ``centroids`` is the trained quantizer (ivf_train or an external
     k-means — the write-side precompute; the paper's 5B-doc run used
-    ~110k clusters). Pass ``assigned`` (a :func:`semantic_assign`
+    ~110k clusters). The k ≈ n / target_cell_size contract is
+    MEASURED, both directions (PERF.md round 13): fixed k=8 against a
+    dense 500k-doc corpus trips max_total_pairs at ~3.0B within-cell
+    pairs (and the incremental variant runs 35x wall for 10x data),
+    while k scaled with n holds alpha ~ 0.1 across the same 10x step
+    with cells steady at the target size. Pass ``assigned`` (a :func:`semantic_assign`
     result for the SAME df/centroids) to skip the assignment pass —
     the production shape, where cell and norm are stored corpus
     columns. Returns the input ids with ``cell`` and an ``is_semdup``
