@@ -100,6 +100,41 @@ def synth_embeddings(spark, n: int, dim: int = 64, n_clusters: int = 10):
     )
 
 
+def synth_events(spark, n: int):
+    """Driver-testdata-shaped events: FIXED 30-day span (the driver's
+    convention across sf0.001→0.1), users scaling with rows (~66
+    events/user), 5 weighted event types, positive values, one-key
+    JSON props. Scaling rows under this convention means 10x temporal
+    DENSITY — range/interval-pair outputs grow quadratically BY
+    SEMANTICS, so read those alphas against the output row counts."""
+    df = spark.range(n).withColumnRenamed("id", "event_id")
+    users = max(n // 66, 1)
+    tmod = F.pmod(F.xxhash64("event_id", F.lit(1)), F.lit(30 * 24 * 3600))
+    micros = F.pmod(F.xxhash64("event_id", F.lit(2)), F.lit(1_000_000))
+    tsel = F.pmod(F.xxhash64("event_id", F.lit(3)), F.lit(100))
+    etype = (
+        F.when(tsel < 40, F.lit("view"))
+        .when(tsel < 70, F.lit("click"))
+        .when(tsel < 85, F.lit("error"))
+        .when(tsel < 95, F.lit("purchase"))
+        .otherwise(F.lit("signup"))
+    )
+    return df.select(
+        "event_id",
+        F.timestamp_seconds(
+            F.lit(1704067200) + tmod + micros / F.lit(1_000_000.0)
+        ).alias("ts"),
+        F.pmod(F.xxhash64("event_id", F.lit(4)), F.lit(users)).alias("user_id"),
+        etype.alias("event_type"),
+        F.round(F.pmod(F.xxhash64("event_id", F.lit(5)), F.lit(50000)) / F.lit(100.0), 2).alias("value"),
+        F.concat(
+            F.lit('{"k": '),
+            F.pmod(F.xxhash64("event_id", F.lit(6)), F.lit(100)).cast("string"),
+            F.lit("}"),
+        ).alias("props"),
+    )
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -114,6 +149,16 @@ def main() -> None:
         help="embeddings rows as a fraction of documents rows (driver "
         "testdata carries 2000 vecs per 5000 docs)",
     )
+    ap.add_argument(
+        "--events", action="store_true",
+        help="synthesize the events table instead of documents/embeddings "
+        "(base-rows = event count; fixed 30-day span, density scales)",
+    )
+    ap.add_argument(
+        "--with-counts", action="store_true",
+        help="also record each query's output row count per scale "
+        "(one untimed count; contextualizes alphas whose OUTPUT grows)",
+    )
     args = ap.parse_args()
     names = [q.strip() for q in args.queries.split(",") if q.strip()]
 
@@ -126,6 +171,11 @@ def main() -> None:
         for tag, n in scales.items():
             d = os.path.join(work, tag)
             os.makedirs(d, exist_ok=True)
+            if args.events:
+                synth_events(spark, n).coalesce(max(n // 100_000, 1)).write.parquet(
+                    os.path.join(d, "events.parquet")
+                )
+                continue
             synth_documents(spark, n).coalesce(max(n // 50_000, 1)).write.parquet(
                 os.path.join(d, "documents.parquet")
             )
@@ -146,6 +196,8 @@ def main() -> None:
                         force(fn(spark, d))
                         best = min(best, time.time() - t0)
                     walls[tag] = round(best, 3)
+                    if args.with_counts:
+                        walls[f"rows_{tag}"] = fn(spark, d).count()
             except Exception as exc:  # noqa: BLE001 — a guard refusing a
                 # leg (e.g. semantic_dedup's max_total_pairs) is itself a
                 # result; record it and keep sweeping
