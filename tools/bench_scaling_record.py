@@ -135,6 +135,116 @@ def synth_events(spark, n: int):
     )
 
 
+def synth_tpch(spark, n_li: int, outdir: str) -> None:
+    """Driver-testdata-shaped TPC-H family at lineitem count ``n_li``
+    (testdata ratios: 4 li/order, 10 orders/customer, 30 li/part,
+    600 li/supplier; nation/region fixed). Distributions replicate the
+    sf tables (dates 1995–2001, the same flag/segment/brand/type value
+    sets, correlated returnflag/linestatus) so every gate predicate
+    stays selective at any scale."""
+    import os as _os
+
+    def w(df, name):
+        df.write.parquet(_os.path.join(outdir, f"{name}.parquet"))
+
+    n_o, n_c = max(n_li // 4, 1), max(n_li // 40, 1)
+    n_p, n_s = max(n_li // 30, 1), max(n_li // 600, 1)
+
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    w(
+        spark.createDataFrame(
+            [(i, r) for i, r in enumerate(regions)], ["r_regionkey", "r_name"]
+        ),
+        "region",
+    )
+    w(
+        spark.createDataFrame(
+            [(i, f"NATION_{i}", i % 5) for i in range(25)],
+            ["n_nationkey", "n_name", "n_regionkey"],
+        ),
+        "nation",
+    )
+
+    def h(key_col, salt):
+        return F.xxhash64(key_col, F.lit(salt))
+
+    def pick(key_col, salt, values):
+        arr = F.array(*[F.lit(v) for v in values])
+        return F.get(arr, F.pmod(h(key_col, salt), F.lit(len(values))).cast("int"))
+
+    acct = (F.pmod(h(F.col("k"), 1), F.lit(1_100_000)) / F.lit(100.0) - F.lit(1000.0))
+    sup = spark.range(n_s).withColumnRenamed("id", "k").select(
+        F.col("k").alias("s_suppkey"),
+        F.format_string("Supplier#%09d", F.col("k")).alias("s_name"),
+        F.pmod(h(F.col("k"), 2), F.lit(25)).alias("s_nationkey"),
+        F.round(acct, 2).alias("s_acctbal"),
+    )
+    w(sup, "supplier")
+
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cust = spark.range(n_c).withColumnRenamed("id", "k").select(
+        F.col("k").alias("c_custkey"),
+        F.format_string("Customer#%09d", F.col("k")).alias("c_name"),
+        F.pmod(h(F.col("k"), 3), F.lit(25)).alias("c_nationkey"),
+        F.round(acct, 2).alias("c_acctbal"),
+        pick(F.col("k"), 4, segments).alias("c_mktsegment"),
+    )
+    w(cust, "customer")
+
+    adjs = ["small", "red", "blue", "hot", "cold", "large", "green", "shiny"]
+    nouns = ["ring", "widget", "anvil", "bolt", "gear", "gizmo", "plate", "rod"]
+    types = ["ECONOMY", "SMALL", "MEDIUM", "PROMO", "STANDARD", "LARGE"]
+    part = spark.range(n_p).withColumnRenamed("id", "k").select(
+        F.col("k").alias("p_partkey"),
+        F.concat(
+            pick(F.col("k"), 5, adjs), F.lit(" "), pick(F.col("k"), 6, nouns)
+        ).alias("p_name"),
+        F.concat(
+            F.lit("Brand#"), (F.pmod(h(F.col("k"), 7), F.lit(25)) + 1).cast("string")
+        ).alias("p_brand"),
+        pick(F.col("k"), 8, types).alias("p_type"),
+        (F.pmod(h(F.col("k"), 9), F.lit(50)) + 1).cast("int").alias("p_size"),
+        F.round(F.lit(900.0) + F.pmod(h(F.col("k"), 10), F.lit(100000)) / F.lit(100.0), 2).alias("p_retailprice"),
+    )
+    w(part, "part")
+
+    statuses = ["F", "F", "O", "O", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    base = F.lit("1995-01-01").cast("date")
+    orders = spark.range(n_o).withColumnRenamed("id", "k").select(
+        F.col("k").alias("o_orderkey"),
+        F.pmod(h(F.col("k"), 11), F.lit(n_c)).alias("o_custkey"),
+        pick(F.col("k"), 12, statuses).alias("o_orderstatus"),
+        F.round(F.pmod(h(F.col("k"), 13), F.lit(50_000_000)) / F.lit(100.0), 2).alias("o_totalprice"),
+        F.date_add(base, F.pmod(h(F.col("k"), 14), F.lit(2405)).cast("int")).cast("timestamp").alias("o_orderdate"),
+        pick(F.col("k"), 15, prios).alias("o_orderpriority"),
+    )
+    w(orders, "orders")
+
+    ship_days = F.pmod(h(F.col("k"), 16), F.lit(2500)).cast("int")
+    shipdate = F.date_add(base, ship_days + 1)
+    linestatus = F.when(ship_days < 1460, F.lit("F")).otherwise(F.lit("O"))
+    returnflag = F.when(
+        ship_days < 1460, pick(F.col("k"), 17, ["A", "R", "N"])
+    ).otherwise(F.lit("N"))
+    li = spark.range(n_li).withColumnRenamed("id", "k").select(
+        F.pmod(h(F.col("k"), 18), F.lit(n_o)).alias("l_orderkey"),
+        F.pmod(h(F.col("k"), 19), F.lit(n_p)).alias("l_partkey"),
+        F.pmod(h(F.col("k"), 20), F.lit(n_s)).alias("l_suppkey"),
+        (F.pmod(h(F.col("k"), 21), F.lit(7)) + 1).cast("int").alias("l_linenumber"),
+        (F.pmod(h(F.col("k"), 22), F.lit(50)) + 1).cast("double").alias("l_quantity"),
+        F.round(F.lit(900.0) + F.pmod(h(F.col("k"), 23), F.lit(10_410_000)) / F.lit(100.0), 2).alias("l_extendedprice"),
+        (F.pmod(h(F.col("k"), 24), F.lit(11)) / F.lit(100.0)).alias("l_discount"),
+        (F.pmod(h(F.col("k"), 25), F.lit(9)) / F.lit(100.0)).alias("l_tax"),
+        returnflag.alias("l_returnflag"),
+        linestatus.alias("l_linestatus"),
+        shipdate.cast("timestamp").alias("l_shipdate"),
+    )
+    li.coalesce(max(n_li // 500_000, 1)).write.parquet(
+        _os.path.join(outdir, "lineitem.parquet")
+    )
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -148,6 +258,11 @@ def main() -> None:
         "--emb-fraction", type=float, default=0.4,
         help="embeddings rows as a fraction of documents rows (driver "
         "testdata carries 2000 vecs per 5000 docs)",
+    )
+    ap.add_argument(
+        "--tpch", action="store_true",
+        help="synthesize the TPC-H family (base-rows = lineitem count; "
+        "testdata ratios and distributions)",
     )
     ap.add_argument(
         "--events", action="store_true",
@@ -171,6 +286,9 @@ def main() -> None:
         for tag, n in scales.items():
             d = os.path.join(work, tag)
             os.makedirs(d, exist_ok=True)
+            if args.tpch:
+                synth_tpch(spark, n, d)
+                continue
             if args.events:
                 synth_events(spark, n).coalesce(max(n // 100_000, 1)).write.parquet(
                     os.path.join(d, "events.parquet")
