@@ -12,9 +12,10 @@ scaling exponent alpha = log(t_big/t_small) / log(factor):
 - alpha < 1  -> sub-linear (fixed overhead still amortizing)
 - alpha > 1  -> super-linear = A FINDING (some pairwise/skew term grew)
 
-Run sequentially with nothing else on the box; queries that read
-tables other than documents/embeddings are rejected (this tool only
-synthesizes those two).
+Run sequentially with nothing else on the box. Synthesizes
+documents+embeddings by default; --events / --tpch switch to those
+table families (a query reading a table the chosen family does not
+synthesize fails and is recorded as that query's error entry).
 
 Usage: python tools/bench_scaling_record.py \\
     [--queries docs_remove_dup_spans,...] [--base-rows 50000] [--factor 10]
