@@ -19,9 +19,63 @@ oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+import weakref
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Per parent session, one conf-isolated clone with constraint
+# propagation disabled (see plan_heavy). WeakKey so a stopped/GC'd
+# parent does not pin its clone alive.
+_PLAN_HEAVY_CLONES: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def plan_heavy(df: DataFrame) -> DataFrame:
+    """Rebind ``df`` onto a session clone with
+    ``spark.sql.constraintPropagation.enabled=false`` — the planning
+    posture for expanded-arithmetic kernel plans (round 13,
+    OPTIMIZATION_r13.md "IVF family").
+
+    Why: the constraint optimizer walks every alias's expression tree
+    per rule pass, and InferFiltersFromConstraints clones the inferred
+    ``IsNotNull(<kernel expr>)`` predicates INTO the plan as Filter
+    nodes. For the expanded sims/cosine kernels (1–2k generated terms)
+    that (a) makes optimization super-linear in kernel size, and (b)
+    duplicates the kernel into the fused sort stage of the window
+    top-k, pushing the generated ``sort_addToSorter`` past the JVM's
+    hard 64 KB method limit — whole-stage codegen then FAILS and the
+    entire scan→sims→join→sort stage runs interpreted (measured: the
+    `ERROR CodeGenerator ... 64 KB` in every bench/oracle run; cold
+    ivf probe at sf0.01 8.3 s → 1.6 s with the constraint pass off,
+    answer hash identical). The inferred constraints are redundant by
+    construction — removing them can never change results, only the
+    extra Filter/pushdown nodes they would have added — and every
+    frame routed through here joins on non-null synthetic keys.
+
+    Scoped as a REBIND (same context, shared catalog, isolated
+    SQLConf — the `write_contribution` clone precedent) instead of a
+    session-wide conf so the other ~90 query paths keep inferred
+    join-key IsNotNull pushdown. Clones are cached one per parent
+    session; repeat calls are cheap."""
+    sess = df.sparkSession
+    if getattr(sess, "_s3lps_plan_heavy", False):
+        return df
+    clone = _PLAN_HEAVY_CLONES.get(sess)
+    if clone is None:
+        jclone = df._jdf.sparkSession().cloneSession()
+        jclone.conf().set("spark.sql.constraintPropagation.enabled", "false")
+        clone = SparkSession(sess.sparkContext, jclone)
+        clone._s3lps_plan_heavy = True
+        _PLAN_HEAVY_CLONES[sess] = clone
+    from pyspark.sql.classic.dataframe import DataFrame as _CDataFrame
+
+    jdf = sess._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        clone._jsparkSession, df._jdf.logicalPlan()
+    )
+    return _CDataFrame(jdf, clone)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -443,6 +497,12 @@ def ivf_train(
             )
         step = max(1, len(init) // n_cells)
         centroids = [list(map(float, init[i])) for i in range(0, step * n_cells, step)][:n_cells]
+    # every Lloyd job plans the expanded sims kernel fused with the
+    # 64-column partial aggregate — run them under the constraint-
+    # propagation-off clone (see plan_heavy) so the stage compiles
+    # inside the 64 KB method limit instead of falling back to
+    # interpreted execution (round 13)
+    data = plan_heavy(data)
     # cache the training set across Lloyd iterations — each iteration
     # re-derives assignments from `data`, and without the persist every
     # iteration re-scans (and re-decodes) the source. Measured at 1M×32
@@ -571,7 +631,14 @@ def ivf_topk(
         cosine_sim_expanded("_cv", "_qv", len(centroids[0])).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # plan_heavy: the WindowGroupLimit pushdown fuses a map-side Sort
+    # with the sims+cosine projections; with constraint propagation on,
+    # the inferred IsNotNull(kernel) filter doubles that stage past the
+    # 64 KB codegen limit (round 13 — measured interpreted fallback on
+    # every execution of this plan)
+    return plan_heavy(
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -435,3 +435,36 @@ def test_sq8_code_col_and_contract_errors(spark):
         encoded=codes_only, code_col="codes8", n_candidates=None,
     )
     assert approx.count() == 10
+
+
+def test_plan_heavy_rebind_scopes_constraint_propagation(spark, sf_dir):
+    """Round-13 codegen fix: ivf_topk returns a frame bound to a
+    constraint-propagation-off session CLONE (so the fused window-topk
+    sort stage compiles inside the JVM's 64 KB method limit instead of
+    falling back to interpreted execution), while the caller's session
+    keeps the default ON — and the rebind changes no values."""
+    from s3logs_parquet_spark.operators.ann import plan_heavy
+
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    cents = ivf_train(emb, "embedding", n_cells=4, iters=1, id_col="vec_id")
+    out = ivf_topk(emb, q, "vec_id", "query_id", cents, k=5, n_probe=2)
+    # scoped: the result's session has the pass off, the parent keeps it
+    assert out.sparkSession is not spark
+    assert out.sparkSession.conf.get("spark.sql.constraintPropagation.enabled") == "false"
+    assert spark.conf.get("spark.sql.constraintPropagation.enabled") == "true"
+    # idempotent + cached: rebinding again reuses the same clone
+    again = plan_heavy(out)
+    assert again.sparkSession is out.sparkSession
+    # value parity vs the same plan executed on the parent session (the
+    # inferred constraints are redundant — removing them must not
+    # change a single row)
+    from pyspark.sql.classic.dataframe import DataFrame as CDataFrame
+
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, out._jdf.logicalPlan()
+    )
+    on_parent = CDataFrame(jdf, spark)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, on_parent.collect()))
+    assert got == want and len(got) == 25
