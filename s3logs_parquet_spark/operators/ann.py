@@ -1101,10 +1101,15 @@ def sq_stats(df: DataFrame, vec_col: str, dim: int) -> list[tuple[float, float]]
     driver (bounded by the embedding width, never by corpus size).
     In production these are write-side table properties, recomputed
     only when the embedding model changes."""
+    # one parsed SQL string per aggregate instead of py4j Column trees:
+    # same min/max over the same element expressions, ~4× less driver
+    # plan-construction time at dim 64 (round 13 — the
+    # with_centroid_sims lesson applied to the SQ8 family)
+    v = "`" + vec_col.replace("`", "``") + "`"
     aggs = []
     for i in range(dim):
-        aggs.append(F.min(F.col(vec_col)[i]).alias(f"_mn{i}"))
-        aggs.append(F.max(F.col(vec_col)[i]).alias(f"_mx{i}"))
+        aggs.append(F.expr(f"min({v}[{i}])").alias(f"_mn{i}"))
+        aggs.append(F.expr(f"max({v}[{i}])").alias(f"_mx{i}"))
     row = df.agg(*aggs).collect()[0]
     return [(float(row[f"_mn{i}"]), float(row[f"_mx{i}"])) for i in range(dim)]
 
@@ -1134,41 +1139,47 @@ def sq_encode(
     pair-stage lesson, PERF.md round 6: per-row invariants move OUT
     of per-pair expressions); sq8_topk uses the stored column when
     present."""
-    exprs = []
+    # generated-SQL construction (round 13): identical arithmetic in
+    # identical order to the former Column-tree build — CAST/FLOOR/
+    # LEAST/GREATEST coerce exactly the same way through the SQL
+    # parser — but ONE parse instead of ~1,500 py4j round-trips at
+    # dim 64 (pinned value-stable by test_sq8_quantization_and_topk
+    # and the emb_sq8_topk oracle gate)
+    v = "`" + vec_col.replace("`", "``") + "`"
+    terms = []
     for i, (mn, mx) in enumerate(stats):
         if mx > mn:
-            scaled = (F.col(vec_col)[i].cast("double") - F.lit(mn)) * (
-                F.lit(256.0) / (F.lit(mx) - F.lit(mn))
+            scaled = (
+                f"((CAST({v}[{i}] AS DOUBLE) - {_dlit(mn)}) * "
+                f"({_dlit(256.0)} / ({_dlit(mx)} - {_dlit(mn)})))"
             )
-            q = F.least(F.greatest(F.floor(scaled), F.lit(0)), F.lit(255))
+            terms.append(f"CAST(LEAST(GREATEST(FLOOR({scaled}), 0), 255) AS INT)")
         else:
-            q = F.lit(0)
-        exprs.append(q.cast("int"))
-    out = df.withColumn(out_col, F.array(*exprs))
+            terms.append("CAST(0 AS INT)")
+    out = df.withColumn(out_col, F.expr("array(" + ", ".join(terms) + ")"))
     if with_norm:
-        dq = _sq_dequant_cols(out_col, stats)
-        sqsum = None
-        for c in dq:
-            s = c * c
-            sqsum = s if sqsum is None else sqsum + s
-        out = out.withColumn("sq_norm", F.sqrt(sqsum))
+        dq = _sq_dequant_sqls(out_col, stats)
+        sqsum = " + ".join(f"({c} * {c})" for c in dq)
+        out = out.withColumn("sq_norm", F.expr(f"SQRT({sqsum})"))
     return out
 
 
-def _sq_dequant_cols(code_col: str, stats: list[tuple[float, float]]) -> list:
-    """Reconstruction columns: v'_i = mn_i + (q_i + 0.5) * (mx_i -
-    mn_i) / 256 (bucket-center dequantization; constant dims
-    reconstruct mn exactly)."""
+def _sq_dequant_sqls(code_col: str, stats: list[tuple[float, float]]) -> list[str]:
+    """Reconstruction expressions as SQL strings: v'_i = mn_i +
+    (q_i + 0.5) * (mx_i - mn_i) / 256 (bucket-center dequantization;
+    constant dims reconstruct mn exactly). Same term order as the
+    former Column-tree build — Catalyst constant-folds
+    ``(mx - mn) / 256`` identically either way."""
+    c = "`" + code_col.replace("`", "``") + "`"
     out = []
     for i, (mn, mx) in enumerate(stats):
         if mx > mn:
             out.append(
-                F.lit(mn)
-                + (F.col(code_col)[i].cast("double") + F.lit(0.5))
-                * ((F.lit(mx) - F.lit(mn)) / F.lit(256.0))
+                f"({_dlit(mn)} + ((CAST({c}[{i}] AS DOUBLE) + {_dlit(0.5)}) * "
+                f"(({_dlit(mx)} - {_dlit(mn)}) / {_dlit(256.0)})))"
             )
         else:
-            out.append(F.lit(mn))
+            out.append(_dlit(mn))
     return out
 
 
@@ -1233,24 +1244,24 @@ def sq8_topk(
     if "sq_norm" not in enc.columns:
         # older/minimal encodes: derive the norm from the codes (same
         # fixed-order arithmetic sq_encode stores)
-        dqn = _sq_dequant_cols(code_col, stats)
-        sqsum = None
-        for c in dqn:
-            s = c * c
-            sqsum = s if sqsum is None else sqsum + s
-        enc = enc.withColumn("sq_norm", F.sqrt(sqsum))
+        dqn = _sq_dequant_sqls(code_col, stats)
+        sqsum = " + ".join(f"({c} * {c})" for c in dqn)
+        enc = enc.withColumn("sq_norm", F.expr(f"SQRT({sqsum})"))
     q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec).alias("_qv")))
-    dq = _sq_dequant_cols(code_col, stats)
-    qn = l2_norm_expanded("_qv", dim)
+    dq = _sq_dequant_sqls(code_col, stats)
+    qn = " + ".join(
+        f"(CAST(_qv[{i}] AS DOUBLE) * CAST(_qv[{i}] AS DOUBLE))" for i in range(dim)
+    )
     # expanded fixed-order dot over the reconstruction columns; the
     # corpus-side norm is the STORED sq_norm (query-independent —
     # recomputing it per (query x row) would repeat it Q times per
-    # corpus row and double the scoring expression)
-    approx_dot = None
-    for i in range(dim):
-        t = dq[i] * F.col("_qv")[i].cast("double")
-        approx_dot = t if approx_dot is None else approx_dot + t
-    approx_cos = approx_dot / (F.col("sq_norm") * qn)
+    # corpus row and double the scoring expression). One parsed SQL
+    # string (round 13) — same terms, same order as the former
+    # Column-tree build.
+    approx_dot = " + ".join(
+        f"({dq[i]} * CAST(_qv[{i}] AS DOUBLE))" for i in range(dim)
+    )
+    approx_cos = F.expr(f"(({approx_dot}) / (sq_norm * SQRT({qn})))")
     scored = enc.crossJoin(q).withColumn("_acos", approx_cos)
     if n_candidates is None:
         w = Window.partitionBy(query_id).orderBy(F.desc("_acos"), F.asc(corpus_id))
