@@ -1864,19 +1864,26 @@ def dup_ngram_fraction(
         .filter(F.col("_n_docs") >= F.lit(int(min_docs)))
         .select("_ng")
     )
-    dup = pairs.join(frequent, on="_ng", how="left_semi").groupBy(id_col).agg(
-        F.sum("_cnt").alias("_dup_cnt")
+    # ONE doc-keyed aggregation over the flag-joined pairs (round 13):
+    # the former two-branch shape (left-semi → dup agg; totals agg;
+    # final doc join) aggregated the pairs table twice and joined the
+    # two halves back on the doc id — a left join carrying a hit flag
+    # folds both sums into a single hash-agg, removing a doc-keyed
+    # exchange and the join. Values identical: sum(cnt) over all pairs
+    # vs sum(cnt) where the n-gram is frequent, per doc (docs with no
+    # frequent n-gram get 0/total = 0.0 either way).
+    flagged = pairs.join(
+        frequent.withColumn("_dup", F.lit(1)), on="_ng", how="left"
     )
-    totals = pairs.groupBy(id_col).agg(F.sum("_cnt").alias("n_ngrams"))
-    return (
-        totals.join(dup, on=id_col, how="left")
-        .select(
-            F.col(id_col),
-            F.col("n_ngrams"),
-            F.round(
-                F.coalesce(F.col("_dup_cnt"), F.lit(0)) / F.col("n_ngrams"), 6
-            ).alias("dup_fraction"),
-        )
+    return flagged.groupBy(id_col).agg(
+        F.sum("_cnt").alias("n_ngrams"),
+        F.sum(
+            F.when(F.col("_dup") == 1, F.col("_cnt")).otherwise(F.lit(0))
+        ).alias("_dup_cnt"),
+    ).select(
+        F.col(id_col),
+        F.col("n_ngrams"),
+        F.round(F.col("_dup_cnt") / F.col("n_ngrams"), 6).alias("dup_fraction"),
     )
 
 
