@@ -2065,14 +2065,19 @@ def remove_duplicated_spans(
     not keep; the consumers of this stage (tokenize → pack → train)
     re-tokenize anyway.
 
-    Plan: the shared island core (three hash-agg shuffles + one
-    doc-keyed window exchange), then covered positions re-expand from
-    the span bounds (explode(sequence(start, end)) — output rows ==
-    dup_tokens, disjoint islands so no position duplicates), a
-    left-anti join from the posexploded token stream on (doc, pos),
-    and one per-doc hash-agg whose in-group sort_array restores token
-    order. The rebuild stages key on (doc, pos) / doc — co-clustered
-    with the island exchange; nothing collects.
+    Plan (round 13 restructure): the shared island core (three
+    hash-agg shuffles + one doc-keyed window exchange), then the spans
+    collapse to ONE array row per doc (two stacked hash-aggs on the
+    window's existing doc partitioning — no new exchange), left-join
+    onto the token arrays, and the whole excision runs as map-side
+    array algebra: covered = flatten(per-span sequences), kept =
+    array_except(1..n_tokens, covered) (order-preserving on the first
+    argument), clean_text = array_join over the kept positions. This
+    replaces the former posexplode token STREAM (one row per token,
+    ~50× the doc rows), its (doc, pos) anti-join exchange pair, and
+    the collect_list + array_sort rebuild agg — the heaviest exchange
+    of the old plan carried every token as a row; the new one carries
+    each doc's span bounds once. Nothing collects.
 
     Output: (id_col, n_tokens, removed_tokens, clean_text) for EVERY
     input document (clean_text = '' when everything was removed or the
@@ -2084,32 +2089,34 @@ def remove_duplicated_spans(
 
     toks = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
     spans = _dup_span_islands(toks, id_col, n, min_docs, hash_ngrams)
-    covered = spans.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.col("_start"), F.col("_end"))).alias("_pos"),
+    span_arrays = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("_start", "_end")).alias("_spans")
     )
-    tok_stream = toks.select(
-        F.col(id_col), F.posexplode("_w").alias("_i", "_tok")
-    ).select(F.col(id_col), (F.col("_i") + 1).alias("_pos"), "_tok")
-    kept = tok_stream.join(covered, on=[id_col, "_pos"], how="left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
-                lambda s: s["_tok"],
+    joined = toks.join(span_arrays, on=id_col, how="left")
+    excised = (
+        joined.withColumn(
+            "_pos",
+            F.when(F.size("_w") > 0, F.sequence(F.lit(1), F.size("_w")))
+            .otherwise(F.expr("array()").cast("array<int>")),
+        )
+        .withColumn(
+            "_cov",
+            # islands are disjoint, so the flattened covered set has no
+            # duplicates; span-free docs (null _spans) cover nothing
+            F.coalesce(
+                F.expr("flatten(transform(_spans, s -> sequence(s._start, s._end)))"),
+                F.expr("array()").cast("array<int>"),
             ),
-            " ",
-        ).alias("clean_text"),
+        )
+        # array_except keeps the FIRST argument's order, so kept
+        # positions stay ascending and the rebuild needs no sort
+        .withColumn("_kept", F.array_except("_pos", "_cov"))
     )
-    totals = toks.select(F.col(id_col), F.size("_w").alias("n_tokens"))
-    return totals.join(rebuilt, on=id_col, how="left").select(
+    return excised.select(
         F.col(id_col),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
-        .cast("long")
-        .alias("removed_tokens"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.size("_w").cast("long").alias("n_tokens"),
+        (F.size("_w") - F.size("_kept")).cast("long").alias("removed_tokens"),
+        F.expr("array_join(transform(_kept, p -> _w[p - 1]), ' ')").alias("clean_text"),
     )
 
 
