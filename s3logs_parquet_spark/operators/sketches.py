@@ -242,7 +242,11 @@ def kmv_set_ops(
     )
     est_j = F.col("_n_both").cast("double") / F.col("_k2").cast("double")
     return (
-        pair_frame.join(mstats, ["g_a", "g_b"])
+        # mstats is one row per unordered group pair (≤ G²/2 — the same
+        # bound the pair_keys broadcasts already rely on); unhinted,
+        # post-checkpoint size estimates pushed this tiny join to a
+        # sort-merge with two extra exchanges (round 13)
+        pair_frame.join(F.broadcast(mstats), ["g_a", "g_b"])
         .select(
             "g_a",
             "g_b",

@@ -2534,7 +2534,7 @@ def q_events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(ex.select(F.col("event_type").alias("g_b"), F.col("exact").alias("exact_b"))),
             "g_b",
         )
-        .join(inter, ["g_a", "g_b"], "left")
+        .join(F.broadcast(inter), ["g_a", "g_b"], "left")
         .withColumn("exact_intersection", F.coalesce(F.col("exact_intersection"), F.lit(0)))
         .withColumn(
             "exact_union", F.col("exact_a") + F.col("exact_b") - F.col("exact_intersection")
