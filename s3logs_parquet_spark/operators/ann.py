@@ -32,6 +32,60 @@ _PLAN_HEAVY_CLONES: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
     weakref.WeakKeyDictionary()
 )
 
+# Per parent session, one conf-isolated clone with whole-stage codegen
+# off (see build_flat). Same lifetime rules as _PLAN_HEAVY_CLONES.
+_BUILD_FLAT_CLONES: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def rebind_onto(df: DataFrame, sess: SparkSession) -> DataFrame:
+    """Rebind ``df``'s logical plan onto ``sess`` (same SparkContext) —
+    the inverse of plan_heavy/build_flat for results that outlive a
+    scoped build (e.g. a localCheckpoint materialized under the build
+    clone): downstream queries composed on the returned frame plan and
+    execute under ``sess``'s conf, not the clone's."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDataFrame
+
+    jdf = sess._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        sess._jsparkSession, df._jdf.logicalPlan()
+    )
+    return _CDataFrame(jdf, sess)
+
+
+def build_flat(df: DataFrame) -> DataFrame:
+    """Rebind ``df`` onto a session clone with
+    ``spark.sql.codegen.wholeStage=false`` — the execution posture for
+    ONE-OFF write-side builds whose fused map stage cannot compile
+    (round 13, OPTIMIZATION_r13.md "Not yet optimized" #1 follow-up).
+
+    Why: the IVF-PQ corpus encode fuses the coarse-assign sims kernel
+    with all m ADC distance-table arrays into a single whole-stage
+    ``processNext()`` that janino cannot split, so compilation FAILS
+    against the JVM's hard 64 KB method limit (``ERROR CodeGenerator
+    ... Code grows beyond 64 KB``) and Spark falls back to per-operator
+    execution anyway — after paying the doomed compile attempt on every
+    cold build. Planning the build under this clone skips straight to
+    the per-operator path (each Project still gets expression-level
+    codegen, which splits fine) and keeps driver logs free of spurious
+    ERRORs. Value-identical by construction: same expressions, same
+    evaluation semantics, only the fusion strategy changes.
+
+    Scoped: ONLY the one-off build runs here. Callers rebind the
+    materialized result back onto their own session (rebind_onto) so
+    the hot probe path keeps full whole-stage codegen."""
+    sess = df.sparkSession
+    if getattr(sess, "_s3lps_build_flat", False):
+        return df
+    clone = _BUILD_FLAT_CLONES.get(sess)
+    if clone is None:
+        jclone = df._jdf.sparkSession().cloneSession()
+        jclone.conf().set("spark.sql.codegen.wholeStage", "false")
+        clone = SparkSession(sess.sparkContext, jclone)
+        clone._s3lps_build_flat = True
+        _BUILD_FLAT_CLONES[sess] = clone
+    return rebind_onto(df, clone)
+
 
 def plan_heavy(df: DataFrame) -> DataFrame:
     """Rebind ``df`` onto a session clone with
@@ -70,12 +124,7 @@ def plan_heavy(df: DataFrame) -> DataFrame:
         clone = SparkSession(sess.sparkContext, jclone)
         clone._s3lps_plan_heavy = True
         _PLAN_HEAVY_CLONES[sess] = clone
-    from pyspark.sql.classic.dataframe import DataFrame as _CDataFrame
-
-    jdf = sess._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-        clone._jsparkSession, df._jdf.logicalPlan()
-    )
-    return _CDataFrame(jdf, clone)
+    return rebind_onto(df, clone)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -987,7 +1036,10 @@ def ivfpq_index_write(
         centroids,
         "cell",
     )
-    enc = pq_encode(assigned, "_cv", codebooks, "pq_code")
+    # build_flat: the fused assign+PQ-tables span cannot compile
+    # (64 KB method limit); skip the doomed whole-stage compile for
+    # this one-off write — nothing downstream rides this frame
+    enc = build_flat(pq_encode(assigned, "_cv", codebooks, "pq_code"))
     enc.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     spark.createDataFrame(cent_rows, "cell INT, centroid ARRAY<DOUBLE>").coalesce(

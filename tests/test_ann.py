@@ -468,3 +468,39 @@ def test_plan_heavy_rebind_scopes_constraint_propagation(spark, sf_dir):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, on_parent.collect()))
     assert got == want and len(got) == 25
+
+
+def test_build_flat_scoped_and_rebind_onto_round_trips(spark, sf_dir):
+    """Round-13 cold-path fix: the IVF-PQ corpus encode is built under a
+    whole-stage-codegen-off clone (its fused assign+PQ-tables span
+    cannot compile within the JVM's 64 KB method limit — build_flat
+    skips the doomed compile), and rebind_onto returns the materialized
+    result to the CALLER's session so probe queries keep full
+    whole-stage codegen. Values must be identical either way."""
+    from s3logs_parquet_spark.operators.ann import (
+        build_flat,
+        ivf_train,
+        ivfpq_encode_corpus,
+        pq_codebooks,
+        rebind_onto,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_train(emb, "embedding", n_cells=4, iters=1, id_col="vec_id")
+    cbs = pq_codebooks(emb, "embedding", m=4, k_sub=4, id_col="vec_id")
+    enc = ivfpq_encode_corpus(emb, "vec_id", cents, cbs)
+    flat = build_flat(enc)
+    # scoped: the build frame's session has whole-stage codegen off,
+    # the parent keeps the default ON
+    assert flat.sparkSession is not spark
+    assert flat.sparkSession.conf.get("spark.sql.codegen.wholeStage") == "false"
+    assert spark.conf.get("spark.sql.codegen.wholeStage") == "true"
+    # idempotent + cached: rebinding again reuses the same clone
+    assert build_flat(flat).sparkSession is flat.sparkSession
+    # rebind_onto round-trips to the caller's session
+    back = rebind_onto(flat, spark)
+    assert back.sparkSession is spark
+    # value parity: same rows whichever session plans the build
+    got = sorted(map(tuple, flat.select("vec_id", "cell", "pq_code").collect()))
+    want = sorted(map(tuple, back.select("vec_id", "cell", "pq_code").collect()))
+    assert got == want and len(got) > 0
