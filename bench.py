@@ -136,9 +136,21 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _loadavg() -> list[float] | None:
+    """Host 1/5/15-min load averages, or None off-Linux. Recorded in
+    extra so a contended run is distinguishable from a regression
+    (VERDICT r13 #4: noise claims must be checkable, not narrative)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    loadavg_start = _loadavg()
     spark = get_spark(app_name="s3logs-bench")
 
     timings: dict[str, float] = {}
@@ -221,7 +233,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "extra": {**etl_stats, "log_etl_n_lines": n_lines_total},
+                "extra": {
+                    **etl_stats,
+                    "log_etl_n_lines": n_lines_total,
+                    "loadavg_start": loadavg_start,
+                    "loadavg_end": _loadavg(),
+                },
             }
         )
     )

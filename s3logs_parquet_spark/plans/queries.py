@@ -4678,3 +4678,103 @@ assert set(_DRIVER_WINDOW_R13) <= set(QUERIES), sorted(
 QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R13} | {
     name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R13
 }
+
+# Round-14 rotation (the standing alternation — VERDICT r13 confirmed
+# the two windows union to exactly the 100-query registry): the
+# r12/r10-recorded half returns to the window unchanged — every
+# r13-window entry holds a green CORRECTNESS_r13 row (50/50) and
+# rotates out. No substitutions: round 14 is optimization 2/2
+# (no new features). Registry stays at exactly 100.
+_DRIVER_WINDOW_R14 = list(_DRIVER_WINDOW_R12)
+
+assert len(_DRIVER_WINDOW_R14) == 50, len(_DRIVER_WINDOW_R14)
+assert set(_DRIVER_WINDOW_R14) <= set(QUERIES), sorted(
+    set(_DRIVER_WINDOW_R14) - set(QUERIES)
+)
+QUERIES = {name: QUERIES[name] for name in _DRIVER_WINDOW_R14} | {
+    name: fn_sql for name, fn_sql in QUERIES.items() if name not in _DRIVER_WINDOW_R14
+}
+
+
+# ---------------------------------------------------------------------------
+# BUILD_ONCE — the explicit build-once timed-region contract
+# (VERDICT r13 "Next round" #3). Every QUERIES gate whose first call
+# in a process builds a cached artifact that later calls (and the
+# bench's timed reps) reuse is listed HERE, in one auditable table —
+# no per-query hidden caches. Each entry names the module-level cache
+# object, what it holds, and the build-included twin (the registry
+# gate that keeps the full build cost measured), or the reason none
+# is needed.
+#
+# kind:
+#   "plan"         — the cache holds an unmaterialized DataFrame (plus
+#                    at most a tiny driver-side model collect). Every
+#                    execution still recomputes from the parquet
+#                    inputs; the cache only reuses planning/codegen
+#                    state (the prepared-statement semantic).
+#   "materialized" — the cache holds localCheckpoint-ed blocks or an
+#                    on-disk artifact, so timed reps probe a pre-built
+#                    index. This is the documented production contract
+#                    for these operators (build is a write-side
+#                    one-off; queries probe) — the build-included twin
+#                    keeps the full cost measured.
+#
+# tests/test_bench_smoke.py::test_build_once_registry_is_exhaustive
+# asserts no module-level cache exists in this module outside this
+# table, and that every entry resolves.
+BUILD_ONCE: dict[str, dict[str, str | None]] = {
+    "docs_remove_dup_spans": {
+        "cache": "_DUP_SPANS_PLANS",
+        "kind": "plan",
+        "holds": "span-gate DataFrame (fresh expr-IDs miss the codegen cache)",
+        "build_included_twin": None,
+    },
+    "emb_pq_topk": {
+        "cache": "_PQ_PLANS",
+        "kind": "plan",
+        "holds": "PQ plan + 8-row codebook collect; encode→ADC→rerank re-runs",
+        "build_included_twin": None,
+    },
+    "emb_semantic_dedup": {
+        "cache": "_SEMDEDUP_ASSIGN",
+        "kind": "materialized",
+        "holds": "8-row centroid collect + materialized semantic_assign blocks",
+        "build_included_twin": "emb_semantic_dedup_incremental (first call)",
+    },
+    "emb_semantic_dedup_incremental": {
+        "cache": "_SEMDEDUP_INCR_INDEX",
+        "kind": "materialized",
+        "holds": "materialized corpus semantic_assign index + probe plan",
+        "build_included_twin": None,  # continuous-ingest probe IS the product
+    },
+    "emb_sq8_topk": {
+        "cache": "_SQ8_MODELS",
+        "kind": "materialized",
+        "holds": "per-dim min/max stats + materialized int8 codes",
+        "build_included_twin": None,  # encode cost tracked in PERF.md (write-side)
+    },
+    "emb_ivf_indexed_topk": {
+        "cache": "_IVF_INDEX_BUILT",
+        "kind": "materialized",
+        "holds": "on-disk IVF index (ivf_index_write parquet under $TMPDIR)",
+        "build_included_twin": "emb_ivf_trained_topk",
+    },
+    "emb_ivfpq_topk": {
+        "cache": "_IVFPQ_MODELS",
+        "kind": "materialized",
+        "holds": "driver-side centroids+codebooks + checkpointed encoded corpus",
+        "build_included_twin": "emb_ivf_trained_topk",
+    },
+    "docs_neardup_canonical_keep": {
+        "cache": "_CANONICAL_KEEP_PLANS",
+        "kind": "materialized",
+        "holds": "LSH signature + verified-edge checkpoints + CC edge collect",
+        "build_included_twin": "docs_minhash_lsh_pairs",
+    },
+    "docs_incremental_neardup": {
+        "cache": "_INCR_NEARDUP_INDEX",
+        "kind": "materialized",
+        "holds": "checkpointed corpus LSH index (minhash_banded materialize=True)",
+        "build_included_twin": "docs_minhash_lsh_pairs",
+    },
+}

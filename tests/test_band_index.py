@@ -6,6 +6,8 @@ exists for (no exchange on the index side of the probe join)."""
 from __future__ import annotations
 
 import pytest
+
+from conftest import drain
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -189,7 +191,7 @@ def test_stream_curation_layouts_produce_identical_survivors(spark, tmp_path):
             band_index_layout=layout,
             scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
         )
-        q.awaitTermination(120)
+        drain(q)
         return {
             (r["doc_id"], r["lang_pred"], r["quality"], r["split"])
             for r in spark.read.parquet(out).collect()
@@ -222,7 +224,7 @@ def test_layout_mismatch_fails_loud(spark, tmp_path):
     q = run_stream_curation(
         spark, inp, DOC_SCHEMA, out, idx, ck, band_index_layout="bucketed", **kw
     )
-    q.awaitTermination(120)
+    drain(q)
     with pytest.raises(ValueError, match="bucketed layout"):
         run_stream_curation(
             spark, inp, DOC_SCHEMA, out, idx, ck, band_index_layout="dirs", **kw
@@ -232,7 +234,7 @@ def test_layout_mismatch_fails_loud(spark, tmp_path):
     q2 = run_stream_curation(
         spark, inp, DOC_SCHEMA, out2, idx2, ck2, band_index_layout="dirs", **kw
     )
-    q2.awaitTermination(120)
+    drain(q2)
     with pytest.raises(ValueError, match="dirs-layout"):
         run_stream_curation(
             spark, inp, DOC_SCHEMA, out2, idx2, ck2, band_index_layout="bucketed", **kw

@@ -45,3 +45,58 @@ def test_every_headline_query_executes_at_bench_scale(spark):
         except Exception as e:  # noqa: BLE001 — collect all, report once
             failures[name] = repr(e)[:300]
     assert not failures, failures
+
+
+def test_build_once_registry_is_exhaustive():
+    """VERDICT r13 #3: the build-once timed-region contract is ONE
+    explicit table. Every module-level mutable cache in plans/queries.py
+    (the per-(process, sf_dir) build-once pattern is an empty dict/set
+    literal at module scope) must be named by a BUILD_ONCE entry — a
+    new per-query hidden cache fails here until it is declared. Every
+    entry must resolve: the gate and its twin exist in QUERIES, the
+    cache object exists."""
+    import ast
+    import inspect
+
+    from s3logs_parquet_spark.plans import queries as qmod
+    from s3logs_parquet_spark.plans.queries import BUILD_ONCE, QUERIES
+
+    tree = ast.parse(inspect.getsource(qmod))
+    caches = set()
+    for node in tree.body:  # top-level statements only
+        target = None
+        if isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            target, value = node.target.id, node.value
+        elif isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(
+            node.targets[0], ast.Name
+        ):
+            target, value = node.targets[0].id, node.value
+        if target is None:
+            continue
+        is_empty_dict = isinstance(value, ast.Dict) and not value.keys
+        is_empty_set = (
+            isinstance(value, ast.Call)
+            and isinstance(value.func, ast.Name)
+            and value.func.id == "set"
+            and not value.args
+        )
+        if is_empty_dict or is_empty_set:
+            caches.add(target)
+
+    declared = {entry["cache"] for entry in BUILD_ONCE.values()}
+    undeclared = caches - declared
+    assert not undeclared, (
+        f"module-level cache(s) {sorted(undeclared)} in plans/queries.py are "
+        "not declared in BUILD_ONCE — add an entry (with the build-included "
+        "twin) or remove the cache"
+    )
+    stale = declared - caches
+    assert not stale, f"BUILD_ONCE names cache(s) that no longer exist: {sorted(stale)}"
+
+    for name, entry in BUILD_ONCE.items():
+        assert name in QUERIES, f"BUILD_ONCE entry {name} not in QUERIES"
+        assert hasattr(qmod, entry["cache"]), entry["cache"]
+        assert entry["kind"] in ("plan", "materialized"), entry
+        twin = entry["build_included_twin"]
+        if twin is not None:
+            assert twin.split(" ")[0] in QUERIES, f"{name}: twin {twin!r} not in QUERIES"

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+from conftest import drain
+
 from s3logs_parquet_spark.cli import main as cli_main
 from s3logs_parquet_spark.testing import generate_lines
 
@@ -345,7 +347,7 @@ def test_readme_production_recipe_end_to_end(spark, tmp_path):
     )
     install_stream_supervisor(q, pidfile=pidfile)
     assert os.path.exists(pidfile)  # supervisor wrote it for the init system
-    q.awaitTermination(120)
+    drain(q)
     os.remove(pidfile)  # the caller's finally-block duty (cli.py does this)
     table = spark.read.parquet(out)
     n_ingested = table.count()

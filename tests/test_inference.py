@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+
+from conftest import drain
 from pyspark.sql import functions as F
 
 from s3logs_parquet_spark.operators.inference import (
@@ -224,7 +226,7 @@ def test_score_documents_streaming_microbatch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     got = sorted(
         (r["doc_id"], r["logit"], r["label"])
         for r in spark.read.parquet(out_dir).collect()

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+from conftest import drain
+
 from pyspark.sql import functions as F
 
 from s3logs_parquet_spark.operators.skew import salted_agg, salted_join
@@ -106,7 +108,7 @@ def test_stateful_rotation_counts(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q)
     batch1 = {r["group_key"]: r for r in spark.sql("SELECT * FROM rot1").collect()}
     assert sum(r["total_rows"] for r in batch1.values()) == 40
 
@@ -122,7 +124,7 @@ def test_stateful_rotation_counts(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    drain(q2)
     rows = spark.sql("SELECT * FROM rot2").collect()
     total = {}
     for r in rows:

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 import random
 
+from conftest import drain
 from pyspark.sql import functions as F
 
 from s3logs_parquet_spark.config import EngineConfig
@@ -23,7 +24,7 @@ def _drain(spark, inp, out, ckpt, scfg=None):
     scfg = scfg or StreamingJobConfig(available_now=True)
     scfg.available_now = True
     q = run_streaming_transform(spark, inp, out, ckpt, EngineConfig(), scfg)
-    q.awaitTermination(120)
+    drain(q)
     assert not q.isActive
 
 
@@ -123,7 +124,7 @@ def test_stream_custom_schema_fields_and_positional_dedup(spark, tmp_path):
     cfg = EngineConfig(schema_fields=names)
     scfg = StreamingJobConfig(dedup_watermark="1 hour", available_now=True)
     q = run_streaming_transform(spark, inp, out, ckpt, cfg, scfg)
-    q.awaitTermination(120)
+    drain(q)
     table = spark.read.parquet(out)
     assert "RequestID" not in table.columns
     assert set(names) <= set(table.columns)
@@ -185,7 +186,7 @@ def test_stream_processing_time_follow_and_graceful_stop(spark, tmp_path):
         assert spark.read.parquet(out).count() == 50
     finally:
         q.stop()  # T6
-        q.awaitTermination(60)
+        drain(q)
     assert not q.isActive
 
 
@@ -230,7 +231,7 @@ def test_manifest_stream_exactly_once_across_restart(spark, tmp_path):
     q = run_manifest_stream(
         spark, man, out, ckpt, EngineConfig(), scfg, scheme="file://", object_root=str(objroot)
     )
-    q.awaitTermination(120)
+    drain(q)
     t1 = spark.read.parquet(out)
     assert t1.count() == 200  # obj0 + obj1 only, F2 dropped obj2
 
@@ -240,7 +241,7 @@ def test_manifest_stream_exactly_once_across_restart(spark, tmp_path):
     q2 = run_manifest_stream(
         spark, man, out, ckpt, EngineConfig(), scfg, scheme="file://", object_root=str(objroot)
     )
-    q2.awaitTermination(120)
+    drain(q2)
     t2 = spark.read.parquet(out)
     assert t2.count() == 260
     # batch commit dirs are the receipt units: replay-safe overwrite targets
@@ -286,7 +287,7 @@ def test_fold_stream_batches_after_drain(spark, tmp_path):
         q = run_manifest_stream(
             spark, man, out, ckpt, EngineConfig(), scfg, scheme="file://", object_root=str(objroot)
         )
-        q.awaitTermination(120)
+        drain(q)
 
     before = spark.read.parquet(out)
     data_cols = [c for c in before.columns if c != "batch"]
@@ -374,7 +375,7 @@ def test_stream_batch_equivalence_differential(spark, tmp_path):
         scheme="file://",
         object_root=str(objroot),
     )
-    q.awaitTermination(120)
+    drain(q)
 
     out_b = str(tmp_path / "out_b")
     run_batch_transform(spark, paths, out_b, EngineConfig())
@@ -416,13 +417,13 @@ def test_stream_asof_enrich_matches_batch(spark, tmp_path):
         spark, inp, facts1.schema, dim, out, ckpt, time_col="ts",
         by=("user_id",), right_cols=["plan"], scfg=scfg,
     )
-    q.awaitTermination(120)
+    drain(q)
     facts2.write.mode("append").parquet(inp)
     q2 = run_stream_asof_enrich(
         spark, inp, facts1.schema, dim, out, ckpt, time_col="ts",
         by=("user_id",), right_cols=["plan"], scfg=scfg,
     )
-    q2.awaitTermination(120)
+    drain(q2)
 
     cols = ["event_id", "user_id", "ts", "ts_r", "plan_r"]
     got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
@@ -481,6 +482,7 @@ def test_fold_refuses_uncommitted_max_batch(spark, tmp_path):
 import pytest
 
 
+
 @pytest.mark.parametrize("layout", ["dirs", "bucketed"])
 def test_stream_semantic_dedup_grows_index(spark, tmp_path, layout):
     """Continuous-ingest SemDeDup: batch 0's kept representatives join
@@ -533,7 +535,7 @@ def test_stream_semantic_dedup_grows_index(spark, tmp_path, layout):
     scfg = StreamingJobConfig(available_now=True)
     args = (spark, inp, schema, idx, cents, 0.99, out, ckpt)
     q = run_stream_semantic_dedup(*args, index_layout=layout, scfg=scfg)
-    q.awaitTermination(120)
+    drain(q)
     got = {
         r["vec_id"]: (r["is_corpus_dup"], r["is_batch_dup"])
         for r in spark.read.parquet(out).collect()
@@ -556,7 +558,7 @@ def test_stream_semantic_dedup_grows_index(spark, tmp_path, layout):
         [(20, [0.7, 0.7]), (21, [0.0, 0.9]), (22, [-1.0, 0.05])], schema
     ).coalesce(1).write.mode("append").parquet(inp)
     q2 = run_stream_semantic_dedup(*args, index_layout=layout, scfg=scfg)
-    q2.awaitTermination(120)
+    drain(q2)
     got2 = {
         r["vec_id"]: (r["is_corpus_dup"], r["is_batch_dup"])
         for r in spark.read.parquet(f"{out}/batch=1").collect()
@@ -584,7 +586,7 @@ def test_stream_semantic_dedup_grows_index(spark, tmp_path, layout):
         spark, inp2, schema, idx, cents, 0.99, out2, ckpt2,
         index_layout=layout, scfg=scfg,
     )
-    q3.awaitTermination(120)
+    drain(q3)
     got3 = {
         r["vec_id"]: (r["is_corpus_dup"], r["is_batch_dup"])
         for r in spark.read.parquet(out2).collect()
@@ -667,7 +669,7 @@ def test_stream_semantic_dedup_layout_split_brain_guards(spark, tmp_path):
         str(tmp_path / "o5"), str(tmp_path / "c5"),
         index_layout="bucketed", scfg=_SC(available_now=True),
     )
-    q.awaitTermination(60)
+    drain(q)
 
 
 def test_stream_kmv_equals_batch_sketch(spark, tmp_path):
@@ -702,7 +704,7 @@ def test_stream_kmv_equals_batch_sketch(spark, tmp_path):
 
     scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
     q = run_stream_kmv(spark, inp, schema, sk, ck1, "g", "v", k=16, scfg=scfg)
-    q.awaitTermination(120)
+    drain(q)
 
     want = sorted(map(tuple, kmv_distinct(full, ["g"], "v", k=16).collect()))
     got = sorted(map(tuple, read_kmv_sketch(spark, sk, "g", k=16).collect()))
@@ -713,7 +715,7 @@ def test_stream_kmv_equals_batch_sketch(spark, tmp_path):
     # sketch must be unchanged
     scfg2 = StreamingJobConfig(available_now=True, max_files_per_trigger=10)
     q2 = run_stream_kmv(spark, inp, schema, sk, ck2, "g", "v", k=16, scfg=scfg2)
-    q2.awaitTermination(120)
+    drain(q2)
     again = sorted(map(tuple, read_kmv_sketch(spark, sk, "g", k=16).collect()))
     assert again == want
 
@@ -747,7 +749,7 @@ def test_stream_mg_matches_batch_and_same_lineage_replay(spark, tmp_path):
 
     phi, k = 1.0 / 20.0, 32
     scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
-    run_stream_mg(spark, inp, schema, sk, ck, "item", k=k, scfg=scfg).awaitTermination(120)
+    drain(run_stream_mg(spark, inp, schema, sk, ck, "item", k=k, scfg=scfg))
 
     exact = collections.Counter(x for x in items if x is not None)
     thresh = math.ceil(phi * sum(exact.values()))
@@ -764,7 +766,7 @@ def test_stream_mg_matches_batch_and_same_lineage_replay(spark, tmp_path):
 
     # same-lineage restart: checkpoint already has all files committed,
     # so nothing reprocesses and the sketch answer is unchanged
-    run_stream_mg(spark, inp, schema, sk, ck, "item", k=k, scfg=scfg).awaitTermination(120)
+    drain(run_stream_mg(spark, inp, schema, sk, ck, "item", k=k, scfg=scfg))
     again = heavy_hitters_from_summaries(
         full, "item", read_mg_sketch(spark, sk), phi, k
     )
@@ -828,7 +830,7 @@ def test_stream_curation_invariants_and_single_batch_equality(spark, tmp_path):
     q = run_stream_curation(
         spark, inp, schema, out, idx, ck, scfg=scfg, **params
     )
-    q.awaitTermination(180)
+    drain(q)
 
     all_docs = spark.read.parquet(inp)
     survivors = spark.read.parquet(out)  # batch becomes a partition col
@@ -885,7 +887,7 @@ def test_stream_curation_invariants_and_single_batch_equality(spark, tmp_path):
     q1 = run_stream_curation(
         spark, inp1, schema, out1, idx1, ck1, scfg=scfg1, **params
     )
-    q1.awaitTermination(180)
+    drain(q1)
     got = sorted(
         map(
             tuple,
@@ -967,7 +969,7 @@ def test_stream_curation_survivors_only_index_mode(spark, tmp_path):
         spark, inp, schema, out, idx, ck,
         min_quality=0.3, jaccard_threshold=0.3, index_dropped=False, scfg=scfg,
     )
-    q.awaitTermination(120)
+    drain(q)
     out_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert 0 in out_ids and 3 in out_ids
     assert 1 not in out_ids  # near-dup within batch 0
@@ -1018,7 +1020,7 @@ def test_stream_curation_band_index_bucket_cap(spark, tmp_path):
             band_index_max_bucket=cap,
             scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
         )
-        q.awaitTermination(120)
+        drain(q)
         ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
         bands = spark.read.parquet(f"{idx}/bands")
         max_bucket = (
@@ -1077,7 +1079,7 @@ def test_compact_curation_index_preserves_dedup_across_resume(spark, tmp_path):
         scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
         kw = dict(min_quality=0.3, jaccard_threshold=0.3, index_dropped=True, scfg=scfg)
         q = run_stream_curation(spark, inp, schema, out, idx, ck, **kw)
-        q.awaitTermination(120)
+        drain(q)
         if fold:
             stats = compact_curation_index(spark, idx, checkpoint_dir=ck)
             assert stats["bands"]["batches_before"] == 3
@@ -1091,7 +1093,7 @@ def test_compact_curation_index_preserves_dedup_across_resume(spark, tmp_path):
                 "append"
             ).parquet(inp)
         q2 = run_stream_curation(spark, inp, schema, out, idx, ck, **kw)
-        q2.awaitTermination(120)
+        drain(q2)
         return {r["doc_id"] for r in spark.read.parquet(out).collect()}
 
     control = run("control", fold=False)
@@ -1144,7 +1146,7 @@ def test_stream_rollup_equals_batch_rollup(spark, tmp_path):
 
     scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
     q = run_stream_rollup(spark, inp, schema, ru, ck, window_seconds=3600, scfg=scfg)
-    q.awaitTermination(120)
+    drain(q)
 
     cols = ["w", "event_type", "dt", "n_rows", "sum_value", "min_value", "max_value"]
     want = sorted(
@@ -1229,7 +1231,7 @@ def test_stream_idle_boundary_closes_files(spark, tmp_path):
         assert spark.read.parquet(out).count() == 65
     finally:
         q.stop()
-        q.awaitTermination(60)
+        drain(q)
 
     post = {p: os.path.getsize(p) for p in _glob.glob(f"{out}/dt=*/part-*.parquet")}
     assert set(pre_gap) <= set(post)
@@ -1371,7 +1373,7 @@ def test_stream_curation_fails_loud_on_missing_index_store(spark, tmp_path):
     scfg = StreamingJobConfig(available_now=True, max_files_per_trigger=1)
     kw = dict(min_quality=0.3, jaccard_threshold=0.3, scfg=scfg)
     q = run_stream_curation(spark, inp, schema, out, idx, ck, **kw)
-    q.awaitTermination(120)
+    drain(q)
 
     # healable: bands mid-swap (dir renamed to the tmp sibling)
     shutil.move(f"{idx}/bands", f"{idx}/bands.folding-deadbeef")
@@ -1383,7 +1385,7 @@ def test_stream_curation_fails_loud_on_missing_index_store(spark, tmp_path):
         "append"
     ).parquet(inp)
     q2 = run_stream_curation(spark, inp, schema, out, idx, ck, **kw)
-    q2.awaitTermination(120)
+    drain(q2)
     assert (tmp_path / "idx" / "bands").exists()
     out_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert {0, 1, 2} <= out_ids
@@ -1441,7 +1443,7 @@ def test_band_cap_keeps_signature_carrier_and_strict_bound(spark, tmp_path):
         band_index_max_bucket=1,
         scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
     )
-    q.awaitTermination(120)
+    drain(q)
 
     out_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     # B drops via shared buckets with A; C must drop THROUGH B's
@@ -1481,7 +1483,7 @@ def test_band_cap_keeps_signature_carrier_and_strict_bound(spark, tmp_path):
             band_index_max_bucket=cap,
             scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
         )
-        q.awaitTermination(120)
+        drain(q)
         return (
             spark.read.parquet(f"{i2}/bands")
             .filter(F.col("band_hash").isNotNull())
@@ -1537,7 +1539,7 @@ def test_stream_truncates_extra_fields_like_reference(spark, tmp_path):
         spark, str(inp), out, ck, EngineConfig(),
         StreamingJobConfig(available_now=True),
     )
-    q.awaitTermination(120)
+    drain(q)
     table = spark.read.parquet(out)
     assert set(table.columns) == set(LOG_FIELDS) | {"ts", "dt"}
     got = table.select("AclRequired", "TLSVersion").distinct().collect()
@@ -1591,7 +1593,7 @@ def test_stream_inference_equals_batch(spark, tmp_path):
         passthrough_cols=("doc_id",),
         scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
     )
-    q.awaitTermination(300)
+    drain(q)
 
     streamed = spark.read.parquet(out).select("doc_id", "logit", "label")
     batch = batched_inference(
@@ -1695,7 +1697,7 @@ def test_stream_curation_auto_fold_matches_manual(spark, tmp_path, fold_mode):
             min_quality=0.3, jaccard_threshold=0.3, index_dropped=True,
             fold_every_n_batches=fold_every, fold_mode=fold_mode, scfg=scfg,
         )
-        q.awaitTermination(240)
+        drain(q)
         parts = {
             s: bi.partition_ids(spark, bi.ensure_table(spark, f"{idx}/{s}"))
             for s in ("digests", "bands")
@@ -1770,7 +1772,7 @@ def test_stream_semantic_dedup_auto_fold_and_manual_fold(spark, tmp_path, fold_m
             spark, inp, schema, idx, cents, 0.999, out, ck,
             fold_every_n_batches=fold_every, fold_mode=fold_mode, scfg=scfg,
         )
-        q.awaitTermination(240)
+        drain(q)
         flags = {
             r["vec_id"]: (r["is_corpus_dup"], r["is_batch_dup"])
             for r in spark.read.parquet(out).collect()
@@ -1801,7 +1803,7 @@ def test_stream_semantic_dedup_auto_fold_and_manual_fold(spark, tmp_path, fold_m
         spark, inp_f, schema, idx_f, cents, 0.999, out_f, ck_f,
         scfg=StreamingJobConfig(available_now=True, max_files_per_trigger=1),
     )
-    q2.awaitTermination(240)
+    drain(q2)
     last = {
         r["vec_id"]: r["is_corpus_dup"]
         for r in spark.read.parquet(f"{out_f}/batch=5").collect()
