@@ -604,9 +604,20 @@ def probe_cells_driver(
     (PERF.md round 5). Arithmetic is the same fixed left-to-right
     summation as the SQL kernel (IEEE doubles both sides), ties broken
     toward the lower cell id — probe choices are bit-identical."""
-    rows = queries.select(
+    rows = _collect_query_rows(queries, query_id, query_vec)
+    return _probe_cells_py(rows, centroids, n_probe)
+
+
+def _collect_query_rows(queries: DataFrame, query_id: str, query_vec: str):
+    """The bounded query-batch collect — (qid, vector) rows. One job;
+    every per-call driver-side probe artifact derives from it."""
+    return queries.select(
         F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qv")
     ).collect()
+
+
+def _probe_cells_py(rows, centroids: list[list[float]], n_probe: int):
+    """probe_cells_driver's scoring over already-collected rows."""
     cns = []
     for c in centroids:
         s = 0.0
@@ -631,6 +642,48 @@ def probe_cells_driver(
     return out
 
 
+def _probe_plan(
+    queries: DataFrame,
+    query_id: str,
+    query_vec: str,
+    centroids: list[list[float]],
+    n_probe: int,
+) -> tuple[list[tuple[object, list[int]]], DataFrame]:
+    """(probes, qp): per-query probed cells plus the (query_id, _qv,
+    cell) broadcast frame — both derived from ONE bounded collect of
+    the query batch.
+
+    Until round 14 the qp frame was built by re-scanning the query
+    source and joining a (qid, cell) local frame onto it — a parquet
+    scan + broadcast join PER CALL inside the broadcast build, when
+    probe_cells_driver had already collected the very (qid, vector)
+    rows the join re-derived (guide §2.4: an exchange/scan you already
+    have the answer to). Building the frame locally from that collect
+    is value-identical (same rows, same vectors) and turns the probe
+    side into a LocalTableScan."""
+    rows = _collect_query_rows(queries, query_id, query_vec)
+    probes = _probe_cells_py(rows, centroids, n_probe)
+    spark = queries.sparkSession
+    id_field = queries.schema[query_id]
+    vec_type = queries.schema[query_vec].dataType
+    data = [
+        (r["_qid"], r["_qv"], c)
+        for r, (_qid, cells) in zip(rows, probes)
+        for c in cells
+    ]
+    qp = spark.createDataFrame(
+        data,
+        T.StructType(
+            [
+                T.StructField(query_id, id_field.dataType),
+                T.StructField("_qv", vec_type),
+                T.StructField("cell", T.IntegerType()),
+            ]
+        ),
+    )
+    return probes, qp
+
+
 def _probe_frame(
     queries: DataFrame,
     query_id: str,
@@ -640,9 +693,11 @@ def _probe_frame(
     probes: list[tuple[object, list[int]]] | None = None,
 ) -> DataFrame:
     """(query_id, _qv, cell) — one row per probed cell per query, the
-    broadcast side of the candidate join."""
+    broadcast side of the candidate join. Kept for callers that carry
+    their own ``probes``; new code should use :func:`_probe_plan`
+    (one collect, local frame, no per-call query re-scan)."""
     if probes is None:
-        probes = probe_cells_driver(queries, query_id, query_vec, centroids, n_probe)
+        return _probe_plan(queries, query_id, query_vec, centroids, n_probe)[1]
     spark = queries.sparkSession
     id_field = queries.schema[query_id]
     pf = spark.createDataFrame(
@@ -672,7 +727,7 @@ def ivf_topk(
     """IVF search: corpus rows pre-assigned to cells; each query probes
     its ``n_probe`` nearest cells; exact cosine inside probed cells."""
     c = ivf_assign(corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv")), "_cv", centroids, "cell")
-    qp = _probe_frame(queries, query_id, query_vec, centroids, n_probe)
+    _probes, qp = _probe_plan(queries, query_id, query_vec, centroids, n_probe)
     cand = c.join(F.broadcast(qp), on="cell").select(query_id, corpus_id, "_cv", "_qv")
     scored = cand.select(
         query_id,
@@ -887,8 +942,7 @@ def ivf_index_topk(
         [float(x) for x in r["centroid"]]
         for r in sorted(cent_rows, key=lambda r: r["cell"])
     ]
-    probes = probe_cells_driver(queries, query_id, query_vec, centroids, n_probe)
-    qp = _probe_frame(queries, query_id, query_vec, centroids, n_probe, probes=probes)
+    probes, qp = _probe_plan(queries, query_id, query_vec, centroids, n_probe)
     probed = sorted({c for _qid, cells in probes for c in cells})
     corpus = spark.read.parquet(f"{path}/corpus").filter(F.col("cell").isin(probed))
     cand = corpus.join(F.broadcast(qp), on="cell").select(
@@ -974,8 +1028,7 @@ def ivfpq_topk(
             corpus, corpus_id, centroids, codebooks, corpus_vec
         )
 
-    probes = probe_cells_driver(queries, query_id, query_vec, centroids, n_probe)
-    qp = _probe_frame(queries, query_id, query_vec, centroids, n_probe, probes=probes)
+    probes, qp = _probe_plan(queries, query_id, query_vec, centroids, n_probe)
     qt = qp.select(
         F.col(query_id),
         "cell",
@@ -1093,8 +1146,7 @@ def ivfpq_index_topk(
         codebooks[r["subspace"]][r["cid"]] = [float(x) for x in r["centroid"]]
     sub = len(codebooks[0][0])
 
-    probes = probe_cells_driver(queries, query_id, query_vec, centroids, n_probe)
-    qp = _probe_frame(queries, query_id, query_vec, centroids, n_probe, probes=probes)
+    probes, qp = _probe_plan(queries, query_id, query_vec, centroids, n_probe)
     qt = qp.select(
         F.col(query_id),
         "cell",

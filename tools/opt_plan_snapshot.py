@@ -1,10 +1,11 @@
 """Snapshot the FULL `explain("formatted")` output of headline queries
-into plans/r13/<query>_<tag>.txt — the optimization round's
+into plans/<round>/<query>_<tag>.txt — the optimization round's
 before/after plan evidence (judge-reviewable without running Spark).
 
 Usage: python tools/opt_plan_snapshot.py <tag> [query ...]
   tag    — suffix for the files, e.g. "before" or "after"
   query  — optional subset; default is every bench.py HEADLINE query
+Env: SPARK_GRAFT_PLANS_ROUND — output subdir (default "r14")
 """
 
 from __future__ import annotations
@@ -20,11 +21,19 @@ from s3logs_parquet_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        raise SystemExit(1)
     tag = sys.argv[1]
     names = sys.argv[2:] or HEADLINE
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        raise SystemExit(1)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    round_dir = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", round_dir
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="opt-plan-snapshot")
