@@ -113,7 +113,21 @@ def plan_heavy(df: DataFrame) -> DataFrame:
     SQLConf — the `write_contribution` clone precedent) instead of a
     session-wide conf so the other ~90 query paths keep inferred
     join-key IsNotNull pushdown. Clones are cached one per parent
-    session; repeat calls are cheap."""
+    session; repeat calls are cheap.
+
+    Snapshot semantics (ADVICE r13 #2): the clone copies the parent's
+    SQLConf at FIRST use and is reused for the process lifetime —
+    parent conf changes made later (shuffle partitions, AQE toggles,
+    timezone) do not propagate to frames planned through it. Callers
+    that retune the parent session mid-process should treat the clone
+    as stale-by-design: the rebound frames carry the conf of the
+    moment the first heavy plan was built.
+
+    The returned DataFrame is BOUND TO THE CLONE (ADVICE r13 #1):
+    ``df.sparkSession is not`` the caller's session. Cache-invalidation
+    checks comparing session identity ('cached.sparkSession is not
+    spark') over a plan_heavy-derived frame would thrash — compare
+    ``sparkContext`` or rebind_onto the caller's session first."""
     sess = df.sparkSession
     if getattr(sess, "_s3lps_plan_heavy", False):
         return df
@@ -725,7 +739,13 @@ def ivf_topk(
     n_probe: int = 2,
 ) -> DataFrame:
     """IVF search: corpus rows pre-assigned to cells; each query probes
-    its ``n_probe`` nearest cells; exact cosine inside probed cells."""
+    its ``n_probe`` nearest cells; exact cosine inside probed cells.
+
+    Returns a frame bound to the plan_heavy session CLONE (ADVICE r13
+    #1): ``result.sparkSession`` is not the caller's session (the
+    SparkContext IS shared, and execution semantics are identical).
+    Callers caching the result behind a session-identity check should
+    compare ``sparkContext`` or rebind_onto their own session."""
     c = ivf_assign(corpus.select(F.col(corpus_id), F.col(corpus_vec).alias("_cv")), "_cv", centroids, "cell")
     _probes, qp = _probe_plan(queries, query_id, query_vec, centroids, n_probe)
     cand = c.join(F.broadcast(qp), on="cell").select(query_id, corpus_id, "_cv", "_qv")
@@ -1205,17 +1225,25 @@ def sq_stats(df: DataFrame, vec_col: str, dim: int) -> list[tuple[float, float]]
     driver (bounded by the embedding width, never by corpus size).
     In production these are write-side table properties, recomputed
     only when the embedding model changes."""
-    # one parsed SQL string per aggregate instead of py4j Column trees:
-    # same min/max over the same element expressions, ~4× less driver
-    # plan-construction time at dim 64 (round 13 — the
-    # with_centroid_sims lesson applied to the SQ8 family)
-    v = "`" + vec_col.replace("`", "``") + "`"
-    aggs = []
-    for i in range(dim):
-        aggs.append(F.expr(f"min({v}[{i}])").alias(f"_mn{i}"))
-        aggs.append(F.expr(f"max({v}[{i}])").alias(f"_mx{i}"))
-    row = df.agg(*aggs).collect()[0]
-    return [(float(row[f"_mn{i}"]), float(row[f"_mx{i}"])) for i in range(dim)]
+    # posexplode → groupBy(pos) instead of one 2*dim-buffer single-row
+    # aggregate (round 14, VERDICT r13 #5; guide §5 — wide single-row
+    # aggregates vs a narrow shuffle): the wide form generates 2*dim
+    # aggregate expressions each indexing the array, whose codegen
+    # compile + interpreted fallback dominated the one-off train
+    # (measured at sf0.1 embeddings, cold/warm/warm: dim 64
+    # 17.5/9.3/8.3 s wide vs 2.5/1.3/1.0 s exploded; dim 512 synthetic
+    # 34-65 s vs 3.1-4.7 s). min/max are order-insensitive, so the
+    # values are identical — asserted against the wide form at both
+    # dims before the switch; null elements are skipped by min/max in
+    # both shapes. The shuffle this adds is dim groups of two doubles.
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("_pos", "_val"))
+        .groupBy("_pos")
+        .agg(F.min("_val").alias("_mn"), F.max("_val").alias("_mx"))
+        .collect()
+    )
+    by = {int(r["_pos"]): (float(r["_mn"]), float(r["_mx"])) for r in rows}
+    return [by[i] for i in range(dim)]
 
 
 def sq_encode(
