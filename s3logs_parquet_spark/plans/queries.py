@@ -648,7 +648,16 @@ def q_log_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches any parser/window/dedup defect."""
     e = _t(spark, sf_dir, "events")
     lines = _synthetic_log_lines(e)
-    doubled = lines.union(lines)  # redelivery duplicates
+    # redelivery duplicates: emit each rendered line twice via a 2-row
+    # explode instead of union(lines, lines) — the union executed BOTH
+    # branches, scanning the events table and running the expensive
+    # 26-field line render twice for a row multiset that a single
+    # render pass produces identically (round 14, guide §2.4 — don't
+    # compute what you already have; same multiset, dedup/agg are
+    # content-based so results are unchanged)
+    doubled = lines.select(
+        "value", F.explode(F.array(F.lit(0), F.lit(1))).alias("_copy")
+    ).drop("_copy")
     cfg = EngineConfig(merge_orig_buckets=False)
     # the events table is one small parquet file → 2 input splits; the
     # tokenizer is the expensive map here, so fan the lines out to all
