@@ -647,7 +647,17 @@ def q_log_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate directly from events — an independent derivation that
     catches any parser/window/dedup defect."""
     e = _t(spark, sf_dir, "events")
-    lines = _synthetic_log_lines(e)
+    # the events table is one small parquet file → 2 input splits; the
+    # line render and the tokenizer are the expensive maps here, so fan
+    # the EVENT ROWS out to all cores first (the r10 exchange moved —
+    # round 14: it used to sit between render and parse, leaving the
+    # render 16×-underparallelized in the scan stage; shuffling the
+    # narrow event columns instead costs the same exchange and puts
+    # BOTH heavy maps at full parallelism). At production scale inputs
+    # are many objects and this exchange is unnecessary; it models the
+    # many-splits layout a real scan gets.
+    fanned = e.repartition(spark.sparkContext.defaultParallelism)
+    lines = _synthetic_log_lines(fanned)
     # redelivery duplicates: emit each rendered line twice via a 2-row
     # explode instead of union(lines, lines) — the union executed BOTH
     # branches, scanning the events table and running the expensive
@@ -659,13 +669,6 @@ def q_log_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.explode(F.array(F.lit(0), F.lit(1))).alias("_copy")
     ).drop("_copy")
     cfg = EngineConfig(merge_orig_buckets=False)
-    # the events table is one small parquet file → 2 input splits; the
-    # tokenizer is the expensive map here, so fan the lines out to all
-    # cores first (35 MB shuffle vs a 16×-underparallelized regex
-    # stage — measured 3.6 s → 2.3 s). At production scale inputs are
-    # many objects and this exchange is unnecessary; it models the
-    # many-splits layout a real scan gets.
-    doubled = doubled.repartition(spark.sparkContext.defaultParallelism)
     parsed = parse_s3_access_log(doubled)
     # project to the three needed columns before the dedup exchange —
     # the shuffle then carries 3 strings instead of 26 (Catalyst prunes
