@@ -538,6 +538,64 @@ def _scored_pairs(
     )
 
 
+def _with_bucket_sizes(
+    banded: DataFrame,
+    keys: tuple[str, ...],
+    id_col: str,
+    max_bucket_size: int,
+    want_rep: bool = False,
+    rep_expr=None,
+) -> DataFrame:
+    """Tag each row of a banded frame whose bucket EXCEEDS
+    ``max_bucket_size`` with the bucket's ``_bsz`` (and, for the star
+    policy, ``_rep``); rows of in-cap buckets get NULL ``_bsz``.
+    Replaces the former count-over-window at the three hot-bucket cap
+    sites (round 14, guide §2.3/§5).
+
+    Why not the window: WindowExec buffers each (bucket) partition's
+    FULL rows — signatures / unit vectors included — in
+    ExternalAppendOnlyUnsafeRowArray before it can emit a single one,
+    so the exact flood the cap exists to bound (one bucket holding a
+    duplicate cluster) exhausted execution memory inside the guard
+    itself (measured: ``UNABLE_TO_ACQUIRE_MEMORY`` in
+    WindowEvaluator.fetchNextPartition at 200k clustered vectors,
+    local[8]).
+
+    Shape: a map-side-partial aggregate reduces the banded frame to
+    per-bucket (count, rep) rows, FILTERED to the oversized ones, and
+    a broadcast LEFT join attaches them. The broadcast is bounded by
+    construction — at most ``total_rows / max_bucket_size`` buckets
+    can exceed the cap (each holds more than ``max_bucket_size``
+    rows), e.g. ≤ 100k rows per billion inputs at the 10k default —
+    so the banded side is never shuffled, never buffered per bucket,
+    and the guard's cost is one aggregate pass over the (typically
+    checkpointed) banded blocks.
+
+    Value-identity with the window form: count/min over the same
+    groups; null-safe join keys reproduce the window's treatment of a
+    NULL bucket key as an ordinary group; in-cap rows are recognized
+    by ``_bsz IS NULL`` (callers filter on that instead of
+    ``_bsz <= cap``)."""
+    aggs = [F.count(F.lit(1)).alias("_bsz")]
+    if want_rep:
+        rep = rep_expr if rep_expr is not None else F.min(F.col(id_col))
+        aggs.append(rep.alias("_rep"))
+    big = (
+        banded.groupBy(*[F.col(k) for k in keys])
+        .agg(*aggs)
+        .filter(F.col("_bsz") > int(max_bucket_size))
+    )
+    for k in keys:
+        big = big.withColumnRenamed(k, f"_szk_{k}")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_szk_{k}"))
+        cond = c if cond is None else (cond & c)
+    return banded.join(F.broadcast(big), on=cond, how="left").drop(
+        *[f"_szk_{k}" for k in keys]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -637,16 +695,23 @@ def minhash_lsh_pairs(
 
     star_pairs = None
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "band_hash")
-        sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        # oversized-bucket broadcast tagging (round 14 — see
+        # _with_bucket_sizes: the former count-over-window buffered
+        # every bucket's signature-carrying rows and OOMed on the very
+        # flood the cap bounds); _bsz is NULL for in-cap rows
+        sized = _with_bucket_sizes(
+            banded,
+            ("band", "band_hash"),
+            id_col,
+            max_bucket_size,
+            want_rep=oversize_policy == "star",
+        )
         if oversize_policy == "error":
             # distributed guard: poison any oversized bucket's rows so the
             # failure is loud, not a silent multi-TB spill
             sized = sized.withColumn(
                 "_bsz",
-                F.when(
-                    F.col("_bsz") <= max_bucket_size, F.col("_bsz")
-                ).otherwise(
+                F.when(F.col("_bsz").isNull(), F.col("_bsz")).otherwise(
                     F.raise_error(
                         F.concat(
                             F.lit("minhash_lsh_pairs: bucket over max_bucket_size="),
@@ -659,14 +724,12 @@ def minhash_lsh_pairs(
                 ),
             )
         elif oversize_policy == "star":
-            # representative = bucket min id; computed in the same
-            # window exchange, so the hot path never joins
-            rep = F.min(F.col(id_col)).over(w)
-            big = sized.filter(F.col("_bsz") > max_bucket_size).select(
-                rep.alias("id_a"), F.col(id_col).alias("id_b")
+            # representative = bucket min id, from the broadcast table
+            big = sized.filter(F.col("_bsz").isNotNull()).select(
+                F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
             )
             star_pairs = big.filter(F.col("id_a") != F.col("id_b"))
-        banded = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+        banded = sized.filter(F.col("_bsz").isNull()).drop("_bsz", "_rep")
 
     # Candidate IDS only through the band join and the cross-band
     # dedup: signatures (num_hashes ints per side) used to ride along
@@ -1182,20 +1245,26 @@ def simhash_near_pairs(
 
     star_pairs = None
     if max_bucket_size is not None:
-        # ONE window pass computes bucket size AND (star) the bucket-min
-        # representative — identical window specs merge into a single
-        # Window node, so the guard costs exactly one (blk, blk_val)
-        # exchange + sort; the checkpoint below makes the three
-        # consumers (both join sides, the star branch) read it once
-        # instead of recomputing the windowed subtree per consumer
-        w = Window.partitionBy("blk", "blk_val")
-        sized = blocks.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        # aggregate + join-back bucket sizing AND (star) bucket-min
+        # representative in one tiny (blk, blk_val) table (round 14 —
+        # see _with_bucket_sizes: the former count-over-window buffered
+        # whole bucket partitions to size them); the checkpoint below
+        # still makes the three consumers (both join sides, the star
+        # branch) read the sized frame once
+        sized = _with_bucket_sizes(
+            blocks,
+            ("blk", "blk_val"),
+            id_col,
+            max_bucket_size,
+            want_rep=oversize_policy == "star",
+            rep_expr=F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+            ),
+        )
         if oversize_policy == "error":
             sized = sized.withColumn(
                 "_bsz",
-                F.when(
-                    F.col("_bsz") <= max_bucket_size, F.col("_bsz")
-                ).otherwise(
+                F.when(F.col("_bsz").isNull(), F.col("_bsz")).otherwise(
                     F.raise_error(
                         F.concat(
                             F.lit("simhash_near_pairs: block bucket over max_bucket_size="),
@@ -1207,18 +1276,11 @@ def simhash_near_pairs(
                     ).cast("long")
                 ),
             )
-        elif oversize_policy == "star":
-            sized = sized.withColumn(
-                "_rep",
-                F.min(
-                    F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
-                ).over(w),
-            )
         if materialize:
             sized = _materialize(sized, durable)
         if oversize_policy == "star":
             star_pairs = (
-                sized.filter(F.col("_bsz") > max_bucket_size)
+                sized.filter(F.col("_bsz").isNotNull())
                 .select(
                     F.col("_rep").getField("i").alias("id_a"),
                     F.col(id_col).alias("id_b"),
@@ -1227,7 +1289,7 @@ def simhash_near_pairs(
                 )
                 .filter(F.col("id_a") != F.col("id_b"))
             )
-        blocks = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz", "_rep")
+        blocks = sized.filter(F.col("_bsz").isNull()).drop("_bsz", "_rep")
 
     l, r = blocks.alias("l"), blocks.alias("r")
     pairs = (
@@ -1549,12 +1611,27 @@ def embedding_neardup_pairs(
 
     star_pairs = None
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "band_key")
-        sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        # Oversized-bucket broadcast tagging instead of a
+        # count-over-window (round 14, guide §2.3/§5): the window form
+        # buffered every bucket's FULL rows — unit vectors included —
+        # in ExternalAppendOnlyUnsafeRowArray before emitting, so the
+        # very flood the cap guards against (one hot bucket holding a
+        # duplicate cluster) exhausted execution memory inside the
+        # guard itself (measured: UNABLE_TO_ACQUIRE_MEMORY in
+        # WindowEvaluator fetchNextPartition at 200k clustered vectors
+        # on local[8]). See _with_bucket_sizes for the shape and the
+        # broadcast bound (≤ rows/cap oversized buckets).
+        sized = _with_bucket_sizes(
+            banded,
+            ("band", "band_key"),
+            id_col,
+            max_bucket_size,
+            want_rep=oversize_policy == "star",
+        )
         if oversize_policy == "error":
             sized = sized.withColumn(
                 "_bsz",
-                F.when(F.col("_bsz") <= max_bucket_size, F.col("_bsz")).otherwise(
+                F.when(F.col("_bsz").isNull(), F.col("_bsz")).otherwise(
                     F.raise_error(
                         F.concat(
                             F.lit("embedding_neardup_pairs: bucket over max_bucket_size="),
@@ -1567,12 +1644,11 @@ def embedding_neardup_pairs(
                 ),
             )
         elif oversize_policy == "star":
-            rep = F.min(F.col(id_col)).over(w)
-            big = sized.filter(F.col("_bsz") > max_bucket_size).select(
-                rep.alias("id_a"), F.col(id_col).alias("id_b")
+            big = sized.filter(F.col("_bsz").isNotNull()).select(
+                F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
             )
             star_pairs = big.filter(F.col("id_a") != F.col("id_b"))
-        banded = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+        banded = sized.filter(F.col("_bsz").isNull()).drop("_bsz", "_rep")
 
     # Candidate IDS only through the band join and the cross-band
     # distinct (16-byte rows), then each side's unit vector + norm
