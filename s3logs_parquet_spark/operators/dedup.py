@@ -2185,7 +2185,16 @@ def remove_duplicated_spans(
             ),
         )
         # array_except keeps the FIRST argument's order, so kept
-        # positions stay ascending and the rebuild needs no sort
+        # positions stay ascending and the rebuild needs no sort.
+        # PINNED ASSUMPTION (ADVICE r13 #3): Spark only documents
+        # "without duplicates" — first-argument order preservation is
+        # an implementation detail (stable since 2.4; OpenHashSet scan
+        # over arg1). It is enforced here by the DuckDB oracle hash
+        # gate on docs_remove_dup_spans and by
+        # tests/test_similarity.py's reconstruction differential: an
+        # order change in a future Spark fails those loudly, and the
+        # contractual fallback is filter(_pos, p -> NOT
+        # array_contains(_cov, p)) at a measured perf cost.
         .withColumn("_kept", F.array_except("_pos", "_cov"))
     )
     return excised.select(
