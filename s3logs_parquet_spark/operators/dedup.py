@@ -1933,9 +1933,23 @@ def dup_ngram_fraction(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("_ng"),
     )
+    # explicit not-null guard (always true: array_join over a non-null
+    # array never yields NULL, and the explode input defaults to []).
+    # The frequent branch feeds a join key, so the optimizer INFERS
+    # isnotnull(_ng) there and pushes it below that branch's partial
+    # aggregate; stating it once on the shared source keeps the two
+    # exchange subtrees byte-identical so ReuseExchange can fire.
+    ngrams = ngrams.filter(F.col("_ng").isNotNull())
     pairs = ngrams.groupBy(id_col, "_ng").agg(F.count(F.lit(1)).alias("_cnt"))
+    # the _cnt >= 1 filter is always true (count(*) per group ≥ 1); it
+    # keeps `_cnt` referenced so the optimizer cannot rewrite this
+    # branch's pair aggregate into a plain DISTINCT — that rewrite made
+    # the two subtrees structurally different, defeating ReuseExchange,
+    # and the scan + tokenizer + n-gram Generate ran TWICE (round 14,
+    # guide §2.4: share one exchange between operations keyed alike)
     frequent = (
-        pairs.groupBy("_ng")
+        pairs.filter(F.col("_cnt") >= 1)
+        .groupBy("_ng")
         .agg(F.count(F.lit(1)).alias("_n_docs"))
         .filter(F.col("_n_docs") >= F.lit(int(min_docs)))
         .select("_ng")
@@ -1978,6 +1992,14 @@ def _dup_span_islands(
     n = int(n)
     if n < 1:
         raise ValueError(f"duplicated_spans: n must be >= 1, got {n}")
+    # a NULL id is not a document: its rows can never match the
+    # callers' final equi-joins (spans for it are unreachable), so
+    # excluding it up front is the operator contract. Stated as an
+    # explicit filter because the consumers' joins INFER
+    # isnotnull(id) on one branch of the shared pair exchange below —
+    # stating it on the source keeps both exchange subtrees
+    # byte-identical so ReuseExchange/AQE stage reuse can fire.
+    toks = toks.filter(F.col(id_col).isNotNull())
     n_lit = F.lit(n)
     if hash_ngrams:
         gram = lambda i: F.xxhash64(F.slice("_w", i, n_lit))  # noqa: E731
@@ -2001,15 +2023,42 @@ def _dup_span_islands(
     ).select(
         F.col(id_col), F.col("_s.pos").alias("_pos"), F.col("_s.ng").alias("_ng")
     )
-    pairs = starts.select(id_col, "_ng").distinct()
+    # ONE n-gram expansion for both consumers (round 14, guide §2.4):
+    # the former shape derived `frequent` from a (doc, ngram) DISTINCT
+    # and probed the positioned starts against it with a semi-join —
+    # two structurally different subtrees over the same Generate, so
+    # Spark planned the scan + tokenizer + n-gram expansion (the
+    # dominant map CPU: n array slices + joins per token position)
+    # TWICE with no exchange to reuse. Folding the positions into the
+    # pair aggregate (collect_list — positions are unique per doc, so
+    # the list is exactly the group's rows) makes the frequency count
+    # and the probe SHARE one (doc, ngram)-keyed exchange: `frequent`
+    # counts rows of the aggregated frame (one per distinct pair —
+    # identical doc-frequency), the semi-join re-expands survivors
+    # with explode. ReuseExchange now plans Scan→Generate→Exchange
+    # once. The size(_ps) >= 1 filter is always true (every group has
+    # at least one row); it exists to keep `_ps` referenced so the
+    # optimizer cannot prune collect_list from the frequency branch
+    # and split the shared exchange back into two.
+    # Scale shape: the pair exchange is keyed (doc, ngram) — hot
+    # boilerplate n-grams spread across docs; the semi-join ships one
+    # ngram string + position array per DISTINCT pair where the old
+    # probe shipped one string per OCCURRENCE.
+    occ = starts.groupBy(id_col, "_ng").agg(F.collect_list("_pos").alias("_ps"))
     frequent = (
-        pairs.groupBy("_ng")
+        occ.filter(F.size("_ps") >= 1)
+        .groupBy("_ng")
         .agg(F.count(F.lit(1)).alias("_n_docs"))
         .filter(F.col("_n_docs") >= F.lit(int(min_docs)))
         .select("_ng")
     )
-    dup_starts = starts.join(frequent, on="_ng", how="left_semi").select(
-        id_col, "_pos"
+    # INNER join, not left_semi: `frequent` is distinct on _ng so both
+    # are value-identical (no fan-out), but PushDownLeftSemiAntiJoin
+    # would push a semi join below the pair aggregate, splitting the
+    # shared exchange back into two Generates; inner joins stay put
+    dup_starts = (
+        occ.join(frequent, on="_ng", how="inner")
+        .select(id_col, F.explode("_ps").alias("_pos"))
     )
     w = Window.partitionBy(id_col).orderBy("_pos")
     islands = dup_starts.withColumn(

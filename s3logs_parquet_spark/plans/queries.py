@@ -2519,22 +2519,42 @@ def q_events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     sk = kmv_set_ops(e, "event_type", "user_id", k=64)
-    u2t = (
+    # exact legs via ONE user-keyed aggregation (round 14, guide §2.4):
+    # the former (type,user)-DISTINCT + self-join on user_id shuffled
+    # the distinct pair table twice more (join re-key + pair agg) and
+    # paid an SMJ; collecting each user's distinct type set map-side
+    # (collect_set partial agg — bounded by the type universe, a few
+    # entries per user) and expanding the sorted set's ordered pairs
+    # map-side replaces all of it with one exchange + two tiny
+    # hash-aggs. Values identical: exact = distinct users per type
+    # (one exploded row per (user, type)); exact_intersection counts
+    # users holding both types, enumerated as x < y pairs exactly like
+    # the old join condition (array_sort orders strings the same way
+    # `<` compares them); collect_set drops NULL types, which the old
+    # shape's `<` comparison and the inner sk-join made unreachable
+    # in the output anyway.
+    sets = (
         e.filter(F.col("user_id").isNotNull())
-        .select("event_type", "user_id")
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("_ts"))
     )
-    ex = u2t.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact"))
+    ex = (
+        sets.select(F.explode("_ts").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
     inter = (
-        u2t.alias("x")
-        .join(
-            u2t.alias("y"),
-            (F.col("x.user_id") == F.col("y.user_id"))
-            & (F.col("x.event_type") < F.col("y.event_type")),
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ts, (x, i) -> "
+                    "transform(slice(_ts, i + 2, size(_ts) - i - 1), "
+                    "y -> struct(x AS g_a, y AS g_b))))"
+                )
+            ).alias("_pr")
         )
-        .groupBy(
-            F.col("x.event_type").alias("g_a"), F.col("y.event_type").alias("g_b")
-        )
+        .select("_pr.g_a", "_pr.g_b")
+        .groupBy("g_a", "g_b")
         .agg(F.count(F.lit(1)).alias("exact_intersection"))
     )
     out = (

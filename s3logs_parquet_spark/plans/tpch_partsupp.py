@@ -49,11 +49,27 @@ partsupp AS (
 """
 
 
-def partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def partsupp(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """The derived partsupp fixture: one distinct (= one shuffle on the
-    pair key, map-side combined) plus narrow integer projections."""
+    pair key, map-side combined) plus narrow integer projections.
+
+    ``source`` (round 14, guide §3.2 — reduce the big side before
+    shuffling it): an already-RESTRICTED lineitem frame (any frame
+    carrying l_partkey/l_suppkey). partsupp is by construction the
+    distinct pair set of lineitem, and every projected column is a pure
+    function of the pair key — so for a consumer that joins partsupp
+    against a key cut it applies to lineitem anyway (q9's red parts,
+    q20's red prefix, q2/q11's regional suppliers, q16's part filter),
+    deriving the pairs from the ALREADY-FILTERED lineitem is
+    value-identical to filtering the full partsupp after the fact,
+    while the distinct's shuffle shrinks by the filter's selectivity
+    (~8x for q9's '%red%' cut at sf0.1). The optimizer cannot do this
+    itself: the referential-integrity fact that the filter commutes
+    with the pair-distinct is problem knowledge, not plan algebra."""
     pairs = (
-        _t(spark, sf_dir, "lineitem")
+        (source if source is not None else _t(spark, sf_dir, "lineitem"))
         .select(
             F.col("l_partkey").alias("ps_partkey"),
             F.col("l_suppkey").alias("ps_suppkey"),
@@ -96,9 +112,17 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    ps = partsupp(spark, sf_dir).join(
-        F.broadcast(region_supp), F.col("ps_suppkey") == F.col("s_suppkey")
-    )
+    ps = partsupp(
+        spark,
+        sf_dir,
+        # pair-distinct over only the European suppliers' lineitems —
+        # the same broadcast cut the join below applies (guide §3.2)
+        source=_t(spark, sf_dir, "lineitem").join(
+            F.broadcast(region_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        ),
+    ).join(F.broadcast(region_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
     w = Window.partitionBy("ps_partkey")
     best = ps.withColumn("_min_cost", F.min("ps_supplycost").over(w)).filter(
         F.col("ps_supplycost") == F.col("_min_cost")
@@ -153,7 +177,22 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").join(
         F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey")
     )
-    ps = partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey", "ps_cost_cents")
+    # derive the pair set from the same red cut the join applies
+    # anyway (partsupp(source=...)): the pair-distinct shrinks ~8x and
+    # the pair-keyed build side with it; both big equi-joins (pair
+    # key, orderkey) stay in the plan. LEFT SEMI (not the inner-join
+    # frame above): value-identical because p_partkey is unique, and
+    # the semi keeps the scan's size estimate so the planner's
+    # broadcast decision for the pair join is unchanged at bench scale
+    ps = partsupp(
+        spark,
+        sf_dir,
+        source=_t(spark, sf_dir, "lineitem").join(
+            F.broadcast(red_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        ),
+    ).select("ps_partkey", "ps_suppkey", "ps_cost_cents")
     profit_cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long") - F.col("ps_cost_cents") * F.col("l_quantity").cast("long")
@@ -205,9 +244,17 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name") == "NATION_9")
         .select("s_suppkey")
     )
-    ps = partsupp(spark, sf_dir).join(
-        F.broadcast(nation_supp), F.col("ps_suppkey") == F.col("s_suppkey")
-    )
+    ps = partsupp(
+        spark,
+        sf_dir,
+        # pair-distinct over only the one nation's lineitems — the
+        # same broadcast cut the join below applies (guide §3.2)
+        source=_t(spark, sf_dir, "lineitem").join(
+            F.broadcast(nation_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        ),
+    ).join(F.broadcast(nation_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
     value_cents = F.col("ps_cost_cents") * F.col("ps_availqty")
     per_part = ps.groupBy("ps_partkey").agg(F.sum(value_cents).alias("_cents"))
     total = per_part.agg(F.sum("_cents").alias("_total"))
@@ -250,7 +297,19 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        partsupp(spark, sf_dir)
+        partsupp(
+            spark,
+            sf_dir,
+            # pair-distinct over only the qualifying parts' lineitems —
+            # the same broadcast cut the join below applies (§3.2);
+            # the anti-join cut stays on partsupp (anti semantics do
+            # not commute through the derivation the same way)
+            source=_t(spark, sf_dir, "lineitem").join(
+                F.broadcast(parts.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"),
+                "left_semi",
+            ),
+        )
         .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
         .join(
             F.broadcast(complained),
@@ -298,7 +357,19 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     qualified = (
-        partsupp(spark, sf_dir)
+        partsupp(
+            spark,
+            sf_dir,
+            # pair-distinct over only red parts' lineitems (the same
+            # broadcast cut applied below); the inner join with
+            # `shipped` then keeps exactly the pairs with 1996
+            # shipments either way (guide §3.2)
+            source=_t(spark, sf_dir, "lineitem").join(
+                F.broadcast(red_parts),
+                F.col("l_partkey") == F.col("p_partkey"),
+                "left_semi",
+            ),
+        )
         .join(F.broadcast(red_parts), F.col("ps_partkey") == F.col("p_partkey"))
         .join(
             shipped,
