@@ -99,8 +99,16 @@ def bloom_probe(
     test is ``n_hashes`` element_at + shiftright + AND probes — all
     codegen, no exchange."""
     n_bits = len(bloom_bits) * 64
+    # ONE parsed SQL string for the word array, not a CreateArray of
+    # n_bits/64 py4j Column objects (F.array(*[F.lit(w) ...]) — and
+    # F.lit(list) expands to exactly that tree): at the default sizing
+    # the 2048-child tree cost ~2 s of py4j round-trips PER CALL —
+    # the dominant cost of the whole probe at bench scale (round 14,
+    # guide §4: the Python/JVM boundary, here at plan-build time —
+    # same class as the r13 SQ8 kernel fix)
+    words_sql = "array(" + ",".join(f"{int(w)}L" for w in bloom_bits) + ")"
     out = df.filter(F.col(key_col).isNotNull()).withColumn(
-        "__bloom_w", F.array(*[F.lit(int(w)) for w in bloom_bits])
+        "__bloom_w", F.expr(words_sql)
     )
     positions = _positions(F.col(key_col), n_bits, n_hashes)
     out = out.withColumns({f"__bloom_p{i}": p for i, p in enumerate(positions)})
