@@ -4810,3 +4810,23 @@ BUILD_ONCE: dict[str, dict[str, str | None]] = {
         "build_included_twin": "docs_minhash_lsh_pairs",
     },
 }
+
+# Shared (non-per-query) plan-state caches — the same declared
+# timed-region contract as BUILD_ONCE, for caches living outside this
+# module. kind is always "plan": unexecuted plan objects only, nothing
+# materialized — every execution still computes from the parquet
+# inputs. Enforced alongside BUILD_ONCE by
+# tests/test_bench_smoke.py::test_build_once_registry_is_exhaustive.
+BUILD_ONCE_SHARED: dict[str, dict[str, str]] = {
+    "sources.tables.load_table": {
+        "module": "s3logs_parquet_spark.sources.tables",
+        "cache": "_TABLE_PLANS",
+        "kind": "plan",
+        "holds": (
+            "resolved parquet scan relations per (session, sf_dir, table): "
+            "spark.read.parquet's synchronous footer/schema resolution "
+            "(~90 ms/call driver-side) runs once per session per table, "
+            "as a catalog would; scans still read parquet every run"
+        ),
+    },
+}

@@ -20,10 +20,29 @@ TESTDATA_TABLES = (
 ).split()
 
 
+# Resolved-plan cache, keyed (session id, sf_dir, table): PURE plan
+# state — an unexecuted scan relation; every execution still reads the
+# parquet files (round 14, declared in plans/queries.py BUILD_ONCE,
+# kind=plan). Rationale: spark.read.parquet() resolves the schema from
+# file footers SYNCHRONOUSLY on the driver, ~90 ms per call on this
+# box — a long-lived engine resolves a catalog table once, not once
+# per query expression that mentions it (tpch_q8 alone paid it 8x per
+# plan construction). Entries are validated against the LIVE session
+# (the repo's cache-invalidation idiom) so stopped test sessions never
+# leak a dead plan; testdata tables are immutable by contract.
+_TABLE_PLANS: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_PLANS.get(key)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
     path = f"{sf_dir}/{name}.parquet"
     if name != "events":
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        _TABLE_PLANS[key] = df
+        return df
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if isinstance(df.schema["ts"].dataType, LongType):
@@ -32,6 +51,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # remainders can round UP across the integer boundary, diverging
         # from DuckDB's truncation by 1µs. `div` stays in int64.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_PLANS[key] = df
     return df
 
 

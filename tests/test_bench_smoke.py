@@ -100,3 +100,14 @@ def test_build_once_registry_is_exhaustive():
         twin = entry["build_included_twin"]
         if twin is not None:
             assert twin.split(" ")[0] in QUERIES, f"{name}: twin {twin!r} not in QUERIES"
+
+    # shared (non-per-query) caches declare module + cache name and
+    # must be plan-only: unexecuted plan objects, nothing materialized
+    import importlib
+
+    from s3logs_parquet_spark.plans.queries import BUILD_ONCE_SHARED
+
+    for name, entry in BUILD_ONCE_SHARED.items():
+        mod = importlib.import_module(entry["module"])
+        assert hasattr(mod, entry["cache"]), f"{name}: {entry['cache']} missing"
+        assert entry["kind"] == "plan", f"shared cache {name} must be plan-only"
