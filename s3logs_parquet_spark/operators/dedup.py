@@ -238,14 +238,22 @@ def minhash_signatures(
     exploded = exploded_shingles(df, id_col, text_col, shingle_k).select(
         id_col, _shingle_hash(F.col("shingle")).alias("_x")
     )
-    mins = exploded.groupBy(id_col).agg(
-        *[
-            F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(_MERSENNE_31)).alias(f"_m{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ]
+    # ONE parsed SQL expression for all num_hashes mins (round 14,
+    # guide §4 — the Python/JVM boundary at plan-build time, the SQ8
+    # r13 lesson): the per-column DSL form cost ~10 py4j round-trips
+    # per hash function, ~1 s of construction per call at the default
+    # 64 — paid by every timed rep of every LSH gate. Arithmetic is
+    # identical ((a*_x+b) % M over longs, first-minimum array order),
+    # and Catalyst still plans a map-side partial aggregate; the array
+    # wraps the aggregates in the result projection only.
+    sig_sql = (
+        "array("
+        + ", ".join(
+            f"min(({a} * _x + {b}) % {_MERSENNE_31})" for a, b in coeffs
+        )
+        + ") AS signature"
     )
-    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature")
-    return mins.select(id_col, sig)
+    return exploded.groupBy(id_col).agg(F.expr(sig_sql))
 
 
 def minhash_banded(
@@ -1143,24 +1151,28 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32, shingle_k
     exploded = exploded_shingles(df, id_col, text_col, shingle_k).select(
         id_col, shingle_hash.alias("_h")
     )
-    counts = exploded.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[
-            F.sum(F.shiftrightunsigned(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-            for b in range(bits)
-        ],
+    # TWO parsed SQL expressions instead of ~bits*16 py4j round-trips
+    # (round 14, guide §4 — plan-build boundary, same class as the
+    # minhash/SQ8 kernels): per-bit ones counts as one array-wrapped
+    # aggregate (Catalyst still plans the map-side partial agg), then
+    # the majority-bit OR chain over the array. shiftleft (not 1<<b
+    # arithmetic) keeps bit 63 from overflowing a signed long; OR-ing
+    # disjoint one-bit terms is value-identical to the former
+    # per-column construction for any bits.
+    ones_sql = (
+        "array("
+        + ", ".join(f"sum(shiftrightunsigned(_h, {b}) & 1)" for b in range(bits))
+        + ") AS _bs"
     )
-    sim = None
-    for b in range(bits):
-        # shiftleft, not 1<<b arithmetic: bit 63's literal would
-        # overflow a signed long; OR-ing disjoint one-bit terms is
-        # value-identical to the previous sum construction for any bits
-        term = F.when(
-            F.col(f"_b{b}") * 2 >= F.col("_n"),
-            F.shiftleft(F.lit(1).cast("long"), b),
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return counts.select(F.col(id_col), sim.alias("simhash"))
+    counts = exploded.groupBy(id_col).agg(
+        F.expr("count(1) AS _n"), F.expr(ones_sql)
+    )
+    sim_sql = " | ".join(
+        f"(CASE WHEN _bs[{b}] * 2 >= _n THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return counts.select(F.col(id_col), F.expr(sim_sql).alias("simhash"))
 
 
 def simhash_near_pairs(
